@@ -1,0 +1,130 @@
+"""Conditional flow matching with a fixed-step Euler solver.
+
+TPU-native rebuild of CausalConditionalCFM (flow/flow_matching.py:199-230):
+
+- Deterministic noise: a fixed standard-normal buffer sliced to length, so
+  streaming chunks and the offline pass see identical z (the reference seeds
+  torch with 0 once; here the buffer comes from a fixed numpy RandomState).
+- The 10-step Euler loop with the batch-of-2 CFG trick runs inside a single
+  ``nn.scan`` — one compiled dispatch per chunk instead of 20 kernel
+  launches (the reference needs a TensorRT engine to get close to this; on
+  TPU the AOT-compiled scan IS the default, cf. flow_matching.py:129-156).
+- ``compute_loss`` implements the OT-CFM objective with the training CFG
+  dropout (flow_matching.py:158-196).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .estimator import CausalConditionalDecoder
+from ...utils.config import CFMConfig, EstimatorConfig
+
+
+@functools.lru_cache(maxsize=None)
+def _fixed_noise(max_len: int, dim: int) -> np.ndarray:
+    """Deterministic (1, max_len, dim) standard normal buffer (the TPU
+    analogue of flow_matching.py:203's seeded rand_noise)."""
+    rng = np.random.RandomState(0)
+    return rng.standard_normal((1, max_len, dim)).astype(np.float32)
+
+
+def t_span_cosine(n_timesteps: int) -> np.ndarray:
+    t = np.linspace(0.0, 1.0, n_timesteps + 1)
+    return (1.0 - np.cos(t * 0.5 * np.pi)).astype(np.float32)
+
+
+class CausalConditionalCFM(nn.Module):
+    cfg: CFMConfig
+    estimator_cfg: EstimatorConfig
+
+    def setup(self):
+        self.estimator = CausalConditionalDecoder(self.estimator_cfg,
+                                                  name="estimator")
+
+    def euler_step(self, x: jnp.ndarray, t_cur: jnp.ndarray,
+                   dt: jnp.ndarray, mu_in: jnp.ndarray, valid_in: jnp.ndarray,
+                   spks_in: jnp.ndarray, cond_in: jnp.ndarray,
+                   streaming: bool) -> jnp.ndarray:
+        """One Euler step with the CFG batch-of-2 (flow_matching.py:98-125)."""
+        b = x.shape[0]
+        x_in = jnp.concatenate([x, x], axis=0)
+        t_in = jnp.full((2 * b,), t_cur, x.dtype)
+        dphi = self.estimator(x_in, valid_in, mu_in, t_in, spks_in, cond_in,
+                              streaming=streaming)
+        rate = jnp.asarray(self.cfg.inference_cfg_rate, x.dtype)
+        dphi = (1.0 + rate) * dphi[:b] - rate * dphi[b:]
+        return x + dt * dphi
+
+    def __call__(self, mu: jnp.ndarray, valid: jnp.ndarray,
+                 spks: jnp.ndarray, cond: jnp.ndarray,
+                 streaming: bool = False,
+                 temperature: float = 1.0) -> jnp.ndarray:
+        """mu (B, T, n_mel) -> mel (B, T, n_mel) by solving the flow ODE."""
+        c = self.cfg
+        b, t, d = mu.shape
+        noise = jnp.asarray(_fixed_noise(c.max_noise_len, d)[:, :t])
+        z = jnp.broadcast_to(noise, (b, t, d)).astype(mu.dtype) * temperature
+
+        if c.t_scheduler == "cosine":
+            t_span = t_span_cosine(c.n_timesteps)
+        else:
+            t_span = np.linspace(0, 1, c.n_timesteps + 1, dtype=np.float32)
+        t_cur = jnp.asarray(t_span[:-1], mu.dtype)
+        dts = jnp.asarray(np.diff(t_span), mu.dtype)
+
+        # CFG batch-of-2: [conditioned | unconditioned] stacked on batch.
+        mu_in = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)
+        spks_in = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
+        cond_in = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
+        valid_in = jnp.concatenate([valid, valid], axis=0)
+
+        def body(mdl, carry, ts):
+            t_i, dt_i = ts
+            x = mdl.euler_step(carry, t_i, dt_i, mu_in, valid_in,
+                               spks_in, cond_in, streaming)
+            return x, ()
+
+        scan = nn.scan(body,
+                       variable_broadcast="params",
+                       split_rngs={"params": False})
+        x, _ = scan(self, z, (t_cur, dts))
+        return x.astype(jnp.float32)
+
+    def compute_loss(self, x1: jnp.ndarray, valid: jnp.ndarray,
+                     mu: jnp.ndarray, spks: jnp.ndarray, cond: jnp.ndarray,
+                     rng: jax.Array, streaming: bool = True
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """OT-CFM loss (flow_matching.py:158-196).
+
+        x1: target mel (B, T, n_mel); valid: bool (B, T).
+        Returns (scalar loss, flow sample y).
+        """
+        c = self.cfg
+        b, t, d = x1.shape
+        k_t, k_z, k_cfg = jax.random.split(rng, 3)
+        tt = jax.random.uniform(k_t, (b, 1, 1), x1.dtype)
+        if c.t_scheduler == "cosine":
+            tt = 1.0 - jnp.cos(tt * 0.5 * jnp.pi)
+        z = jax.random.normal(k_z, x1.shape, x1.dtype)
+        y = (1.0 - (1.0 - c.sigma_min) * tt) * z + tt * x1
+        u = x1 - (1.0 - c.sigma_min) * z
+
+        if c.training_cfg_rate > 0:
+            keep = (jax.random.uniform(k_cfg, (b,)) > c.training_cfg_rate
+                    ).astype(x1.dtype)
+            mu = mu * keep[:, None, None]
+            spks = spks * keep[:, None]
+            cond = cond * keep[:, None, None]
+
+        pred = self.estimator(y, valid, mu, tt[:, 0, 0], spks, cond,
+                              streaming=streaming)
+        m = valid[..., None].astype(x1.dtype)
+        loss = jnp.sum(((pred - u) * m) ** 2) / (jnp.sum(m) * d)
+        return loss, y

@@ -1,0 +1,202 @@
+"""Causal U-Net flow estimator (the CFM velocity network).
+
+Rebuilds the reference CausalConditionalDecoder (cosyvoice/flow/decoder.py:
+294-494) plus the Matcha building blocks it imports (Block1D/ResnetBlock1D/
+BasicTransformerBlock) in feature-last JAX.  The hot loop of the whole
+pipeline is 10 Euler steps x 2 CFG forwards of this network per chunk, so it
+must map cleanly onto the MXU: all convs/attention are (B, T, C) with C on
+the lane dim, masks are precomputed bias tensors, and the module is fully
+shape-static (`streaming` is a Python-level flag baked into the jitted
+graph, like the reference's TRT engines per shape).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ...ops.activations import mish, get_activation
+from ...ops.attention import UNetAttention
+from ...ops.convs import Conv1d, CausalConv1d, ConvTranspose1d
+from ...ops.embeddings import SinusoidalPosEmb, TimestepEmbedding
+from ...ops.masks import chunk_attention_mask, mask_to_bias
+from ...utils.config import EstimatorConfig
+
+
+class CausalBlock1D(nn.Module):
+    """CausalConv1d k3 -> LayerNorm -> Mish (decoder.py:66-80)."""
+
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        h = CausalConv1d(self.dim_out, 3, name="conv")(x * mask[..., None])
+        h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)
+        return mish(h) * mask[..., None]
+
+
+class Block1D(nn.Module):
+    """Conv k3 same -> GroupNorm(8) -> Mish (matcha Block1D).
+
+    GroupNorm statistics span channels-in-group AND time, like torch
+    nn.GroupNorm on (B, C, T)."""
+
+    dim_out: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        h = Conv1d(self.dim_out, 3, padding=1, name="conv")(
+            x * mask[..., None])
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         name="norm")(h)
+        return mish(h) * mask[..., None]
+
+
+class CausalResnetBlock1D(nn.Module):
+    """block1 -> +time-emb -> block2 -> +res_conv(x) (matcha ResnetBlock1D
+    with causal blocks, decoder.py:83-88)."""
+
+    dim_out: int
+    causal: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
+                 t_emb: jnp.ndarray) -> jnp.ndarray:
+        block = CausalBlock1D if self.causal else Block1D
+        h = block(self.dim_out, name="block1")(x, mask)
+        h = h + nn.Dense(self.dim_out, name="mlp")(mish(t_emb))[:, None, :]
+        h = block(self.dim_out, name="block2")(h, mask)
+        res = Conv1d(self.dim_out, 1, name="res_conv")(x * mask[..., None])
+        return h + res
+
+
+class BasicTransformerBlock(nn.Module):
+    """Matcha/diffusers BasicTransformerBlock: LN -> self-attn -> +res,
+    LN -> FF(GELU) -> +res."""
+
+    dim: int
+    num_heads: int
+    head_dim: int
+    act_fn: str = "gelu"
+    ff_mult: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 attn_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        x = x + UNetAttention(self.num_heads, self.head_dim,
+                              name="attn1")(h, attn_bias)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
+        ff = nn.Dense(self.dim * self.ff_mult, name="ff_proj")(h)
+        ff = get_activation(self.act_fn)(ff)
+        x = x + nn.Dense(self.dim, name="ff_out")(ff)
+        return x
+
+
+class Downsample1D(nn.Module):
+    """Conv k3 stride 2 pad 1 (matcha Downsample1D)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return Conv1d(self.dim, 3, stride=2, padding=1, name="conv")(x)
+
+
+class TransposeUpsample1D(nn.Module):
+    """ConvTranspose k4 s2 p1 (matcha Upsample1D use_conv_transpose)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return ConvTranspose1d(self.dim, 4, 2, padding=1, name="conv")(x)
+
+
+class CausalConditionalDecoder(nn.Module):
+    cfg: EstimatorConfig
+
+    def _attn_bias(self, valid: jnp.ndarray, streaming: bool,
+                   dtype) -> jnp.ndarray:
+        c = self.cfg
+        chunk = c.static_chunk_size if streaming else 0
+        m = chunk_attention_mask(valid, chunk, c.num_left_chunks)
+        return mask_to_bias(m, dtype)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, valid: jnp.ndarray, mu: jnp.ndarray,
+                 t: jnp.ndarray, spks: jnp.ndarray, cond: jnp.ndarray,
+                 streaming: bool = False) -> jnp.ndarray:
+        """x, mu, cond: (B, T, n_mel); valid: bool (B, T); t: (B,);
+        spks: (B, n_mel).  Returns velocity (B, T, n_mel)."""
+        c = self.cfg
+        t_emb = SinusoidalPosEmb(c.in_channels, name="time_embeddings")(t)
+        time_dim = c.channels[0] * 4
+        t_emb = TimestepEmbedding(time_dim, name="time_mlp")(
+            t_emb.astype(x.dtype))
+
+        spks_b = jnp.broadcast_to(spks[:, None, :],
+                                  (x.shape[0], x.shape[1], spks.shape[-1]))
+        h = jnp.concatenate([x, mu, spks_b, cond], axis=-1)
+
+        channels = tuple(c.channels)
+        hiddens = []
+        masks = [valid]
+        # --- down path (decoder.py:427-448)
+        for i, ch in enumerate(channels):
+            is_last = i == len(channels) - 1
+            m = masks[-1]
+            h = CausalResnetBlock1D(ch, name=f"down_res_{i}")(h, m, t_emb)
+            bias = self._attn_bias(m, streaming, h.dtype)
+            for j in range(c.n_blocks):
+                h = BasicTransformerBlock(
+                    ch, c.num_heads, c.attention_head_dim, c.act_fn,
+                    name=f"down_tf_{i}_{j}")(h, bias)
+            hiddens.append(h)
+            if is_last:
+                h = CausalConv1d(ch, 3, name=f"down_conv_{i}")(
+                    h * m[..., None])
+            else:
+                h = Downsample1D(ch, name=f"down_conv_{i}")(h * m[..., None])
+            masks.append(m[:, ::2] if not is_last else m)
+        masks = masks[:-1]
+
+        # --- mid blocks
+        m = masks[-1]
+        bias = self._attn_bias(m, streaming, h.dtype)
+        for i in range(c.num_mid_blocks):
+            h = CausalResnetBlock1D(channels[-1],
+                                    name=f"mid_res_{i}")(h, m, t_emb)
+            for j in range(c.n_blocks):
+                h = BasicTransformerBlock(
+                    channels[-1], c.num_heads, c.attention_head_dim, c.act_fn,
+                    name=f"mid_tf_{i}_{j}")(h, bias)
+
+        # --- up path with skip connections
+        up_channels = channels[::-1] + (channels[0],)
+        for i in range(len(up_channels) - 1):
+            out_ch = up_channels[i + 1]
+            is_last = i == len(up_channels) - 2
+            m = masks.pop()
+            skip = hiddens.pop()
+            h = jnp.concatenate([h[:, : skip.shape[1]], skip], axis=-1)
+            h = CausalResnetBlock1D(out_ch, name=f"up_res_{i}")(h, m, t_emb)
+            bias = self._attn_bias(m, streaming, h.dtype)
+            for j in range(c.n_blocks):
+                h = BasicTransformerBlock(
+                    out_ch, c.num_heads, c.attention_head_dim, c.act_fn,
+                    name=f"up_tf_{i}_{j}")(h, bias)
+            if is_last:
+                h = CausalConv1d(out_ch, 3, name=f"up_conv_{i}")(
+                    h * m[..., None])
+            else:
+                h = TransposeUpsample1D(out_ch, name=f"up_conv_{i}")(
+                    h * m[..., None])
+
+        h = CausalBlock1D(up_channels[-1], name="final_block")(h, m)
+        out = Conv1d(c.out_channels, 1, name="final_proj")(h * m[..., None])
+        return out * valid[..., None]
