@@ -173,7 +173,7 @@ def tiny_flow_config() -> FlowConfig:
 def tiny_hift_config() -> HiFTConfig:
     return HiFTConfig(
         in_channels=16, base_channels=32, nb_harmonics=4,
-        upsample_rates=(4, 3), upsample_kernel_sizes=(8, 6),
+        upsample_rates=(4, 3), upsample_kernel_sizes=(8, 5),
         resblock_kernel_sizes=(3, 5), resblock_dilation_sizes=((1, 3), (1, 3)),
         source_resblock_kernel_sizes=(5, 5),
         source_resblock_dilation_sizes=((1, 3), (1, 3)),

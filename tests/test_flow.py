@@ -1,0 +1,100 @@
+"""Flow decoder tests: shapes, streaming semantics, padding invariance."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from moss_speech_decoder_cosy_tpu.models.flow import (
+    CausalMaskedDiffWithXvec, UpsampleConformerEncoder,
+    CausalConditionalDecoder)
+from moss_speech_decoder_cosy_tpu.utils.config import tiny_flow_config
+
+
+@pytest.fixture(scope="module")
+def flow_setup():
+    cfg = tiny_flow_config()
+    m = CausalMaskedDiffWithXvec(cfg)
+    rng = np.random.RandomState(0)
+    t_tok = 16
+    token = jnp.asarray(rng.randint(0, cfg.vocab_size, (1, t_tok)))
+    valid = jnp.ones((1, t_tok), bool)
+    prompt_feat = jnp.zeros((1, 0, cfg.output_size))
+    emb = jnp.asarray(rng.randn(1, cfg.spk_embed_dim).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), token, valid, prompt_feat, emb)
+    return cfg, m, params, token, valid, prompt_feat, emb
+
+
+def test_offline_inference_shape(flow_setup):
+    cfg, m, params, token, valid, prompt_feat, emb = flow_setup
+    mel = m.apply(params, token, valid, prompt_feat, emb,
+                  streaming=False, finalize=True)
+    assert mel.shape == (1, token.shape[1] * cfg.token_mel_ratio,
+                         cfg.output_size)
+    assert np.isfinite(np.asarray(mel)).all()
+
+
+def test_streaming_chunk_shape(flow_setup):
+    cfg, m, params, token, valid, prompt_feat, emb = flow_setup
+    la = cfg.pre_lookahead_len
+    mel = m.apply(params, token, valid, prompt_feat, emb,
+                  streaming=True, finalize=False)
+    assert mel.shape == (1, (token.shape[1] - la) * cfg.token_mel_ratio,
+                         cfg.output_size)
+
+
+def test_prompt_conditioning_changes_output(flow_setup):
+    cfg, m, params, token, valid, _, emb = flow_setup
+    mel0 = m.apply(params, token, valid,
+                   jnp.zeros((1, 0, cfg.output_size)), emb)
+    p = 4 * cfg.token_mel_ratio
+    prompt = jnp.ones((1, p, cfg.output_size)) * 0.3
+    mel1 = m.apply(params, token, valid, prompt, emb)
+    assert not np.allclose(np.asarray(mel0[:, p:]), np.asarray(mel1[:, p:]))
+
+
+def test_right_padding_invariance(flow_setup):
+    """Padded (masked-out) tokens on the right must not change the valid
+    region — this is what lets the pipeline bucket chunk shapes."""
+    cfg, m, params, token, valid, prompt_feat, emb = flow_setup
+    t = token.shape[1]
+    mel = m.apply(params, token, valid, prompt_feat, emb,
+                  streaming=True, finalize=True)
+    pad = 6
+    token_p = jnp.concatenate(
+        [token, jnp.zeros((1, pad), token.dtype)], axis=1)
+    valid_p = jnp.concatenate([valid, jnp.zeros((1, pad), bool)], axis=1)
+    mel_p = m.apply(params, token_p, valid_p, prompt_feat, emb,
+                    streaming=True, finalize=True)
+    r = cfg.token_mel_ratio
+    np.testing.assert_allclose(np.asarray(mel_p[:, : t * r]),
+                               np.asarray(mel), atol=2e-4)
+
+
+def test_cfm_loss_finite(flow_setup):
+    cfg, m, params, token, valid, prompt_feat, emb = flow_setup
+    t_mel = token.shape[1] * cfg.token_mel_ratio
+    feat = jnp.asarray(np.random.RandomState(1)
+                       .randn(1, t_mel, cfg.output_size).astype(np.float32))
+    feat_valid = jnp.ones((1, t_mel), bool)
+    loss = m.apply(params, token, valid, feat, feat_valid, emb,
+                   jax.random.PRNGKey(1), method=m.loss,
+                   rngs={"dropout": jax.random.PRNGKey(2)})
+    assert np.isfinite(float(loss))
+
+
+def test_estimator_standalone_shapes():
+    cfg = tiny_flow_config().estimator
+    est = CausalConditionalDecoder(cfg)
+    rng = np.random.RandomState(0)
+    b, t, d = 2, 24, cfg.out_channels
+    x = jnp.asarray(rng.randn(b, t, d).astype(np.float32))
+    mu = jnp.asarray(rng.randn(b, t, d).astype(np.float32))
+    spks = jnp.asarray(rng.randn(b, d).astype(np.float32))
+    cond = jnp.zeros((b, t, d))
+    valid = jnp.ones((b, t), bool)
+    tt = jnp.full((b,), 0.5)
+    params = est.init(jax.random.PRNGKey(0), x, valid, mu, tt, spks, cond)
+    out = est.apply(params, x, valid, mu, tt, spks, cond, streaming=True)
+    assert out.shape == (b, t, d)
+    assert np.isfinite(np.asarray(out)).all()
