@@ -1,0 +1,236 @@
+"""Pipeline / session layer: token -> waveform, offline and streaming.
+
+TPU-native rebuild of the reference AudioDecoder
+(GLM_modules/flow_inference.py:48-243):
+
+- ``token2wav``            offline decode (flow_inference.py:94-123)
+- ``StreamSession.push``   chunked streaming with the hift mel/source/speech
+                           caches and Hamming cross-fades
+                           (flow_inference.py:130-164,166-243)
+
+Design: all device work happens in two jitted functions with static shapes
+(one per encountered (window, prompt) geometry — the TPU analogue of the
+reference's per-shape TensorRT engines); session state (token buffer,
+offsets, hift caches) is explicit host-side data, not hidden module state.
+Hamming-window cross-fades are tiny O(source_cache_len) host ops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Iterable, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.flow import CausalMaskedDiffWithXvec
+from ..models.hift import HiFTGenerator
+from ..utils.config import FlowConfig, HiFTConfig, PipelineConfig
+
+
+def fade_in_out(fade_in: np.ndarray, fade_out: np.ndarray,
+                window: np.ndarray) -> np.ndarray:
+    """Cross-fade the head of ``fade_in`` with the tail of ``fade_out``
+    (flow_inference.py:35-43).  Operates on the last axis."""
+    n = window.shape[0] // 2
+    out = np.array(fade_in)
+    out[..., :n] = fade_in[..., :n] * window[:n] + fade_out[..., -n:] * window[n:]
+    return out
+
+
+@dataclasses.dataclass
+class HiftCache:
+    """Per-session vocoder continuity state (flow_inference.py:150-156)."""
+    mel: np.ndarray          # (1, mel_cache_len, n_mel)
+    source: np.ndarray       # (1, source_cache_len, 1)
+    speech: np.ndarray       # (1, source_cache_len)
+
+
+class AudioDecoder:
+    """Owns model params + jitted step functions; sessions are cheap."""
+
+    def __init__(self, flow_cfg: FlowConfig, hift_cfg: HiFTConfig,
+                 flow_params, hift_params,
+                 pipe_cfg: PipelineConfig = PipelineConfig()):
+        self.flow_cfg = flow_cfg
+        self.hift_cfg = hift_cfg
+        self.pipe_cfg = pipe_cfg
+        self.flow = CausalMaskedDiffWithXvec(flow_cfg)
+        self.hift = HiFTGenerator(hift_cfg)
+        self.flow_params = flow_params
+        self.hift_params = hift_params
+        self.ratio = flow_cfg.token_mel_ratio
+        self.lookahead = flow_cfg.pre_lookahead_len
+        frame = hift_cfg.total_upsample
+        self.source_cache_len = pipe_cfg.mel_cache_len * frame
+        self.speech_window = np.hamming(2 * self.source_cache_len)
+
+        self._flow_fn = jax.jit(
+            lambda p, tok, valid, pf, emb, streaming, finalize:
+            self.flow.apply(p, tok, valid, pf, emb,
+                            streaming=streaming, finalize=finalize),
+            static_argnames=("streaming", "finalize"))
+        self._hift_fn = jax.jit(
+            lambda p, mel, cache: self.hift.apply(
+                p, mel, cache, jax.random.PRNGKey(0)))
+
+    # ---------------------------------------------------------- flow step
+    def _flow_mel(self, token: np.ndarray, prompt_token: np.ndarray,
+                  prompt_feat: np.ndarray, embedding: np.ndarray,
+                  streaming: bool, finalize: bool) -> np.ndarray:
+        """Returns mel AFTER the prompt region, (1, Tm, n_mel) float32."""
+        tokens = np.concatenate(
+            [prompt_token, token], axis=1).astype(np.int32)
+        valid = np.ones(tokens.shape, bool)
+        mel = self._flow_fn(self.flow_params, jnp.asarray(tokens),
+                            jnp.asarray(valid),
+                            jnp.asarray(prompt_feat, dtype=np.float32),
+                            jnp.asarray(embedding, dtype=np.float32),
+                            streaming, finalize)
+        p = prompt_feat.shape[1]
+        return np.asarray(mel)[:, p:]
+
+    def _hift(self, mel: np.ndarray, cache_source: np.ndarray
+              ) -> Tuple[np.ndarray, np.ndarray]:
+        wav, source = self._hift_fn(self.hift_params,
+                                    jnp.asarray(mel, dtype=np.float32),
+                                    jnp.asarray(cache_source,
+                                                dtype=np.float32))
+        return np.asarray(wav), np.asarray(source)
+
+    # ------------------------------------------------------------ offline
+    def token2wav(self, token: np.ndarray,
+                  prompt_token: Optional[np.ndarray] = None,
+                  prompt_feat: Optional[np.ndarray] = None,
+                  embedding: Optional[np.ndarray] = None) -> np.ndarray:
+        """Offline decode: (1, T) int tokens -> (1, T*ratio*frame) wav."""
+        prompt_token, prompt_feat, embedding = self._defaults(
+            prompt_token, prompt_feat, embedding)
+        mel = self._flow_mel(token, prompt_token, prompt_feat, embedding,
+                             streaming=False, finalize=True)
+        wav, _ = self._hift(mel, np.zeros((1, 0, 1), np.float32))
+        return wav
+
+    def _defaults(self, prompt_token, prompt_feat, embedding):
+        if prompt_token is None:
+            prompt_token = np.zeros((1, 0), np.int32)
+        if prompt_feat is None:
+            prompt_feat = np.zeros((1, 0, self.flow_cfg.output_size),
+                                   np.float32)
+        if embedding is None:
+            embedding = np.zeros((1, self.flow_cfg.spk_embed_dim), np.float32)
+        return prompt_token, prompt_feat, embedding
+
+    # ---------------------------------------------------------- streaming
+    def new_session(self, prompt_token=None, prompt_feat=None,
+                    embedding=None, block_size: Optional[int] = None,
+                    max_token_len: Optional[int] = None) -> "StreamSession":
+        prompt_token, prompt_feat, embedding = self._defaults(
+            prompt_token, prompt_feat, embedding)
+        return StreamSession(
+            self, prompt_token, prompt_feat, embedding,
+            block_size or self.pipe_cfg.block_size,
+            self.pipe_cfg.max_token_len if max_token_len is None
+            else max_token_len)
+
+    def stream_inference(self, token: np.ndarray, prompt_token=None,
+                         prompt_feat=None, embedding=None,
+                         block_size: Optional[int] = None,
+                         max_token_len: Optional[int] = None) -> np.ndarray:
+        """Reference stream_inference (flow_inference.py:166-243): feed the
+        whole token tensor, return the concatenated streamed waveform."""
+        sess = self.new_session(prompt_token, prompt_feat, embedding,
+                                block_size, max_token_len)
+        chunks = list(sess.push(token[0])) + list(sess.finish())
+        return np.concatenate(chunks, axis=-1)
+
+
+class StreamSession:
+    """Incremental token -> wav-chunk session.
+
+    ``push(tokens)`` yields wav chunks as enough tokens accumulate
+    (hop + pre_lookahead); ``finish()`` flushes the tail with finalize
+    semantics.  Equivalent to the reference loop at flow_inference.py:191-243
+    with the ``max_token_len`` sliding window.
+    """
+
+    def __init__(self, dec: AudioDecoder, prompt_token: np.ndarray,
+                 prompt_feat: np.ndarray, embedding: np.ndarray,
+                 block_size: int, max_token_len: Optional[int]):
+        self.dec = dec
+        self.prompt_token = prompt_token.astype(np.int32)
+        self.prompt_feat = prompt_feat.astype(np.float32)
+        self.embedding = embedding.astype(np.float32)
+        self.hop = block_size
+        self.max_token_len = max_token_len
+        self.tokens: List[int] = []
+        self.token_offset = 0
+        self.cache: Optional[HiftCache] = None
+        p = prompt_token.shape[1]
+        # align the first hop to the hop grid (flow_inference.py:187)
+        self.prompt_token_pad = int(
+            math.ceil(p / self.hop) * self.hop - p)
+        self._first = True
+
+    # -- internals -------------------------------------------------------
+    def _window(self, end: int) -> Tuple[np.ndarray, int]:
+        if self.max_token_len is not None:
+            start = max(0, end - self.max_token_len)
+        else:
+            start = 0
+        window = np.asarray(self.tokens[start:end],
+                            np.int32)[None, :]
+        return window, self.token_offset - start
+
+    def _decode(self, window: np.ndarray, actual_offset: int,
+                finalize: bool) -> np.ndarray:
+        dec = self.dec
+        mel = dec._flow_mel(window, self.prompt_token, self.prompt_feat,
+                            self.embedding, streaming=True,
+                            finalize=finalize)
+        mel = mel[:, actual_offset * dec.ratio:]
+        if self.cache is not None:
+            mel = np.concatenate([self.cache.mel, mel], axis=1)
+            cache_source = self.cache.source
+        else:
+            cache_source = np.zeros((1, 0, 1), np.float32)
+        speech, source = dec._hift(mel, cache_source)
+        if self.cache is not None:
+            speech = fade_in_out(speech, self.cache.speech,
+                                 dec.speech_window)
+        scl = dec.source_cache_len
+        if not finalize:
+            self.cache = HiftCache(
+                mel=mel[:, -dec.pipe_cfg.mel_cache_len:],
+                source=source[:, -scl:],
+                speech=speech[:, -scl:])
+            speech = speech[:, :-scl]
+        return speech
+
+    # -- public API ------------------------------------------------------
+    def push(self, tokens: Iterable[int]):
+        """Append tokens; yield wav chunks for every complete hop."""
+        self.tokens.extend(int(t) for t in np.asarray(tokens).reshape(-1))
+        while True:
+            this_hop = (self.hop + self.prompt_token_pad
+                        if self.token_offset == 0 else self.hop)
+            need = this_hop + self.dec.lookahead
+            if len(self.tokens) - self.token_offset < need:
+                return
+            end = self.token_offset + this_hop + self.dec.lookahead
+            window, actual_offset = self._window(end)
+            speech = self._decode(window, actual_offset, finalize=False)
+            self.token_offset += this_hop
+            yield speech
+
+    def finish(self):
+        """Flush remaining tokens with finalize=True."""
+        if self.max_token_len is not None:
+            start = max(0, len(self.tokens) - self.max_token_len)
+        else:
+            start = 0
+        window = np.asarray(self.tokens[start:], np.int32)[None, :]
+        actual_offset = self.token_offset - start
+        yield self._decode(window, actual_offset, finalize=True)

@@ -1,0 +1,117 @@
+"""End-to-end pipeline tests: offline token2wav, streaming session, and
+streaming-vs-offline consistency (the reference repo's core ad-hoc test,
+SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+import jax
+
+from moss_speech_decoder_cosy_tpu.models.flow import CausalMaskedDiffWithXvec
+from moss_speech_decoder_cosy_tpu.models.hift import HiFTGenerator
+from moss_speech_decoder_cosy_tpu.pipeline import AudioDecoder
+from moss_speech_decoder_cosy_tpu.utils.config import (
+    tiny_flow_config, tiny_hift_config, PipelineConfig)
+
+
+@pytest.fixture(scope="module")
+def decoder():
+    flow_cfg = tiny_flow_config()
+    hift_cfg = tiny_hift_config()
+    # tiny hift expects in_channels == flow output_size
+    assert hift_cfg.in_channels == flow_cfg.output_size
+    import jax.numpy as jnp
+    flow = CausalMaskedDiffWithXvec(flow_cfg)
+    tok = jnp.zeros((1, 12), jnp.int32)
+    valid = jnp.ones((1, 12), bool)
+    pf = jnp.zeros((1, 0, flow_cfg.output_size))
+    emb = jnp.zeros((1, flow_cfg.spk_embed_dim))
+    flow_params = flow.init(jax.random.PRNGKey(0), tok, valid, pf, emb)
+    hift = HiFTGenerator(hift_cfg)
+    mel = jnp.zeros((1, 12, hift_cfg.in_channels))
+    hift_params = hift.init(jax.random.PRNGKey(1), mel)
+    pipe = PipelineConfig(block_size=4, mel_cache_len=6, max_token_len=16)
+    return AudioDecoder(flow_cfg, hift_cfg, flow_params, hift_params, pipe)
+
+
+def test_token2wav_offline(decoder):
+    rng = np.random.RandomState(0)
+    token = rng.randint(0, 64, (1, 20))
+    wav = decoder.token2wav(token)
+    frame = decoder.hift_cfg.total_upsample
+    assert wav.shape == (1, 20 * decoder.ratio * frame)
+    assert np.isfinite(wav).all()
+
+
+def test_token2wav_with_prompt(decoder):
+    rng = np.random.RandomState(1)
+    p_tok = rng.randint(0, 64, (1, 4))
+    p_feat = rng.randn(1, 4 * decoder.ratio,
+                       decoder.flow_cfg.output_size).astype(np.float32) * 0.1
+    emb = rng.randn(1, decoder.flow_cfg.spk_embed_dim).astype(np.float32)
+    token = rng.randint(0, 64, (1, 12))
+    wav = decoder.token2wav(token, p_tok, p_feat, emb)
+    frame = decoder.hift_cfg.total_upsample
+    assert wav.shape == (1, 12 * decoder.ratio * frame)
+
+
+def test_streaming_total_length(decoder):
+    rng = np.random.RandomState(2)
+    token = rng.randint(0, 64, (1, 30))
+    wav = decoder.stream_inference(token)
+    frame = decoder.hift_cfg.total_upsample
+    assert wav.shape == (1, 30 * decoder.ratio * frame)
+    assert np.isfinite(wav).all()
+
+
+def test_streaming_incremental_push(decoder):
+    rng = np.random.RandomState(3)
+    token = rng.randint(0, 64, (1, 30))
+    sess = decoder.new_session(block_size=4)
+    chunks = []
+    for i in range(0, 30, 7):                       # feed irregular pieces
+        chunks += list(sess.push(token[0, i:i + 7]))
+    chunks += list(sess.finish())
+    wav_inc = np.concatenate(chunks, axis=-1)
+    wav_all = decoder.stream_inference(token, block_size=4)
+    np.testing.assert_allclose(wav_inc, wav_all, atol=1e-5)
+
+
+def test_streaming_prefix_is_stable(decoder):
+    """The property that makes token_offset slicing valid
+    (flow_inference.py:141): with chunk-causal attention, full left context
+    and the deterministic CFM noise, re-running a LONGER window must
+    reproduce the earlier mel prefix (up to fp reassociation)."""
+    rng = np.random.RandomState(4)
+    token = rng.randint(0, 64, (1, 21))
+    mel1 = decoder._flow_mel(token[:, :13], np.zeros((1, 0), np.int32),
+                             np.zeros((1, 0, decoder.flow_cfg.output_size),
+                                      np.float32),
+                             np.zeros((1, decoder.flow_cfg.spk_embed_dim),
+                                      np.float32),
+                             streaming=True, finalize=False)
+    mel2 = decoder._flow_mel(token, np.zeros((1, 0), np.int32),
+                             np.zeros((1, 0, decoder.flow_cfg.output_size),
+                                      np.float32),
+                             np.zeros((1, decoder.flow_cfg.spk_embed_dim),
+                                      np.float32),
+                             streaming=True, finalize=False)
+    # Stability holds up to the last COMPLETE attention chunk: the final
+    # partial chunk re-renders once it fills (same approximation as the
+    # reference's emit-once streaming).
+    chunk_tok = decoder.flow_cfg.encoder.static_chunk_size
+    full_tok = ((13 - decoder.lookahead) // chunk_tok) * chunk_tok
+    n = full_tok * decoder.ratio
+    np.testing.assert_allclose(mel2[:, :n], mel1[:, :n], atol=2e-4)
+
+
+def test_streaming_with_prompt_pad(decoder):
+    """Prompt length not divisible by hop exercises prompt_token_pad
+    (flow_inference.py:187)."""
+    rng = np.random.RandomState(5)
+    p_tok = rng.randint(0, 64, (1, 3))              # 3 % 4 != 0
+    p_feat = rng.randn(1, 3 * decoder.ratio,
+                       decoder.flow_cfg.output_size).astype(np.float32) * 0.1
+    token = rng.randint(0, 64, (1, 24))
+    wav = decoder.stream_inference(token, p_tok, p_feat)
+    frame = decoder.hift_cfg.total_upsample
+    assert wav.shape == (1, 24 * decoder.ratio * frame)
