@@ -1,0 +1,91 @@
+"""Streaming RTF benchmark on real TPU hardware.
+
+Reproduces the reference measurement protocol (cal_RTF.py:349-421: warmup,
+then RTF = total processing time / total audio duration) on the MOSS
+decoder's streaming path: block_size=5 tokens/hop, pre-lookahead 3,
+mel_cache 8, max_token_len 40 (scripts/evaluate_moss_decoder.sh:14-16).
+
+Prints ONE JSON line:
+  {"metric": "streaming_rtf", "value": RTF, "unit": "ratio",
+   "vs_baseline": target_rtf / RTF}
+(vs_baseline > 1 means faster than the driver-set 0.05 RTF target,
+BASELINE.md).
+"""
+
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from moss_speech_decoder_cosy_tpu.models.flow import (
+        CausalMaskedDiffWithXvec)
+    from moss_speech_decoder_cosy_tpu.models.hift import HiFTGenerator
+    from moss_speech_decoder_cosy_tpu.pipeline import AudioDecoder
+    from moss_speech_decoder_cosy_tpu.utils.config import (
+        moss_flow_config, moss_hift_config, PipelineConfig, CFMConfig)
+
+    dtype = jnp.bfloat16 if "--f32" not in sys.argv else jnp.float32
+    seconds = 20.0
+    token_rate = 12.5
+    n_tokens = int(seconds * token_rate)             # 250 tokens
+
+    flow_cfg = dataclasses.replace(
+        moss_flow_config(), cfm=CFMConfig(n_timesteps=10, max_noise_len=4096))
+    hift_cfg = moss_hift_config()
+    pipe_cfg = PipelineConfig(block_size=5, mel_cache_len=8, max_token_len=40)
+
+    flow = CausalMaskedDiffWithXvec(flow_cfg)
+    hift = HiFTGenerator(hift_cfg)
+    tok0 = jnp.zeros((1, 8), jnp.int32)
+    flow_params = jax.jit(flow.init)(
+        jax.random.PRNGKey(0), tok0, jnp.ones((1, 8), bool),
+        jnp.zeros((1, 0, 80)), jnp.zeros((1, 192)))
+    hift_params = jax.jit(hift.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, 8, 80)))
+
+    dec = AudioDecoder(flow_cfg, hift_cfg, flow_params, hift_params,
+                       pipe_cfg, compute_dtype=dtype)
+
+    rng = np.random.RandomState(0)
+    tokens = rng.randint(0, flow_cfg.vocab_size, (1, n_tokens))
+
+    # warmup: full pass compiles every chunk geometry
+    t0 = time.perf_counter()
+    wav = dec.stream_inference(tokens)
+    compile_wall = time.perf_counter() - t0
+    audio_sec = wav.shape[-1] / pipe_cfg.sample_rate
+
+    # first-chunk latency (all shapes now compiled)
+    sess = dec.new_session()
+    t0 = time.perf_counter()
+    first = next(iter(sess.push(tokens[0, : pipe_cfg.block_size
+                                + flow_cfg.pre_lookahead_len])))
+    first_chunk_ms = (time.perf_counter() - t0) * 1e3
+    del first
+
+    # timed runs
+    runs = 3
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        wav = dec.stream_inference(tokens)
+    proc = (time.perf_counter() - t0) / runs
+    rtf = proc / audio_sec
+
+    target = 0.05
+    result = {"metric": "streaming_rtf", "value": round(rtf, 5),
+              "unit": "ratio", "vs_baseline": round(target / rtf, 3)}
+    print(json.dumps(result))
+    print(f"# audio={audio_sec:.2f}s proc={proc:.3f}s "
+          f"first_chunk={first_chunk_ms:.1f}ms compile_pass={compile_wall:.1f}s "
+          f"dtype={dtype.__name__} platform={jax.devices()[0].platform}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -53,12 +53,20 @@ class AudioDecoder:
 
     def __init__(self, flow_cfg: FlowConfig, hift_cfg: HiFTConfig,
                  flow_params, hift_params,
-                 pipe_cfg: PipelineConfig = PipelineConfig()):
+                 pipe_cfg: PipelineConfig = PipelineConfig(),
+                 compute_dtype=None):
         self.flow_cfg = flow_cfg
         self.hift_cfg = hift_cfg
         self.pipe_cfg = pipe_cfg
         self.flow = CausalMaskedDiffWithXvec(flow_cfg)
         self.hift = HiFTGenerator(hift_cfg)
+        self.compute_dtype = compute_dtype
+        if compute_dtype is not None:
+            cast = lambda t: jax.tree.map(  # noqa: E731
+                lambda x: x.astype(compute_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+            flow_params = cast(flow_params)
+            hift_params = cast(hift_params)
         self.flow_params = flow_params
         self.hift_params = hift_params
         self.ratio = flow_cfg.token_mel_ratio
@@ -84,21 +92,23 @@ class AudioDecoder:
         tokens = np.concatenate(
             [prompt_token, token], axis=1).astype(np.int32)
         valid = np.ones(tokens.shape, bool)
+        dt = self.compute_dtype or np.float32
         mel = self._flow_fn(self.flow_params, jnp.asarray(tokens),
                             jnp.asarray(valid),
-                            jnp.asarray(prompt_feat, dtype=np.float32),
-                            jnp.asarray(embedding, dtype=np.float32),
+                            jnp.asarray(prompt_feat).astype(dt),
+                            jnp.asarray(embedding).astype(dt),
                             streaming, finalize)
         p = prompt_feat.shape[1]
         return np.asarray(mel)[:, p:]
 
     def _hift(self, mel: np.ndarray, cache_source: np.ndarray
               ) -> Tuple[np.ndarray, np.ndarray]:
+        dt = self.compute_dtype or np.float32
         wav, source = self._hift_fn(self.hift_params,
-                                    jnp.asarray(mel, dtype=np.float32),
-                                    jnp.asarray(cache_source,
-                                                dtype=np.float32))
-        return np.asarray(wav), np.asarray(source)
+                                    jnp.asarray(mel).astype(dt),
+                                    jnp.asarray(cache_source).astype(dt))
+        return (np.asarray(wav, dtype=np.float32),
+                np.asarray(source, dtype=np.float32))
 
     # ------------------------------------------------------------ offline
     def token2wav(self, token: np.ndarray,

@@ -1,0 +1,96 @@
+"""WhisperVQ tokenizer tests: features vs the HF/whisper formula (torch
+golden), batch vs streaming token equivalence (the reference's core
+tokenizer test, speech_tokenizer/utils.py:99-179)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from moss_speech_decoder_cosy_tpu.tokenizer import (
+    WhisperVQEncoder, WhisperFeatureExtractor, tiny_tokenizer_config)
+
+
+def test_whisper_features_match_torch_formula():
+    import torch
+    rng = np.random.RandomState(0)
+    wav = rng.randn(1, 16000).astype(np.float32) * 0.1
+    fe = WhisperFeatureExtractor()
+    got, max_val = fe(jnp.asarray(wav))
+
+    x = torch.from_numpy(wav)
+    window = torch.hann_window(400)
+    stft = torch.stft(x, 400, 160, window=window, return_complex=True)
+    mag = stft[..., :-1].abs() ** 2
+    filters = torch.from_numpy(fe.filters)          # (F, n_mels)
+    mel = filters.T @ mag
+    log_spec = torch.clamp(mel, min=1e-10).log10()
+    log_spec = torch.maximum(log_spec, log_spec.max() - 8.0)
+    want = ((log_spec + 4.0) / 4.0).numpy()         # (B, n_mels, T)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want,
+                               atol=2e-4)
+    assert abs(float(max_val) - float(log_spec.max() + 0)) < 8.01
+
+
+def test_mel_filters_match_librosa_style():
+    """Spot-check slaney filterbank properties: rows sum near 2/(width)."""
+    from moss_speech_decoder_cosy_tpu.tokenizer.features import (
+        mel_filter_bank)
+    fb = mel_filter_bank(201, 128, 16000)
+    assert fb.shape == (201, 128)
+    assert (fb >= 0).all()
+    # every filter has support
+    assert (fb.sum(axis=0) > 0).all()
+
+
+@pytest.fixture(scope="module")
+def tok_setup():
+    cfg = tiny_tokenizer_config()
+    m = WhisperVQEncoder(cfg)
+    rng = np.random.RandomState(0)
+    t = 32                                          # mel frames
+    mel = jnp.asarray(rng.randn(1, t, cfg.num_mel_bins).astype(np.float32))
+    valid = jnp.ones((1, t), bool)
+    params = m.init(jax.random.PRNGKey(0), mel, valid)
+    return cfg, m, params, mel, valid
+
+
+def test_tokenizer_batch_shapes(tok_setup):
+    cfg, m, params, mel, valid = tok_setup
+    ids, token_valid = m.apply(params, mel, valid)
+    n_tok = mel.shape[1] // (2 * cfg.pooling_kernel_size)
+    assert ids.shape == (1, n_tok)
+    assert token_valid.shape == (1, n_tok)
+    assert (np.asarray(ids) >= 0).all()
+    assert (np.asarray(ids) < cfg.quantize_vocab_size).all()
+
+
+def test_tokenizer_streaming_equals_batch(tok_setup):
+    """80 ms chunks through ``step`` must produce the same tokens as the
+    batch forward (reference extract_speech_token_test)."""
+    cfg, m, params, mel, valid = tok_setup
+    ids_batch, _ = m.apply(params, mel, valid)
+
+    state = m.apply(params, 1, method=m.init_state)
+    chunk = 2 * cfg.pooling_kernel_size             # 8 mel frames
+    ids_stream = []
+    for i in range(0, mel.shape[1], chunk):
+        ids, state = m.apply(params, mel[:, i:i + chunk], state,
+                             method=m.step)
+        ids_stream.append(np.asarray(ids))
+    ids_stream = np.concatenate(ids_stream, axis=1)
+    np.testing.assert_array_equal(ids_stream, np.asarray(ids_batch))
+
+
+def test_tokenizer_block_causal_mode():
+    cfg = tiny_tokenizer_config()
+    import dataclasses
+    cfg = dataclasses.replace(cfg, causal_attention=False,
+                              quantize_causal_block_size=8)
+    m = WhisperVQEncoder(cfg)
+    rng = np.random.RandomState(1)
+    mel = jnp.asarray(rng.randn(1, 32, cfg.num_mel_bins).astype(np.float32))
+    valid = jnp.ones((1, 32), bool)
+    params = m.init(jax.random.PRNGKey(0), mel, valid)
+    ids, _ = m.apply(params, mel, valid)
+    assert ids.shape == (1, 4)
