@@ -1,0 +1,389 @@
+"""Checkpoint IO and torch-reference weight conversion.
+
+The reference ships hyperpyyaml checkpoint dirs with ``flow.pt`` /
+``hift.pt`` (flow_inference.py:53-64) and a HF/safetensors WhisperVQ
+tokenizer (speech_tokenizer/utils.py:18-38).  This module maps those torch
+state_dicts onto our flax parameter trees so reference weights run on TPU.
+
+Layout conventions (see ops/convs.py):
+  torch Linear (O, I)        -> flax Dense kernel (I, O)          [transpose]
+  torch Conv1d (O, I, K)     -> flax 'WIO' kernel (K, I, O)       [(2,1,0)]
+  torch ConvT1d (I, O, K)    -> flax 'WIO' kernel (K, I, O)       [(2,0,1)]
+  torch weight_norm (g, v)   -> our (g squeezed, v transposed)
+  torch LayerNorm / GroupNorm weight/bias -> scale / bias
+
+Native checkpoints are saved with orbax (save/load_checkpoint) — the TPU
+equivalent of ``torch.save`` with the YAML sidecar (train_utils.py:202-222).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Callable, Dict, Mapping
+
+import numpy as np
+import jax
+import flax
+import flax.traverse_util as tu
+
+from .config import FlowConfig, HiFTConfig
+
+
+Array = np.ndarray
+StateDict = Mapping[str, Array]
+
+
+def _t(w: Array) -> Array:            # torch Linear -> Dense
+    return np.ascontiguousarray(w.T)
+
+
+def _conv(w: Array) -> Array:         # (O, I, K) -> (K, I, O)
+    return np.ascontiguousarray(w.transpose(2, 1, 0))
+
+
+def _convT(w: Array) -> Array:        # (I, O, K) -> (K, I, O)
+    return np.ascontiguousarray(w.transpose(2, 0, 1))
+
+
+def _g(w: Array) -> Array:            # weight_norm g: (O,1,1)/(I,1,1) -> 1-D
+    return np.ascontiguousarray(w.reshape(-1))
+
+
+_INVERSE = {None: None, "_t": _t, "_conv": _conv}
+
+
+class _Mapper:
+    """Accumulates flat {'a/b/c': array} entries and reports leftovers.
+
+    With ``sd=None`` runs in RECORD mode: no arrays are read, just the
+    (dst, src, transform) triples — used by tests to synthesize a torch
+    state_dict from flax params and round-trip the conversion."""
+
+    def __init__(self, sd: StateDict | None):
+        self.record = sd is None
+        self.sd = {} if sd is None else {k: np.asarray(v)
+                                         for k, v in sd.items()}
+        self.out: Dict[str, Array] = {}
+        self.used: set = set()
+        self.plan: list = []
+
+    def put(self, dst: str, src: str, fn: Callable[[Array], Array] = None):
+        self.plan.append((dst, src, fn))
+        if self.record:
+            return
+        if src not in self.sd:
+            raise KeyError(f"missing torch key: {src}")
+        w = self.sd[src]
+        self.out[dst] = fn(w) if fn else np.asarray(w)
+        self.used.add(src)
+
+    def maybe(self, dst: str, src: str, fn=None) -> bool:
+        if self.record:
+            self.put(dst, src, fn)
+            return True
+        if src in self.sd:
+            self.put(dst, src, fn)
+            return True
+        return False
+
+    def linear(self, dst: str, src: str, bias: bool = True):
+        self.put(f"{dst}/kernel", f"{src}.weight", _t)
+        if bias:
+            self.maybe(f"{dst}/bias", f"{src}.bias")
+
+    def conv(self, dst: str, src: str, weight_norm: bool = False,
+             transpose: bool = False):
+        wfn = _convT if transpose else _conv
+        if weight_norm:
+            # torch >= 2.1 parametrized names or legacy weight_g/weight_v
+            candidates = ((f"{src}.parametrizations.weight.original0",
+                           f"{src}.parametrizations.weight.original1"),
+                          (f"{src}.weight_g", f"{src}.weight_v"))
+            if self.record:
+                self.put(f"{dst}/g", candidates[0][0], _g)
+                self.put(f"{dst}/v", candidates[0][1], wfn)
+            else:
+                for gk, vk in candidates:
+                    if gk in self.sd:
+                        self.put(f"{dst}/g", gk, _g)
+                        self.put(f"{dst}/v", vk, wfn)
+                        break
+                else:
+                    raise KeyError(f"no weight_norm params for {src}")
+        else:
+            self.put(f"{dst}/kernel", f"{src}.weight", wfn)
+        self.maybe(f"{dst}/bias", f"{src}.bias")
+
+    def norm(self, dst: str, src: str):
+        self.put(f"{dst}/scale", f"{src}.weight")
+        self.put(f"{dst}/bias", f"{src}.bias")
+
+    def unused(self):
+        return sorted(set(self.sd) - self.used)
+
+    def tree(self):
+        return {"params": tu.unflatten_dict(
+            {tuple(k.split("/")): v for k, v in self.out.items()})}
+
+
+# --------------------------------------------------------------- estimator
+def _map_basic_tf_block(m: _Mapper, dst: str, src: str):
+    """Matcha BasicTransformerBlock (flow/decoder.py via matcha)."""
+    m.norm(f"{dst}/norm1", f"{src}.norm1")
+    m.norm(f"{dst}/norm3", f"{src}.norm3")
+    m.linear(f"{dst}/attn1/to_q", f"{src}.attn1.to_q", bias=False)
+    m.linear(f"{dst}/attn1/to_k", f"{src}.attn1.to_k", bias=False)
+    m.linear(f"{dst}/attn1/to_v", f"{src}.attn1.to_v", bias=False)
+    m.linear(f"{dst}/attn1/to_out", f"{src}.attn1.to_out.0")
+    m.linear(f"{dst}/ff_proj", f"{src}.ff.net.0.proj")
+    m.linear(f"{dst}/ff_out", f"{src}.ff.net.2")
+
+
+def _map_causal_resnet(m: _Mapper, dst: str, src: str):
+    """CausalResnetBlock1D (flow/decoder.py:83-88): causal conv + LN blocks."""
+    m.conv(f"{dst}/block1/conv/conv", f"{src}.block1.block.0")
+    m.norm(f"{dst}/block1/norm", f"{src}.block1.block.2")
+    m.conv(f"{dst}/block2/conv/conv", f"{src}.block2.block.0")
+    m.norm(f"{dst}/block2/norm", f"{src}.block2.block.2")
+    m.linear(f"{dst}/mlp", f"{src}.mlp.1")
+    m.conv(f"{dst}/res_conv", f"{src}.res_conv")
+
+
+def _map_estimator(m: _Mapper, dst: str, src: str, cfg):
+    est = cfg.estimator
+    m.linear(f"{dst}/time_mlp/linear_1", f"{src}.time_mlp.linear_1")
+    m.linear(f"{dst}/time_mlp/linear_2", f"{src}.time_mlp.linear_2")
+    n_ch = len(est.channels)
+    for i in range(n_ch):
+        _map_causal_resnet(m, f"{dst}/down_res_{i}", f"{src}.down_blocks.{i}.0")
+        for j in range(est.n_blocks):
+            _map_basic_tf_block(m, f"{dst}/down_tf_{i}_{j}",
+                                f"{src}.down_blocks.{i}.1.{j}")
+        if i == n_ch - 1:
+            m.conv(f"{dst}/down_conv_{i}/conv", f"{src}.down_blocks.{i}.2")
+        else:
+            m.conv(f"{dst}/down_conv_{i}/conv", f"{src}.down_blocks.{i}.2.conv")
+    for i in range(est.num_mid_blocks):
+        _map_causal_resnet(m, f"{dst}/mid_res_{i}", f"{src}.mid_blocks.{i}.0")
+        for j in range(est.n_blocks):
+            _map_basic_tf_block(m, f"{dst}/mid_tf_{i}_{j}",
+                                f"{src}.mid_blocks.{i}.1.{j}")
+    for i in range(n_ch):
+        _map_causal_resnet(m, f"{dst}/up_res_{i}", f"{src}.up_blocks.{i}.0")
+        for j in range(est.n_blocks):
+            _map_basic_tf_block(m, f"{dst}/up_tf_{i}_{j}",
+                                f"{src}.up_blocks.{i}.1.{j}")
+        if i == n_ch - 1:
+            m.conv(f"{dst}/up_conv_{i}/conv", f"{src}.up_blocks.{i}.2")
+        else:
+            m.conv(f"{dst}/up_conv_{i}/conv", f"{src}.up_blocks.{i}.2.conv",
+                   transpose=True)
+    m.conv(f"{dst}/final_block/conv/conv", f"{src}.final_block.block.0")
+    m.norm(f"{dst}/final_block/norm", f"{src}.final_block.block.2")
+    m.conv(f"{dst}/final_proj", f"{src}.final_proj")
+
+
+# ----------------------------------------------------------------- encoder
+def _map_conformer_layer(m: _Mapper, dst: str, src: str, cfg):
+    m.norm(f"{dst}/norm_mha", f"{src}.norm_mha")
+    m.norm(f"{dst}/norm_ff", f"{src}.norm_ff")
+    a = f"{src}.self_attn"
+    d = f"{dst}/self_attn"
+    m.linear(f"{d}/linear_q", f"{a}.linear_q")
+    m.linear(f"{d}/linear_k", f"{a}.linear_k", bias=cfg.encoder.key_bias)
+    m.linear(f"{d}/linear_v", f"{a}.linear_v")
+    m.linear(f"{d}/linear_out", f"{a}.linear_out")
+    m.linear(f"{d}/linear_pos", f"{a}.linear_pos", bias=False)
+    m.put(f"{d}/pos_bias_u", f"{a}.pos_bias_u")
+    m.put(f"{d}/pos_bias_v", f"{a}.pos_bias_v")
+    m.linear(f"{dst}/feed_forward/w_1", f"{src}.feed_forward.w_1")
+    m.linear(f"{dst}/feed_forward/w_2", f"{src}.feed_forward.w_2")
+    if cfg.encoder.macaron_style:
+        m.norm(f"{dst}/norm_ff_macaron", f"{src}.norm_ff_macaron")
+        m.linear(f"{dst}/ff_macaron/w_1", f"{src}.feed_forward_macaron.w_1")
+        m.linear(f"{dst}/ff_macaron/w_2", f"{src}.feed_forward_macaron.w_2")
+    if cfg.encoder.use_cnn_module:
+        m.norm(f"{dst}/norm_conv", f"{src}.norm_conv")
+        m.norm(f"{dst}/norm_final", f"{src}.norm_final")
+        cm, cd = f"{src}.conv_module", f"{dst}/conv_module"
+        m.conv(f"{cd}/pointwise_conv1", f"{cm}.pointwise_conv1")
+        m.conv(f"{cd}/depthwise_conv", f"{cm}.depthwise_conv")
+        m.conv(f"{cd}/pointwise_conv2", f"{cm}.pointwise_conv2")
+        m.norm(f"{cd}/norm", f"{cm}.norm")
+
+
+def _convert_flow(m: "_Mapper", cfg: FlowConfig):
+    m.put("input_embedding/embedding", "input_embedding.weight")
+    m.linear("spk_embed_affine_layer", "spk_embed_affine_layer")
+    m.linear("encoder_proj", "encoder_proj")
+
+    e = "encoder"
+    m.linear(f"{e}/embed/linear", f"{e}.embed.out.0")
+    m.norm(f"{e}/embed/norm", f"{e}.embed.out.1")
+    m.conv(f"{e}/pre_lookahead_layer/conv1", f"{e}.pre_lookahead_layer.conv1")
+    m.conv(f"{e}/pre_lookahead_layer/conv2", f"{e}.pre_lookahead_layer.conv2")
+    for i in range(cfg.encoder.num_blocks):
+        _map_conformer_layer(m, f"{e}/encoders_{i}", f"{e}.encoders.{i}", cfg)
+    m.conv(f"{e}/up_layer/conv", f"{e}.up_layer.conv")
+    m.linear(f"{e}/up_embed/linear", f"{e}.up_embed.out.0")
+    m.norm(f"{e}/up_embed/norm", f"{e}.up_embed.out.1")
+    for i in range(cfg.encoder.num_up_blocks):
+        _map_conformer_layer(m, f"{e}/up_encoders_{i}", f"{e}.up_encoders.{i}",
+                             cfg)
+    m.norm(f"{e}/after_norm", f"{e}.after_norm")
+
+    _map_estimator(m, "decoder/estimator", "decoder.estimator", cfg)
+
+
+def convert_flow_state_dict(sd: StateDict, cfg: FlowConfig):
+    """torch flow.pt state_dict -> flax params for CausalMaskedDiffWithXvec.
+
+    Torch module paths follow cosyvoice/flow/flow.py:151-186 and
+    transformer/upsample_encoder.py:105-246."""
+    m = _Mapper(sd)
+    _convert_flow(m, cfg)
+    return m.tree(), m.unused()
+
+
+def _convert_hift(m: "_Mapper", cfg: HiFTConfig):
+    for i in range(5):
+        m.conv(f"f0_predictor/cond{i}", f"f0_predictor.condnet.{2 * i}",
+               weight_norm=True)
+    m.linear("f0_predictor/classifier", "f0_predictor.classifier")
+    m.linear("m_source/l_linear", "m_source.l_linear")
+    m.conv("conv_pre", "conv_pre", weight_norm=True)
+    m.conv("conv_post", "conv_post", weight_norm=True)
+    for i in range(len(cfg.upsample_rates)):
+        m.conv(f"ups_{i}", f"ups.{i}", weight_norm=True, transpose=True)
+        m.conv(f"source_down_{i}", f"source_downs.{i}")
+        ks = cfg.source_resblock_dilation_sizes[i]
+        for j in range(len(ks)):
+            for name, tname in (("conv1", "convs1"), ("conv2", "convs2")):
+                m.conv(f"source_res_{i}/{name}_{j}",
+                       f"source_resblocks.{i}.{tname}.{j}", weight_norm=True)
+            for name, tname in (("act1", "activations1"),
+                                ("act2", "activations2")):
+                m.put(f"source_res_{i}/{name}_{j}/alpha",
+                      f"source_resblocks.{i}.{tname}.{j}.alpha")
+        for j in range(len(cfg.resblock_kernel_sizes)):
+            r = i * len(cfg.resblock_kernel_sizes) + j
+            nd = len(cfg.resblock_dilation_sizes[j])
+            for k in range(nd):
+                m.conv(f"resblock_{i}_{j}/conv1_{k}",
+                       f"resblocks.{r}.convs1.{k}", weight_norm=True)
+                m.conv(f"resblock_{i}_{j}/conv2_{k}",
+                       f"resblocks.{r}.convs2.{k}", weight_norm=True)
+                m.put(f"resblock_{i}_{j}/act1_{k}/alpha",
+                      f"resblocks.{r}.activations1.{k}.alpha")
+                m.put(f"resblock_{i}_{j}/act2_{k}/alpha",
+                      f"resblocks.{r}.activations2.{k}.alpha")
+
+
+def convert_hift_state_dict(sd: StateDict, cfg: HiFTConfig):
+    """torch hift.pt state_dict -> flax params for HiFTGenerator
+    (hifigan/generator.py:392-470 module paths)."""
+    m = _Mapper(sd)
+    _convert_hift(m, cfg)
+    return m.tree(), m.unused()
+
+
+def _convert_tokenizer(m: "_Mapper", cfg):
+    m.conv("conv1", "conv1")
+    m.conv("conv2", "conv2")
+    m.put("embed_positions", "embed_positions.weight")
+    m.put("codebook", "codebook.weight")
+    for i in range(cfg.quantize_position):
+        s, d = f"layers.{i}", f"layers_{i}"
+        m.norm(f"{d}/self_attn_layer_norm", f"{s}.self_attn_layer_norm")
+        m.norm(f"{d}/final_layer_norm", f"{s}.final_layer_norm")
+        m.linear(f"{d}/self_attn/q_proj", f"{s}.self_attn.q_proj")
+        m.linear(f"{d}/self_attn/k_proj", f"{s}.self_attn.k_proj",
+                 bias=False)
+        m.linear(f"{d}/self_attn/v_proj", f"{s}.self_attn.v_proj")
+        m.linear(f"{d}/self_attn/out_proj", f"{s}.self_attn.out_proj")
+        m.linear(f"{d}/fc1", f"{s}.fc1")
+        m.linear(f"{d}/fc2", f"{s}.fc2")
+
+
+def convert_tokenizer_state_dict(sd: StateDict, cfg):
+    """HF WhisperVQEncoder weights -> flax params (pre-VQ stack).
+
+    Accepts the raw HF names; strip prefixes like ``generator.encoder.``
+    beforehand (whisper_encoder_decoder.py:90-100)."""
+    m = _Mapper(sd)
+    _convert_tokenizer(m, cfg)
+    return m.tree(), m.unused()
+
+
+def conversion_plan(kind: str, cfg) -> list:
+    """(dst, src, transform) triples for a converter, without arrays —
+    lets tests synthesize a torch state_dict from flax params and
+    round-trip the mapping."""
+    m = _Mapper(None)
+    if kind == "flow":
+        _convert_flow(m, cfg)
+    elif kind == "hift":
+        _convert_hift(m, cfg)
+    elif kind == "tokenizer":
+        _convert_tokenizer(m, cfg)
+    else:
+        raise ValueError(kind)
+    return m.plan
+
+
+def strip_prefix(sd: StateDict, *prefixes: str) -> Dict[str, Array]:
+    out = {}
+    for k, v in sd.items():
+        for p in prefixes:
+            if k.startswith(p):
+                k = k[len(p):]
+                break
+        out[k] = v
+    return out
+
+
+def load_torch_state_dict(path: str) -> Dict[str, Array]:
+    """Load a .pt/.safetensors state_dict to numpy (host-side torch CPU)."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        return dict(load_file(path))
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+# ------------------------------------------------------------- native IO
+def save_checkpoint(path: str, params, metadata: dict | None = None):
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(path, params, force=True)
+    ckpt.wait_until_finished()
+    if metadata:
+        with open(os.path.join(path, "metadata.json"), "w") as f:
+            json.dump(metadata, f, indent=2)
+
+
+def load_checkpoint(path: str, like=None):
+    import orbax.checkpoint as ocp
+    ckpt = ocp.StandardCheckpointer()
+    return ckpt.restore(os.path.abspath(path), like)
+
+
+def shape_filtered_merge(params, loaded):
+    """Partial restore that skips shape-mismatched leaves, reporting them —
+    the reference's shape-filtered checkpoint load (bin/train.py:149-169)."""
+    flat_p = tu.flatten_dict(params)
+    flat_l = tu.flatten_dict(loaded)
+    skipped = []
+    out = dict(flat_p)
+    for k, v in flat_l.items():
+        if k in flat_p and np.shape(flat_p[k]) == np.shape(v):
+            out[k] = v
+        else:
+            skipped.append("/".join(map(str, k)))
+    return tu.unflatten_dict(out), skipped

@@ -1,0 +1,100 @@
+"""Checkpoint conversion round-trips: synthesize a torch-style state_dict
+from flax params via the inverse transforms, convert, and require exact
+structural + numerical equality with the model's own init tree."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.traverse_util as tu
+import pytest
+
+from moss_speech_decoder_cosy_tpu.utils import checkpoint as ckpt
+from moss_speech_decoder_cosy_tpu.utils.config import (
+    tiny_flow_config, tiny_hift_config)
+from moss_speech_decoder_cosy_tpu.tokenizer import (
+    WhisperVQEncoder, tiny_tokenizer_config)
+from moss_speech_decoder_cosy_tpu.models.flow import CausalMaskedDiffWithXvec
+from moss_speech_decoder_cosy_tpu.models.hift import HiFTGenerator
+
+
+def _inverse(fn, x):
+    x = np.asarray(x)
+    if fn is None:
+        return x
+    if fn is ckpt._t:
+        return np.ascontiguousarray(x.T)
+    if fn is ckpt._conv:
+        return np.ascontiguousarray(x.transpose(2, 1, 0))
+    if fn is ckpt._convT:
+        return np.ascontiguousarray(x.transpose(1, 2, 0))
+    if fn is ckpt._g:
+        return np.ascontiguousarray(x.reshape(-1, 1, 1))
+    raise AssertionError(fn)
+
+
+def _roundtrip(kind, cfg, params, convert):
+    flat = {"/".join(k): v for k, v in
+            tu.flatten_dict(params["params"]).items()}
+    plan = ckpt.conversion_plan(kind, cfg)
+    dsts = [d for d, _, _ in plan]
+    assert len(dsts) == len(set(dsts)), "duplicate destinations"
+    # every flax param must be covered by the plan and vice versa
+    assert set(dsts) == set(flat), (
+        sorted(set(dsts) - set(flat))[:5], sorted(set(flat) - set(dsts))[:5])
+    torch_sd = {src: _inverse(fn, flat[dst]) for dst, src, fn in plan}
+    tree, unused = convert(torch_sd, cfg)
+    assert unused == []
+    got = {"/".join(k): v for k, v in
+           tu.flatten_dict(tree["params"]).items()}
+    for k in flat:
+        np.testing.assert_array_equal(got[k], np.asarray(flat[k]), err_msg=k)
+
+
+def test_flow_conversion_roundtrip():
+    cfg = tiny_flow_config()
+    m = CausalMaskedDiffWithXvec(cfg)
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                    jnp.ones((1, 8), bool), jnp.zeros((1, 0, cfg.output_size)),
+                    jnp.zeros((1, cfg.spk_embed_dim)))
+    _roundtrip("flow", cfg, params, ckpt.convert_flow_state_dict)
+
+
+def test_hift_conversion_roundtrip():
+    cfg = tiny_hift_config()
+    m = HiFTGenerator(cfg)
+    params = m.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, 8, cfg.in_channels)))
+    _roundtrip("hift", cfg, params, ckpt.convert_hift_state_dict)
+
+
+def test_tokenizer_conversion_roundtrip():
+    cfg = tiny_tokenizer_config()
+    m = WhisperVQEncoder(cfg)
+    params = m.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, 16, cfg.num_mel_bins)),
+                    jnp.ones((1, 16), bool))
+    _roundtrip("tokenizer", cfg, params, ckpt.convert_tokenizer_state_dict)
+
+
+def test_shape_filtered_merge():
+    params = {"a": np.zeros((2, 3)), "b": {"c": np.zeros(4)}}
+    loaded = {"a": np.ones((2, 3)), "b": {"c": np.ones(5)}}
+    merged, skipped = ckpt.shape_filtered_merge(params, loaded)
+    np.testing.assert_array_equal(merged["a"], np.ones((2, 3)))
+    np.testing.assert_array_equal(merged["b"]["c"], np.zeros(4))
+    assert skipped == ["b/c"]
+
+
+def test_orbax_save_load(tmp_path):
+    cfg = tiny_hift_config()
+    m = HiFTGenerator(cfg)
+    params = m.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, 8, cfg.in_channels)))
+    path = str(tmp_path / "ckpt")
+    ckpt.save_checkpoint(path, params, metadata={"step": 1})
+    loaded = ckpt.load_checkpoint(path, like=params)
+    a = tu.flatten_dict(params["params"])
+    b = tu.flatten_dict(loaded["params"])
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
