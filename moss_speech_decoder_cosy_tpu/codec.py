@@ -1,0 +1,182 @@
+"""High-level speech codec API: wav <-> discrete tokens <-> wav.
+
+The TPU-native equivalent of the reference's GLM4Codec / GLM4Encoder
+session classes (GLM_modules/modeling_glm4_codec.py:12-124,
+whisper_encoder_decoder.py:35-314):
+
+- ``encode``            wav @16 kHz -> tokens @12.5 Hz, 30 s segmentation
+                        (speech_tokenizer/utils.py:44-96)
+- ``encode_streaming``  80 ms-chunk streaming tokenization (utils.py:191-292)
+- ``prepare_prompt``    prompt wav -> (prompt tokens, prompt mel, speaker
+                        embedding), trimmed to 4*token_len alignment
+                        (whisper_encoder_decoder.py:221-229)
+- ``decode`` / ``decode_streaming``  tokens -> 24 kHz wav via the flow+hift
+                        pipeline (pipeline/audio_decoder.py)
+- ``convert_voice``     wav -> tokens -> wav with a target-speaker prompt
+                        (the gradio_voice_converter path)
+
+Token-sequence padding uses right-pad + valid masks (bucketed to bound the
+number of compiled shapes) — the static-shape answer to the reference's
+fully dynamic lengths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .tokenizer import (WhisperVQConfig, WhisperVQEncoder,
+                        WhisperFeatureExtractor)
+from .pipeline import AudioDecoder
+from .ops.melspec import matcha_mel_spectrogram
+
+
+def _bucket(n: int, step: int = 512) -> int:
+    return max(step, ((n + step - 1) // step) * step)
+
+
+@dataclasses.dataclass
+class Prompt:
+    token: np.ndarray        # (1, P)
+    feat: np.ndarray         # (1, P*ratio, 80)
+    embedding: np.ndarray    # (1, 192)
+
+
+class SpeechCodec:
+    def __init__(self, tok_cfg: WhisperVQConfig, tok_params,
+                 decoder: AudioDecoder, speaker_encoder=None,
+                 segment_seconds: float = 30.0, prompt_mel_fn=None):
+        self.tok_cfg = tok_cfg
+        self.tokenizer = WhisperVQEncoder(tok_cfg)
+        self.tok_params = tok_params
+        self.decoder = decoder
+        self.speaker_encoder = speaker_encoder
+        self.features = WhisperFeatureExtractor(
+            tok_cfg.n_fft, tok_cfg.hop_length, tok_cfg.num_mel_bins,
+            tok_cfg.sampling_rate)
+        self.segment_samples = int(segment_seconds * tok_cfg.sampling_rate)
+        self.prompt_mel_fn = prompt_mel_fn or (
+            lambda w: matcha_mel_spectrogram(w))
+        self._tok_fn = jax.jit(
+            lambda p, mel, valid: self.tokenizer.apply(p, mel, valid))
+        self._step_fn = jax.jit(
+            lambda p, mel, st: self.tokenizer.apply(p, mel, st,
+                                                    method=self.tokenizer.step))
+
+    # ------------------------------------------------------------- encode
+    def encode(self, wav_16k: np.ndarray) -> np.ndarray:
+        """wav (L,) or (1, L) float32 @16 kHz -> (1, n_tokens) int32."""
+        wav = np.asarray(wav_16k, np.float32).reshape(1, -1)
+        mel_per_tok = 2 * self.tok_cfg.pooling_kernel_size
+        out: List[np.ndarray] = []
+        for s in range(0, wav.shape[1], self.segment_samples):
+            seg = wav[:, s: s + self.segment_samples]
+            feats, _ = self.features(jnp.asarray(seg))
+            t = feats.shape[1]
+            n_tok = max(1, t // mel_per_tok)          # floor, like stride trim
+            t_pad = _bucket(n_tok * mel_per_tok, 16 * mel_per_tok)
+            feats = jnp.pad(feats, ((0, 0), (0, t_pad - t), (0, 0)))[
+                :, :t_pad]
+            valid = np.zeros((1, t_pad), bool)
+            valid[:, : n_tok * mel_per_tok] = True
+            ids, token_valid = self._tok_fn(self.tok_params, feats,
+                                            jnp.asarray(valid))
+            ids = np.asarray(ids)[np.asarray(token_valid)]
+            out.append(ids.reshape(1, -1))
+        return np.concatenate(out, axis=1).astype(np.int32)
+
+    def new_encode_session(self):
+        return TokenizerSession(self)
+
+    def encode_streaming(self, wav_16k: np.ndarray) -> np.ndarray:
+        """Feed the wav in 80 ms chunks through the causal path."""
+        sess = self.new_encode_session()
+        toks = list(sess.push(np.asarray(wav_16k).reshape(-1)))
+        return (np.concatenate(toks, axis=1) if toks
+                else np.zeros((1, 0), np.int32))
+
+    # ------------------------------------------------------------- prompt
+    def prepare_prompt(self, prompt_wav_24k: np.ndarray,
+                       prompt_wav_16k: np.ndarray) -> Prompt:
+        """Build flow-conditioning inputs from a reference utterance
+        (whisper_encoder_decoder.py:210-240)."""
+        ratio = self.decoder.ratio
+        token = self.encode(prompt_wav_16k)
+        feat = np.asarray(self.prompt_mel_fn(
+            jnp.asarray(prompt_wav_24k, dtype=jnp.float32).reshape(1, -1)))
+        token_len = min(feat.shape[1] // ratio, token.shape[1])
+        token = token[:, :token_len]
+        feat = feat[:, : ratio * token_len]
+        if self.speaker_encoder is not None:
+            emb = self.speaker_encoder(prompt_wav_16k)
+        else:
+            emb = np.zeros((1, self.decoder.flow_cfg.spk_embed_dim),
+                           np.float32)
+        return Prompt(token=token.astype(np.int32),
+                      feat=feat.astype(np.float32),
+                      embedding=np.asarray(emb, np.float32).reshape(1, -1))
+
+    # ------------------------------------------------------------- decode
+    def decode(self, token: np.ndarray,
+               prompt: Optional[Prompt] = None) -> np.ndarray:
+        p = prompt or Prompt(np.zeros((1, 0), np.int32),
+                             np.zeros((1, 0, 80), np.float32),
+                             np.zeros((1, self.decoder.flow_cfg.spk_embed_dim),
+                                      np.float32))
+        return self.decoder.token2wav(np.asarray(token), p.token, p.feat,
+                                      p.embedding)
+
+    def decode_streaming(self, token: np.ndarray,
+                         prompt: Optional[Prompt] = None,
+                         block_size: Optional[int] = None,
+                         max_token_len: Optional[int] = None) -> np.ndarray:
+        p = prompt or Prompt(np.zeros((1, 0), np.int32),
+                             np.zeros((1, 0, 80), np.float32),
+                             np.zeros((1, self.decoder.flow_cfg.spk_embed_dim),
+                                      np.float32))
+        return self.decoder.stream_inference(
+            np.asarray(token), p.token, p.feat, p.embedding,
+            block_size=block_size, max_token_len=max_token_len)
+
+    # ----------------------------------------------------- voice convert
+    def convert_voice(self, wav_16k: np.ndarray, prompt: Prompt,
+                      streaming: bool = False) -> np.ndarray:
+        token = self.encode(wav_16k)
+        if streaming:
+            return self.decode_streaming(token, prompt)
+        return self.decode(token, prompt)
+
+
+class TokenizerSession:
+    """Incremental 16 kHz samples -> tokens, 80 ms granularity."""
+
+    def __init__(self, codec: SpeechCodec):
+        self.codec = codec
+        cfg = codec.tok_cfg
+        self.chunk_samples = cfg.samples_per_token  # 1280 = 80 ms
+        self.buf = np.zeros(0, np.float32)
+        self.state = codec.tokenizer.apply(
+            codec.tok_params, 1, method=codec.tokenizer.init_state)
+        self.max_log_spec = None
+
+    def push(self, samples: np.ndarray) -> Iterable[np.ndarray]:
+        self.buf = np.concatenate(
+            [self.buf, np.asarray(samples, np.float32).reshape(-1)])
+        n = len(self.buf) // self.chunk_samples
+        if n == 0:
+            return
+        use, self.buf = (self.buf[: n * self.chunk_samples],
+                         self.buf[n * self.chunk_samples:])
+        feats, self.max_log_spec = self.codec.features(
+            jnp.asarray(use).reshape(1, -1), self.max_log_spec)
+        mel_per_tok = 2 * self.codec.tok_cfg.pooling_kernel_size
+        t = (feats.shape[1] // mel_per_tok) * mel_per_tok
+        for i in range(0, t, mel_per_tok):
+            ids, self.state = self.codec._step_fn(
+                self.codec.tok_params, feats[:, i: i + mel_per_tok],
+                self.state)
+            yield np.asarray(ids)

@@ -1,0 +1,108 @@
+"""High-level codec API tests (wav -> tokens -> wav, voice conversion)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from moss_speech_decoder_cosy_tpu.codec import SpeechCodec, Prompt
+from moss_speech_decoder_cosy_tpu.tokenizer import (
+    WhisperVQEncoder, tiny_tokenizer_config)
+from moss_speech_decoder_cosy_tpu.models.flow import CausalMaskedDiffWithXvec
+from moss_speech_decoder_cosy_tpu.models.hift import HiFTGenerator
+from moss_speech_decoder_cosy_tpu.pipeline import AudioDecoder
+from moss_speech_decoder_cosy_tpu.ops.melspec import (
+    matcha_mel_spectrogram, kaldi_fbank)
+from moss_speech_decoder_cosy_tpu.utils.config import (
+    tiny_flow_config, tiny_hift_config, PipelineConfig)
+import dataclasses
+
+
+@pytest.fixture(scope="module")
+def codec():
+    tok_cfg = tiny_tokenizer_config()
+    # tokens must fit the tiny flow vocab (64)
+    tok_cfg = dataclasses.replace(tok_cfg, quantize_vocab_size=32)
+    tok = WhisperVQEncoder(tok_cfg)
+    mel0 = jnp.zeros((1, 16, tok_cfg.num_mel_bins))
+    tok_params = tok.init(jax.random.PRNGKey(0), mel0, jnp.ones((1, 16), bool))
+
+    flow_cfg = tiny_flow_config()
+    hift_cfg = tiny_hift_config()
+    flow = CausalMaskedDiffWithXvec(flow_cfg)
+    flow_params = flow.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32),
+        jnp.ones((1, 8), bool), jnp.zeros((1, 0, flow_cfg.output_size)),
+        jnp.zeros((1, flow_cfg.spk_embed_dim)))
+    hift = HiFTGenerator(hift_cfg)
+    hift_params = hift.init(jax.random.PRNGKey(2),
+                            jnp.zeros((1, 8, hift_cfg.in_channels)))
+    dec = AudioDecoder(flow_cfg, hift_cfg, flow_params, hift_params,
+                       PipelineConfig(block_size=4, mel_cache_len=4,
+                                      max_token_len=16))
+    # tiny prompt mel: 16 bins, hop = tiny hift frame (48 samples @ "24k")
+    mel_fn = lambda w: matcha_mel_spectrogram(  # noqa: E731
+        w, n_fft=96, num_mels=flow_cfg.output_size, sampling_rate=24000,
+        hop_size=48, win_size=96)
+    return SpeechCodec(tok_cfg, tok_params, dec, prompt_mel_fn=mel_fn,
+                       segment_seconds=1.0)
+
+
+def test_encode_shapes(codec):
+    rng = np.random.RandomState(0)
+    wav = rng.randn(16000).astype(np.float32) * 0.1     # 1 s
+    tokens = codec.encode(wav)
+    # 16000 samples -> 100 mel frames -> 12 tokens (floor(100/8))
+    assert tokens.shape == (1, 12)
+    assert (tokens >= 0).all() and (tokens < 32).all()
+
+
+def test_encode_multi_segment(codec):
+    rng = np.random.RandomState(1)
+    wav = rng.randn(40000).astype(np.float32) * 0.1     # 2.5 s, 3 segments
+    tokens = codec.encode(wav)
+    assert tokens.shape[1] >= 28
+
+
+def test_encode_streaming_matches_batch_rate(codec):
+    rng = np.random.RandomState(2)
+    wav = rng.randn(12800).astype(np.float32) * 0.1     # 10 chunks of 80 ms
+    toks = codec.encode_streaming(wav)
+    assert toks.shape == (1, 10)
+
+
+def test_roundtrip_decode(codec):
+    rng = np.random.RandomState(3)
+    wav = rng.randn(16000).astype(np.float32) * 0.1
+    tokens = codec.encode(wav)
+    out = codec.decode(tokens)
+    frame = codec.decoder.hift_cfg.total_upsample
+    assert out.shape == (1, tokens.shape[1] * codec.decoder.ratio * frame)
+
+
+def test_voice_conversion_with_prompt(codec):
+    rng = np.random.RandomState(4)
+    src = rng.randn(12800).astype(np.float32) * 0.1
+    prompt_16k = rng.randn(6400).astype(np.float32) * 0.1
+    # tiny "24k" prompt at the tiny frame rate: token_len*4 mel frames of 48
+    prompt_24k = rng.randn(9600).astype(np.float32) * 0.1
+    prompt = codec.prepare_prompt(prompt_24k, prompt_16k)
+    assert prompt.feat.shape[1] == codec.decoder.ratio * prompt.token.shape[1]
+    out = codec.convert_voice(src, prompt)
+    assert np.isfinite(out).all()
+
+
+def test_kaldi_fbank_shapes():
+    rng = np.random.RandomState(5)
+    wav = jnp.asarray(rng.randn(1, 16000).astype(np.float32) * 0.1)
+    fb = kaldi_fbank(wav)
+    assert fb.shape == (1, 98, 80)                       # snip_edges frames
+    assert np.isfinite(np.asarray(fb)).all()
+
+
+def test_matcha_mel_shapes():
+    rng = np.random.RandomState(6)
+    wav = jnp.asarray(rng.randn(1, 24000).astype(np.float32) * 0.1)
+    mel = matcha_mel_spectrogram(wav)
+    assert mel.shape == (1, 50, 80)                      # hop 480 -> 50 fps
+    assert np.isfinite(np.asarray(mel)).all()
