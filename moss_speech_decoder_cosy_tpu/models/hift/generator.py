@@ -83,6 +83,8 @@ class SourceModuleHnNSF2(nn.Module):
         cfg = self.cfg
         h = cfg.nb_harmonics + 1
         up = cfg.total_upsample
+        # phase integration must run in f32: bf16 cumsum destroys pitch
+        f0 = f0.astype(jnp.float32)
         b, length, _ = f0.shape
         k_ini, k_noise = jax.random.split(key)
 
@@ -191,7 +193,7 @@ class HiFTGenerator(nn.Module):
     def decode(self, mel: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
         """mel (B, T, 80), source s (B, T*480, 1) -> wav (B, T*480)."""
         cfg = self.cfg
-        s_stft = self._source_stft(s)
+        s_stft = self._source_stft(s).astype(mel.dtype)
         x = self.conv_pre(mel)
         num_kernels = len(cfg.resblock_kernel_sizes)
         for i in range(len(self.ups)):

@@ -67,7 +67,8 @@ def frame(x: jnp.ndarray, n_fft: int, hop: int, center: bool = True,
 def stft(x: jnp.ndarray, n_fft: int, hop: int, window: np.ndarray,
          center: bool = True, pad_mode: str = "reflect"):
     """torch.stft equivalent. Returns (real, imag) each (B, T, F)."""
-    frames = frame(x, n_fft, hop, center, pad_mode)
+    in_dtype = x.dtype
+    frames = frame(x, n_fft, hop, center, pad_mode).astype(jnp.float32)
     frames = frames * jnp.asarray(window)[None, None, :]
     cos_b, sin_b = _dft_bases(n_fft)
     # DFT bases must be applied at full precision even on TPU (bf16 matmul
@@ -75,7 +76,7 @@ def stft(x: jnp.ndarray, n_fft: int, hop: int, window: np.ndarray,
     hi = jax.lax.Precision.HIGHEST
     real = jnp.matmul(frames, jnp.asarray(cos_b), precision=hi)
     imag = -jnp.matmul(frames, jnp.asarray(sin_b), precision=hi)
-    return real, imag
+    return real.astype(in_dtype), imag.astype(in_dtype)
 
 
 def _overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
@@ -109,6 +110,8 @@ def istft(real: jnp.ndarray, imag: jnp.ndarray, n_fft: int, hop: int,
     """
     cos_b, sin_b = _idft_bases(n_fft)
     hi = jax.lax.Precision.HIGHEST
+    real = real.astype(jnp.float32)
+    imag = imag.astype(jnp.float32)
     frames = (jnp.matmul(real, jnp.asarray(cos_b), precision=hi)
               - jnp.matmul(imag, jnp.asarray(sin_b), precision=hi))
     win = jnp.asarray(window)

@@ -115,3 +115,30 @@ def test_streaming_with_prompt_pad(decoder):
     wav = decoder.stream_inference(token, p_tok, p_feat)
     frame = decoder.hift_cfg.total_upsample
     assert wav.shape == (1, 24 * decoder.ratio * frame)
+
+
+def test_bf16_compute_pipeline():
+    """The serving dtype on TPU: whole pipeline under bfloat16 params."""
+    import jax.numpy as jnp
+    from moss_speech_decoder_cosy_tpu.models.flow import (
+        CausalMaskedDiffWithXvec)
+    from moss_speech_decoder_cosy_tpu.models.hift import HiFTGenerator
+    from moss_speech_decoder_cosy_tpu.utils.config import (
+        tiny_flow_config, tiny_hift_config, PipelineConfig)
+    flow_cfg, hift_cfg = tiny_flow_config(), tiny_hift_config()
+    flow = CausalMaskedDiffWithXvec(flow_cfg)
+    fp = flow.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                   jnp.ones((1, 8), bool),
+                   jnp.zeros((1, 0, flow_cfg.output_size)),
+                   jnp.zeros((1, flow_cfg.spk_embed_dim)))
+    hift = HiFTGenerator(hift_cfg)
+    hp = hift.init(jax.random.PRNGKey(1),
+                   jnp.zeros((1, 8, hift_cfg.in_channels)))
+    dec = AudioDecoder(flow_cfg, hift_cfg, fp, hp,
+                       PipelineConfig(block_size=4, mel_cache_len=4,
+                                      max_token_len=16),
+                       compute_dtype=jnp.bfloat16)
+    tok = np.random.RandomState(0).randint(0, 64, (1, 20))
+    wav = dec.stream_inference(tok)
+    assert wav.dtype == np.float32
+    assert np.isfinite(wav).all()
