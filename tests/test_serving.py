@@ -1,0 +1,114 @@
+"""Serving layer tests: opus codec round-trip, wire protocol, ws server
+echo session, token SSE server + chat consumer."""
+
+import asyncio
+import numpy as np
+import pytest
+
+from moss_speech_decoder_cosy_tpu.serving import protocol
+from moss_speech_decoder_cosy_tpu.serving import opus as opus_mod
+
+
+def test_protocol_roundtrip():
+    msg = protocol.frame_message(protocol.KIND_TEXT, "hi".encode())
+    kind, payload = protocol.parse_message(msg)
+    assert kind == protocol.KIND_TEXT and payload == b"hi"
+    x = np.sin(np.linspace(0, 10, 1920)).astype(np.float32)
+    y = protocol.pcm16_decode(protocol.pcm16_encode(x))
+    np.testing.assert_allclose(x, y, atol=1e-3)
+
+
+@pytest.mark.skipif(not opus_mod.available(), reason="libopus missing")
+def test_opus_roundtrip():
+    sr = 24000
+    t = np.arange(sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    enc = opus_mod.OpusEncoder(sr)
+    dec = opus_mod.OpusDecoder(sr)
+    data = enc.encode(x)
+    assert len(data) > 0
+    y = np.asarray(dec.decode(data), np.float32)
+    assert len(y) == (len(x) // enc.frame) * enc.frame
+    # opus is lossy + has codec delay; check energy is in the ballpark
+    assert 0.1 < np.std(y[enc.frame:]) < 1.0
+
+
+def test_ws_server_echo_roundtrip():
+    from moss_speech_decoder_cosy_tpu.serving.ws_server import (
+        AudioWsServer, stream_wav)
+    from aiohttp.test_utils import TestServer, TestClient
+
+    async def run():
+        srv = AudioWsServer(handler=lambda s: s * 0.5, codec="pcm16",
+                            log=False)
+        server = TestServer(srv.app)
+        await server.start_server()
+        url = str(server.make_url("/api/chat")).replace("http", "ws")
+        x = np.sin(np.linspace(0, 50, protocol.FRAME_SAMPLES * 3)
+                   ).astype(np.float32) * 0.8
+        out = await stream_wav(url, x, settle_s=0.5)
+        await server.close()
+        return x, out
+
+    x, out = asyncio.run(run())
+    assert len(out) == len(x)
+    np.testing.assert_allclose(out, x * 0.5, atol=2e-3)
+
+
+def test_token_sse_server_and_consumer():
+    from moss_speech_decoder_cosy_tpu.serving.token_server import (
+        TokenSSEServer, consume_sse)
+    from aiohttp.test_utils import TestServer
+
+    tokens = [5, 6, 7, 1005, 1006]
+
+    async def run():
+        srv = TokenSSEServer(lambda params: list(tokens))
+        server = TestServer(srv.app)
+        await server.start_server()
+        url = str(server.make_url("/generate_stream"))
+        got = []
+        async for t in consume_sse(url, {"prompt": "x"}):
+            got.append(t)
+        await server.close()
+        return got
+
+    got = asyncio.run(run())
+    assert got == tokens
+
+
+def test_chat_audio_consumer_blocks():
+    """ChatAudioConsumer demuxes text/audio and decodes ramping blocks."""
+    import jax
+    import jax.numpy as jnp
+    from moss_speech_decoder_cosy_tpu.models.flow import (
+        CausalMaskedDiffWithXvec)
+    from moss_speech_decoder_cosy_tpu.models.hift import HiFTGenerator
+    from moss_speech_decoder_cosy_tpu.pipeline import AudioDecoder
+    from moss_speech_decoder_cosy_tpu.serving.token_server import (
+        ChatAudioConsumer)
+    from moss_speech_decoder_cosy_tpu.utils.config import (
+        tiny_flow_config, tiny_hift_config, PipelineConfig)
+
+    flow_cfg, hift_cfg = tiny_flow_config(), tiny_hift_config()
+    flow = CausalMaskedDiffWithXvec(flow_cfg)
+    fp = flow.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                   jnp.ones((1, 8), bool),
+                   jnp.zeros((1, 0, flow_cfg.output_size)),
+                   jnp.zeros((1, flow_cfg.spk_embed_dim)))
+    hift = HiFTGenerator(hift_cfg)
+    hp = hift.init(jax.random.PRNGKey(1),
+                   jnp.zeros((1, 8, hift_cfg.in_channels)))
+    dec = AudioDecoder(flow_cfg, hift_cfg, fp, hp, PipelineConfig())
+
+    consumer = ChatAudioConsumer(dec, audio_offset=1000, end_token_id=9999)
+    consumer.BLOCK_SIZES = (4, 8)                       # tiny ramp
+    rng = np.random.RandomState(0)
+    # interleave 3 text tokens and 10 audio tokens
+    stream = [1, 2, 3] + [1000 + t for t in rng.randint(0, 64, 10)]
+    for t in stream:
+        consumer.push(int(t))
+    wav = consumer.finish()
+    assert consumer.text_tokens == [1, 2, 3]
+    frame = hift_cfg.total_upsample
+    assert wav.shape == (1, 10 * dec.ratio * frame)
