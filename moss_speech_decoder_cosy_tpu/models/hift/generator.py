@@ -228,6 +228,14 @@ class HiFTGenerator(nn.Module):
         s = jnp.repeat(f0[:, :, None], up, axis=1)       # nearest upsample
         return self.m_source(s, key)
 
+    def forward_train(self, mel: jnp.ndarray, key: jax.Array
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Training forward (generator.py:555-568): (wav, f0)."""
+        f0 = self.f0_predictor(mel)
+        up = self.cfg.total_upsample
+        s = self.m_source(jnp.repeat(f0[:, :, None], up, axis=1), key)
+        return self.decode(mel, s), f0
+
     def __call__(self, mel: jnp.ndarray,
                  cache_source: Optional[jnp.ndarray] = None,
                  key: Optional[jax.Array] = None

@@ -108,6 +108,47 @@ class CausalConv1d(nn.Module):
         return self._conv()(xp), new_cache
 
 
+class Conv2d(nn.Module):
+    """torch-style Conv2d on (B, H, W, C), optional weight_norm(dim=0).
+
+    Parameter layout 'HWIO'; converter maps torch (O, I, KH, KW) via
+    transpose(2, 3, 1, 0).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+    use_bias: bool = True
+    weight_norm: bool = False
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        kh, kw = self.kernel_size
+        shape = (kh, kw, in_ch, self.features)
+        if self.weight_norm:
+            v = self.param("v", self.kernel_init, shape)
+            g = self.param(
+                "g", lambda _: jnp.sqrt(jnp.sum(v * v, axis=(0, 1, 2))))
+            norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1, 2), keepdims=True))
+            kernel = v * (g[None, None, None, :] / jnp.maximum(norm, 1e-12))
+        else:
+            kernel = self.param("kernel", self.kernel_init, shape)
+        y = jax.lax.conv_general_dilated(
+            x, kernel,
+            window_strides=self.strides,
+            padding=[(self.padding[0], self.padding[0]),
+                     (self.padding[1], self.padding[1])],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y
+
+
 class ConvTranspose1d(nn.Module):
     """torch nn.ConvTranspose1d: out_len = (T-1)*stride - 2*padding + k.
 

@@ -43,6 +43,40 @@ def warmup_lr(peak_lr: float, warmup_steps: int) -> optax.Schedule:
     return sched
 
 
+def noam_hold_annealing(peak_lr: float, warmup_steps: int, hold_steps: int,
+                        max_steps: int, decay_rate: float = 0.5,
+                        min_lr: float = 0.0) -> optax.Schedule:
+    """NoamHoldAnnealing (scheduler.py:433-441,623-680, NeMo/SqueezeFormer):
+    linear warmup -> hold -> noam decay with exponent ``decay_rate``."""
+    def sched(step):
+        s = step.astype(jnp.float32)
+        warm = peak_lr * jnp.minimum(s / max(warmup_steps, 1), 1.0)
+        t_warm = max(1.0, warmup_steps ** decay_rate)
+        t_hold = jnp.maximum(1.0, (s - hold_steps) ** decay_rate)
+        decay = jnp.maximum(peak_lr * t_warm / t_hold, min_lr)
+        in_hold = s <= warmup_steps + hold_steps
+        return jnp.where(s <= warmup_steps, warm,
+                         jnp.where(in_hold, peak_lr, decay))
+    return sched
+
+
+def cosine_annealing(peak_lr: float, warmup_steps: int, max_steps: int,
+                     min_lr: float = 0.0) -> optax.Schedule:
+    """CosineAnnealing with linear warmup (scheduler.py:497-534)."""
+    def sched(step):
+        s = step.astype(jnp.float32)
+        warm = peak_lr * jnp.minimum(s / max(warmup_steps, 1), 1.0)
+        frac = jnp.clip((s - warmup_steps) / max(max_steps - warmup_steps, 1),
+                        0.0, 1.0)
+        cos = min_lr + (peak_lr - min_lr) * 0.5 * (1 + jnp.cos(jnp.pi * frac))
+        return jnp.where(s <= warmup_steps, warm, cos)
+    return sched
+
+
+def constant_lr(lr: float) -> optax.Schedule:
+    return lambda step: jnp.asarray(lr, jnp.float32)
+
+
 def make_optimizer(peak_lr: float = 1e-3, warmup_steps: int = 2500,
                    clip_norm: float = 5.0) -> optax.GradientTransformation:
     return optax.chain(
