@@ -1,0 +1,96 @@
+"""Data pipeline tests: parquet round-trip through the full processor
+chain into padded train batches."""
+
+import functools
+import numpy as np
+import pytest
+
+from moss_speech_decoder_cosy_tpu.data import (DataList, build_pipeline,
+                                               processor)
+
+
+@pytest.fixture(scope="module")
+def parquet_shards(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    tmp = tmp_path_factory.mktemp("shards")
+    rng = np.random.RandomState(0)
+    paths = []
+    for shard in range(2):
+        rows = []
+        for i in range(4):
+            sr = 16000
+            wav = (rng.randn(sr) * 0.1).astype(np.float32)
+            rows.append({
+                "utt": f"utt_{shard}_{i}",
+                "speech": wav.tolist(),
+                "sample_rate": sr,
+                "speech_token": rng.randint(0, 64, 12).tolist(),
+                "utt_embedding": rng.randn(8).astype(np.float32).tolist(),
+                "spk_embedding": rng.randn(8).astype(np.float32).tolist(),
+            })
+        p = str(tmp / f"shard_{shard}.parquet")
+        pq.write_table(pa.Table.from_pylist(rows), p)
+        paths.append(p)
+    return paths
+
+
+def test_datalist_partition(parquet_shards):
+    dl = DataList(parquet_shards * 4, rank=0, world_size=2)
+    dl.set_epoch(0)
+    items = list(dl)
+    assert len(items) == 4                          # half of 8
+    dl.set_epoch(1)
+    items2 = [x["src"] for x in dl]
+    assert len(items2) == 4
+
+
+def test_full_chain_to_batches(parquet_shards):
+    dl = DataList(parquet_shards, shuffle=False)
+    dl.set_epoch(0)
+    pipeline = build_pipeline(dl, [
+        processor.parquet_opener,
+        functools.partial(processor.filter_samples, max_length=10000),
+        functools.partial(processor.resample, resample_rate=24000),
+        functools.partial(processor.compute_fbank, n_fft=480,
+                          hop_size=480, win_size=480),
+        functools.partial(processor.compute_f0),
+        processor.parse_embedding,
+        functools.partial(processor.sort, sort_size=4),
+        functools.partial(processor.static_batch, batch_size=4),
+        functools.partial(processor.padding, gan=True, pad_to_multiple=8,
+                          token_mel_ratio=4),
+    ])
+    batches = list(pipeline)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["speech_token"].shape[0] == 4
+    assert b["speech_feat"].shape[2] == 80
+    assert b["speech_feat"].shape[1] % 8 == 0
+    assert b["speech_token"].shape[1] * 4 == b["speech_feat"].shape[1]
+    assert b["token_valid"].dtype == bool
+    assert b["embedding"].shape == (4, 8)
+    assert b["pitch_feat"].shape[:2] == b["speech_feat"].shape[:2]
+    assert np.isfinite(b["speech_feat"]).all()
+
+
+def test_dynamic_batch():
+    data = [{"speech_feat": np.zeros((n, 4))} for n in (10, 12, 30, 5)]
+    out = list(processor.dynamic_batch(iter(data), max_frames_in_batch=40))
+    assert sum(len(b) for b in out) == 4
+    for b in out:
+        longest = max(x["speech_feat"].shape[0] for x in b)
+        assert longest * len(b) <= 40 or len(b) == 1
+
+
+def test_f0_tracker_finds_tone():
+    sr = 24000
+    t = np.arange(sr) / sr
+    wav = 0.5 * np.sin(2 * np.pi * 220.0 * t)
+    s = {"speech": wav.astype(np.float32),
+         "speech_feat": np.zeros((50, 4), np.float32)}
+    out = list(processor.compute_f0(iter([s]), sample_rate=sr))
+    f0 = out[0]["pitch_feat"]
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 20
+    assert abs(np.median(voiced) - 220.0) < 8.0
