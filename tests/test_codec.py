@@ -106,3 +106,17 @@ def test_matcha_mel_shapes():
     mel = matcha_mel_spectrogram(wav)
     assert mel.shape == (1, 50, 80)                      # hop 480 -> 50 fps
     assert np.isfinite(np.asarray(mel)).all()
+
+
+def test_campplus_speaker_encoder_shapes():
+    import dataclasses as dc
+    from moss_speech_decoder_cosy_tpu.models.campplus import (
+        CAMPPlus, SpeakerEncoder)
+    m = CAMPPlus(embedding_size=16, growth_rate=4, bn_size=2,
+                 init_channels=8, block_layers=(2, 2), block_dilations=(1, 2))
+    feat = jnp.zeros((1, 50, 80))
+    params = m.init(jax.random.PRNGKey(0), feat)
+    enc = SpeakerEncoder(params, m)
+    emb = enc(np.random.RandomState(0).randn(8000).astype(np.float32) * 0.1)
+    assert emb.shape == (1, 16)
+    assert np.isfinite(emb).all()
