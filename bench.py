@@ -55,25 +55,32 @@ def main():
     rng = np.random.RandomState(0)
     tokens = rng.randint(0, flow_cfg.vocab_size, (1, n_tokens))
 
-    # warmup: full pass compiles every chunk geometry
+    # fused on-device streaming session: 3 compiled shapes, no per-hop
+    # host round trips (pipeline/device_session.py)
+    stream = dec.device_stream_decoder()
+
+    # warmup: full pass compiles the hop shapes
     t0 = time.perf_counter()
-    wav = dec.stream_inference(tokens)
+    wav = stream.stream_decode(tokens)
     compile_wall = time.perf_counter() - t0
     audio_sec = wav.shape[-1] / pipe_cfg.sample_rate
 
-    # first-chunk latency (all shapes now compiled)
-    sess = dec.new_session()
+    # first-chunk latency: one steady first-hop step, compute+sync only
+    import jax as _jax
+    state = stream.init_state()
+    buf = jnp.asarray(np.pad(tokens[:, :64], ((0, 0), (0, 64))))
     t0 = time.perf_counter()
-    first = next(iter(sess.push(tokens[0, : pipe_cfg.block_size
-                                + flow_cfg.pre_lookahead_len])))
+    seg, _ = stream._step(dec.flow_params, dec.hift_params, buf, state,
+                          emit_tokens=pipe_cfg.block_size, first=True,
+                          finalize=False)
+    _jax.block_until_ready(seg)
     first_chunk_ms = (time.perf_counter() - t0) * 1e3
-    del first
 
     # timed runs
     runs = 3
     t0 = time.perf_counter()
     for _ in range(runs):
-        wav = dec.stream_inference(tokens)
+        wav = stream.stream_decode(tokens)
     proc = (time.perf_counter() - t0) / runs
     rtf = proc / audio_sec
 

@@ -156,6 +156,20 @@ class AudioDecoder:
         chunks = list(sess.push(token[0])) + list(sess.finish())
         return np.concatenate(chunks, axis=-1)
 
+    def device_stream_decoder(self, prompt_token=None, prompt_feat=None,
+                              embedding=None,
+                              block_size: Optional[int] = None,
+                              max_token_len: Optional[int] = None):
+        """Fused on-device streaming decoder (pipeline/device_session.py):
+        ~3 compiled shapes, zero per-hop host round trips."""
+        from .device_session import DeviceStreamDecoder
+        prompt_token, prompt_feat, embedding = self._defaults(
+            prompt_token, prompt_feat, embedding)
+        return DeviceStreamDecoder(
+            self, prompt_token, prompt_feat, embedding,
+            block_size or self.pipe_cfg.block_size,
+            max_token_len or self.pipe_cfg.max_token_len)
+
 
 class StreamSession:
     """Incremental token -> wav-chunk session.

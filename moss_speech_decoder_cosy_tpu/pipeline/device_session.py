@@ -1,0 +1,177 @@
+"""Fully device-resident streaming decode.
+
+The host-mediated session (audio_decoder.StreamSession) is correct but pays
+host<->device round trips per hop; on this environment a single transfer
+costs ~50-200 ms while the fused chunk compute costs ~1 ms (see
+BENCH_NOTES.md).  This module keeps EVERYTHING on device:
+
+- the token stream lives in a padded device buffer, uploaded once (or
+  incrementally via async dynamic_update_slice),
+- one jitted ``step`` per hop fuses flow (bounded 40-token window, right-pad
+  invariance) -> mel slice -> hift with mel/source caches -> Hamming
+  cross-fade -> cache update,
+- per-hop wav segments stay on device; ``stream_decode`` concatenates and
+  fetches once at the end.
+
+Exactly three compiled shapes per (block_size, prompt) geometry: first hop,
+steady hop, finalize — the TPU answer to the reference's per-shape TRT
+engines (flow_matching.py:129-156).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Tuple
+
+import numpy as np
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+
+@flax.struct.dataclass
+class DeviceStreamState:
+    token_offset: jnp.ndarray     # () i32, emitted tokens so far
+    mel_cache: jnp.ndarray        # (1, mel_cache_len, n_mel)
+    source_cache: jnp.ndarray     # (1, scl, 1)
+    speech_cache: jnp.ndarray     # (1, scl)
+
+
+class DeviceStreamDecoder:
+    """Compiled streaming decoder bound to an AudioDecoder's params."""
+
+    def __init__(self, dec, prompt_token: np.ndarray,
+                 prompt_feat: np.ndarray, embedding: np.ndarray,
+                 block_size: int, max_token_len: int):
+        self.dec = dec
+        self.hop = block_size
+        self.window = max_token_len
+        self.p = int(prompt_token.shape[1])
+        self.prompt_pad = int(
+            math.ceil(self.p / self.hop) * self.hop - self.p)
+        self.la = dec.lookahead
+        self.ratio = dec.ratio
+        self.frame = dec.hift_cfg.total_upsample
+        self.mel_cache_len = dec.pipe_cfg.mel_cache_len
+        self.scl = dec.source_cache_len
+        dt = dec.compute_dtype or jnp.float32
+
+        self._prompt_tok = jnp.asarray(prompt_token, jnp.int32)
+        self._prompt_feat = jnp.asarray(prompt_feat).astype(dt)
+        self._emb = jnp.asarray(embedding).astype(dt)
+        win = np.hamming(2 * self.scl).astype(np.float32)
+        self._fade_in = jnp.asarray(win[: self.scl])
+        self._fade_out = jnp.asarray(win[self.scl:])
+
+        self._step = jax.jit(
+            self._step_impl,
+            static_argnames=("emit_tokens", "first", "finalize"))
+
+    # ------------------------------------------------------------------
+    def init_state(self) -> DeviceStreamState:
+        d = self.dec
+        n_mel = d.flow_cfg.output_size
+        return DeviceStreamState(
+            token_offset=jnp.zeros((), jnp.int32),
+            mel_cache=jnp.zeros((1, self.mel_cache_len, n_mel)),
+            source_cache=jnp.zeros((1, self.scl, 1)),
+            speech_cache=jnp.zeros((1, self.scl)),
+        )
+
+    def _step_impl(self, flow_params, hift_params, token_buf: jnp.ndarray,
+                   state: DeviceStreamState,
+                   emit_tokens: int, first: bool, finalize: bool
+                   ) -> Tuple[jnp.ndarray, DeviceStreamState]:
+        """token_buf: (1, cap) device buffer of stream tokens (no prompt).
+
+        Returns (wav segment (1, emit_samples), new state)."""
+        d = self.dec
+        w = self.window
+        offset = state.token_offset
+        end = offset + emit_tokens + (0 if finalize else self.la)
+        start = jnp.maximum(end - w, 0)
+        window = jax.lax.dynamic_slice(token_buf, (0, start),
+                                       (1, w))          # (1, W)
+        tokens = jnp.concatenate([self._prompt_tok, window], axis=1)
+        n_valid = self.p + (end - start)
+        valid = jnp.arange(self.p + w)[None, :] < n_valid
+
+        mel_full = d.flow.apply(flow_params, tokens, valid,
+                                self._prompt_feat, self._emb,
+                                streaming=True, finalize=finalize)
+        actual_offset = offset - start
+        emit_mel = jax.lax.dynamic_slice(
+            mel_full, (0, (self.p + actual_offset) * self.ratio, 0),
+            (1, emit_tokens * self.ratio, mel_full.shape[-1]))
+
+        dt = d.compute_dtype or jnp.float32
+        if first:
+            mel_in = emit_mel
+            cache_source = jnp.zeros((1, 0, 1), dt)
+        else:
+            mel_in = jnp.concatenate(
+                [state.mel_cache.astype(emit_mel.dtype), emit_mel], axis=1)
+            cache_source = state.source_cache.astype(dt)
+        wav, source = d.hift.apply(hift_params, mel_in.astype(dt),
+                                   cache_source, jax.random.PRNGKey(0))
+        if not first:
+            head = (wav[:, : self.scl] * self._fade_in
+                    + state.speech_cache * self._fade_out)
+            wav = jnp.concatenate([head, wav[:, self.scl:]], axis=1)
+
+        if finalize:
+            emit = wav
+            new_state = state.replace(token_offset=offset + emit_tokens)
+        else:
+            emit = wav[:, : wav.shape[1] - self.scl]
+            new_state = DeviceStreamState(
+                token_offset=offset + emit_tokens,
+                mel_cache=mel_in[:, mel_in.shape[1] - self.mel_cache_len:]
+                .astype(jnp.float32),
+                source_cache=source[:, source.shape[1] - self.scl:]
+                .astype(jnp.float32),
+                speech_cache=wav[:, wav.shape[1] - self.scl:]
+                .astype(jnp.float32),
+            )
+        return emit, new_state
+
+    # ------------------------------------------------------------------
+    def schedule(self, n_tokens: int) -> List[Tuple[int, bool, bool]]:
+        """Hop plan: [(emit_tokens, first, finalize), ...] mirroring
+        stream_inference (flow_inference.py:187-237)."""
+        plan = []
+        offset = 0
+        first = True
+        while True:
+            this_hop = self.hop + self.prompt_pad if first else self.hop
+            if n_tokens - offset < this_hop + self.la:
+                break
+            plan.append((this_hop, first, False))
+            offset += this_hop
+            first = False
+        plan.append((n_tokens - offset, first, True))
+        return plan
+
+    def stream_decode(self, tokens: np.ndarray) -> np.ndarray:
+        """Full-stream decode with one device upload and one fetch."""
+        n = int(tokens.shape[1])
+        cap = max(n + self.window, self.window)
+        buf = np.zeros((1, cap), np.int32)
+        buf[0, :n] = np.asarray(tokens).reshape(-1)
+        token_buf = jnp.asarray(buf)
+        state = self.init_state()
+        segs = []
+        for emit_tokens, first, finalize in self.schedule(n):
+            if emit_tokens <= 0:
+                continue
+            seg, state = self._step(self.dec.flow_params,
+                                    self.dec.hift_params, token_buf,
+                                    state, emit_tokens=emit_tokens,
+                                    first=first, finalize=finalize)
+            segs.append(seg)
+        wav = jnp.concatenate(segs, axis=1)
+        return np.asarray(wav, dtype=np.float32)
+
+    def warmup(self, n_tokens: int):
+        """Compile the hop shapes for an n-token stream."""
+        self.stream_decode(np.zeros((1, n_tokens), np.int32))

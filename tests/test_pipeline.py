@@ -142,3 +142,30 @@ def test_bf16_compute_pipeline():
     wav = dec.stream_inference(tok)
     assert wav.dtype == np.float32
     assert np.isfinite(wav).all()
+
+
+def test_device_stream_matches_host_stream(decoder):
+    """The fused on-device session must reproduce the host-mediated
+    session sample for sample."""
+    rng = np.random.RandomState(7)
+    token = rng.randint(0, 64, (1, 30))
+    wav_host = decoder.stream_inference(token, block_size=4,
+                                        max_token_len=16)
+    dev = decoder.device_stream_decoder(block_size=4, max_token_len=16)
+    wav_dev = dev.stream_decode(token)
+    assert wav_dev.shape == wav_host.shape
+    np.testing.assert_allclose(wav_dev, wav_host, atol=2e-4)
+
+
+def test_device_stream_with_prompt(decoder):
+    rng = np.random.RandomState(8)
+    p_tok = rng.randint(0, 64, (1, 3))
+    p_feat = rng.randn(1, 3 * decoder.ratio,
+                       decoder.flow_cfg.output_size).astype(np.float32) * 0.1
+    token = rng.randint(0, 64, (1, 24))
+    wav_host = decoder.stream_inference(token, p_tok, p_feat,
+                                        block_size=4, max_token_len=16)
+    dev = decoder.device_stream_decoder(p_tok, p_feat, block_size=4,
+                                        max_token_len=16)
+    wav_dev = dev.stream_decode(token)
+    np.testing.assert_allclose(wav_dev, wav_host, atol=2e-4)
