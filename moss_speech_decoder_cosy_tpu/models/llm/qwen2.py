@@ -1,0 +1,189 @@
+"""Qwen2-style decoder-only transformer (the CosyVoice2 LM backbone).
+
+The reference wraps HF Qwen2ForCausalLM (cosyvoice/llm/llm.py:231-260,
+Qwen2Encoder) and leans on vLLM for fast decode (llm.py:466-494).  Here the
+backbone is native flax — RMSNorm, rotary embeddings, grouped-query
+attention with a static KV ring buffer, SwiGLU MLP — so the whole AR loop
+can run inside one jitted ``lax.while_loop`` on TPU (no per-token host
+round trips, the TPU equivalent of the vLLM fast path).
+
+Weights are convertible from HF Qwen2 checkpoints (q/k/v have biases,
+o_proj none; tied or untied lm_head both supported).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+import flax.struct
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class Qwen2Config:
+    vocab_size: int = 151936
+    hidden_size: int = 896
+    num_layers: int = 24
+    num_heads: int = 14
+    num_kv_heads: int = 2
+    ffn_size: int = 4864
+    rope_theta: float = 1e6
+    norm_eps: float = 1e-6
+    max_seq_len: int = 4096
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+def tiny_qwen2_config() -> Qwen2Config:
+    return Qwen2Config(vocab_size=128, hidden_size=32, num_layers=2,
+                       num_heads=4, num_kv_heads=2, ffn_size=64,
+                       max_seq_len=128)
+
+
+@flax.struct.dataclass
+class KVCache:
+    k: jnp.ndarray           # (L, B, H_kv, max_len, dk)
+    v: jnp.ndarray
+    length: jnp.ndarray      # () i32
+
+
+def _rope(x: jnp.ndarray, positions: jnp.ndarray,
+          theta: float) -> jnp.ndarray:
+    """x: (B, H, T, dk); positions: (T,) absolute."""
+    dk = x.shape[-1]
+    inv = 1.0 / (theta ** (jnp.arange(0, dk, 2) / dk))
+    ang = positions[:, None] * inv[None, :]              # (T, dk/2)
+    cos = jnp.cos(ang)[None, None].astype(x.dtype)
+    sin = jnp.sin(ang)[None, None].astype(x.dtype)
+    x1, x2 = x[..., : dk // 2], x[..., dk // 2:]
+    return jnp.concatenate([x1 * cos - x2 * sin,
+                            x2 * cos + x1 * sin], axis=-1)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1,
+                       keepdims=True)
+        y = x * jax.lax.rsqrt(var + self.eps).astype(x.dtype)
+        return y * scale
+
+
+class Qwen2Layer(nn.Module):
+    cfg: Qwen2Config
+
+    def setup(self):
+        c = self.cfg
+        h, dk = c.num_heads, c.head_dim
+        self.input_layernorm = RMSNorm(c.norm_eps, name="input_layernorm")
+        self.q_proj = nn.Dense(h * dk, name="q_proj")
+        self.k_proj = nn.Dense(c.num_kv_heads * dk, name="k_proj")
+        self.v_proj = nn.Dense(c.num_kv_heads * dk, name="v_proj")
+        self.o_proj = nn.Dense(c.hidden_size, use_bias=False, name="o_proj")
+        self.post_attention_layernorm = RMSNorm(
+            c.norm_eps, name="post_attention_layernorm")
+        self.gate_proj = nn.Dense(c.ffn_size, use_bias=False,
+                                  name="gate_proj")
+        self.up_proj = nn.Dense(c.ffn_size, use_bias=False, name="up_proj")
+        self.down_proj = nn.Dense(c.hidden_size, use_bias=False,
+                                  name="down_proj")
+
+    def _heads(self, x, n):
+        b, t, _ = x.shape
+        return x.reshape(b, t, n, self.cfg.head_dim).transpose(0, 2, 1, 3)
+
+    def attend(self, x, positions, k_all, v_all, mask_bias):
+        """x (B,T,D); k_all/v_all (B,Hkv,S,dk) full key/value set
+        (already rotary-encoded); mask_bias (1,1,T,S)."""
+        c = self.cfg
+        q = self._heads(self.q_proj(x), c.num_heads)
+        q = _rope(q, positions, c.rope_theta)
+        rep = c.num_heads // c.num_kv_heads
+        k = jnp.repeat(k_all, rep, axis=1)
+        v = jnp.repeat(v_all, rep, axis=1)
+        scores = (q @ k.transpose(0, 1, 3, 2)) / np.sqrt(c.head_dim)
+        scores = scores + mask_bias
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = (attn @ v).transpose(0, 2, 1, 3)
+        out = out.reshape(x.shape[0], x.shape[1], -1)
+        return self.o_proj(out)
+
+    def kv(self, x, positions):
+        c = self.cfg
+        k = self._heads(self.k_proj(x), c.num_kv_heads)
+        k = _rope(k, positions, c.rope_theta)
+        v = self._heads(self.v_proj(x), c.num_kv_heads)
+        return k, v
+
+    def __call__(self, x, positions, k_all, v_all, mask_bias):
+        h = self.input_layernorm(x)
+        x = x + self.attend(h, positions, k_all, v_all, mask_bias)
+        h = self.post_attention_layernorm(x)
+        x = x + self.down_proj(jax.nn.silu(self.gate_proj(h))
+                               * self.up_proj(h))
+        return x
+
+
+class Qwen2Model(nn.Module):
+    """Backbone operating on input EMBEDDINGS (the speech LM feeds mixed
+    text/speech/special embeddings, llm.py:296-330)."""
+
+    cfg: Qwen2Config
+
+    def setup(self):
+        c = self.cfg
+        self.embed_tokens = nn.Embed(c.vocab_size, c.hidden_size,
+                                     name="embed_tokens")
+        self.layers = [Qwen2Layer(c, name=f"layers_{i}")
+                       for i in range(c.num_layers)]
+        self.norm = RMSNorm(c.norm_eps, name="norm")
+
+    def init_cache(self, batch: int = 1) -> KVCache:
+        c = self.cfg
+        shape = (c.num_layers, batch, c.num_kv_heads, c.max_seq_len,
+                 c.head_dim)
+        return KVCache(k=jnp.zeros(shape), v=jnp.zeros(shape),
+                       length=jnp.zeros((), jnp.int32))
+
+    def forward_embeds(self, embeds: jnp.ndarray, cache: KVCache,
+                       n_valid: Optional[jnp.ndarray] = None
+                       ) -> Tuple[jnp.ndarray, KVCache]:
+        """Append ``embeds`` (B, T, D) to the cache and return hidden states
+        (B, T, D).  Works for prefill (T=prompt) and decode (T=1)."""
+        c = self.cfg
+        t = embeds.shape[1]
+        pos0 = cache.length
+        positions = pos0 + jnp.arange(t)
+        if n_valid is None:
+            n_valid = jnp.asarray(t, jnp.int32)
+
+        key_pos = jnp.arange(c.max_seq_len)
+        allow = key_pos[None, :] <= (pos0 + jnp.arange(t))[:, None]
+        allow = allow & (key_pos[None, :] < pos0 + n_valid)
+        bias = jnp.where(allow, 0.0, -1e10)[None, None]
+
+        x = embeds
+        k_cache, v_cache = cache.k, cache.v
+        for i, layer in enumerate(self.layers):
+            h = layer.input_layernorm(x)
+            k_new, v_new = layer.kv(h, positions)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k_new[None], (i, 0, 0, pos0, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v_new[None], (i, 0, 0, pos0, 0))
+            x = x + layer.attend(h, positions, k_cache[i], v_cache[i], bias)
+            h2 = layer.post_attention_layernorm(x)
+            x = x + layer.down_proj(jax.nn.silu(layer.gate_proj(h2))
+                                    * layer.up_proj(h2))
+        x = self.norm(x)
+        new_cache = KVCache(k=k_cache, v=v_cache, length=pos0 + n_valid)
+        return x, new_cache
