@@ -1,0 +1,164 @@
+"""Training entry point — the reference cosyvoice/bin/train.py rebuilt.
+
+Model selection {flow, hifigan}, data-parallel mesh over all local devices,
+grad accumulation, orbax checkpoints with metadata sidecar, scalar logging
+(tensorboard when available, JSONL always).
+
+Example:
+  python -m moss_speech_decoder_cosy_tpu.bin.train \
+      --model flow --train_data shards.list --model_dir exp/flow \
+      --epochs 1 --accum_grad 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import time
+
+import numpy as np
+import jax
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", choices=["flow", "hifigan"], default="flow")
+    p.add_argument("--config", default="moss",
+                   choices=["moss", "cosyvoice2", "tiny"])
+    p.add_argument("--train_data", required=True,
+                   help="file listing parquet shard paths")
+    p.add_argument("--model_dir", required=True)
+    p.add_argument("--checkpoint", default=None,
+                   help="resume checkpoint (shape-filtered load)")
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--accum_grad", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--peak_lr", type=float, default=1e-3)
+    p.add_argument("--warmup_steps", type=int, default=2500)
+    p.add_argument("--save_per_step", type=int, default=1000)
+    p.add_argument("--max_steps", type=int, default=-1)
+    p.add_argument("--use_mesh", action="store_true", default=True)
+    return p.parse_args()
+
+
+class MetricLogger:
+    """Rank-0 scalar logging: JSONL always, tensorboard when available
+    (train_utils.py:330-374)."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.f = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self.tb = SummaryWriter(log_dir)
+        except Exception:
+            self.tb = None
+
+    def log(self, step: int, metrics: dict):
+        rec = {"step": step, "time": time.time(),
+               **{k: float(v) for k, v in metrics.items()}}
+        self.f.write(json.dumps(rec) + "\n")
+        self.f.flush()
+        if self.tb:
+            for k, v in rec.items():
+                if k not in ("step", "time"):
+                    self.tb.add_scalar(f"train/{k}", v, step)
+
+
+def make_dataloader(args, flow_cfg):
+    from ..data import DataList, build_pipeline, processor
+    shards = [line.strip() for line in open(args.train_data)
+              if line.strip()]
+    dl = DataList(shards)
+    procs = [
+        processor.parquet_opener,
+        functools.partial(processor.resample, resample_rate=24000),
+        processor.compute_fbank,
+        processor.parse_embedding,
+        functools.partial(processor.shuffle, shuffle_size=500),
+        functools.partial(processor.sort, sort_size=100),
+        functools.partial(processor.static_batch,
+                          batch_size=args.batch_size),
+        functools.partial(processor.padding,
+                          token_mel_ratio=flow_cfg.token_mel_ratio,
+                          gan=args.model == "hifigan"),
+    ]
+    if args.model == "hifigan":
+        procs.insert(3, processor.compute_f0)
+    return dl, build_pipeline(dl, procs)
+
+
+def main():
+    args = parse_args()
+    from ..utils.config import (moss_flow_config, cosyvoice2_flow_config,
+                                tiny_flow_config)
+    from ..utils import checkpoint as ckpt
+    from ..training import (create_flow_train_state, make_flow_train_step,
+                            make_optimizer)
+    from ..parallel import make_mesh
+
+    flow_cfg = {"moss": moss_flow_config, "cosyvoice2": cosyvoice2_flow_config,
+                "tiny": tiny_flow_config}[args.config]()
+    logger = MetricLogger(os.path.join(args.model_dir, "tensorboard"))
+    dl, _ = make_dataloader(args, flow_cfg)
+
+    if args.model != "flow":
+        raise NotImplementedError(
+            "hifigan GAN training wiring: use training.gan.make_gan_train_step"
+            " (see tests/test_gan_vq.py) — CLI wiring lands next round")
+
+    optimizer = make_optimizer(args.peak_lr, args.warmup_steps)
+    model, state, _ = create_flow_train_state(
+        flow_cfg, jax.random.PRNGKey(0), optimizer)
+    if args.checkpoint:
+        loaded = ckpt.load_checkpoint(args.checkpoint, like=state.params)
+        merged, skipped = ckpt.shape_filtered_merge(state.params, loaded)
+        state = state.replace(params=merged)
+        print(f"resumed {args.checkpoint}; skipped {len(skipped)} keys")
+
+    mesh = make_mesh() if args.use_mesh and len(jax.devices()) > 1 else None
+    jit_step = make_flow_train_step(model, optimizer, mesh=mesh,
+                                    accum_steps=args.accum_grad)
+    if mesh is not None:
+        state = jit_step.shard_state(state)
+        step_fn = jit_step(state)
+    else:
+        step_fn = jit_step
+
+    rng = jax.random.PRNGKey(1)
+    step = 0
+    for epoch in range(args.epochs):
+        dl.set_epoch(epoch)
+        _, pipeline = make_dataloader(args, flow_cfg)
+        for batch in pipeline:
+            arrays = {k: batch[k] for k in
+                      ("speech_token", "token_valid", "speech_feat",
+                       "feat_valid")}
+            arrays["embedding"] = batch.get(
+                "embedding",
+                np.zeros((batch["speech_token"].shape[0],
+                          flow_cfg.spk_embed_dim), np.float32))
+            rng, k = jax.random.split(rng)
+            state, metrics = step_fn(state, arrays, k)
+            step += 1
+            if step % 10 == 0:
+                logger.log(step, metrics)
+                print(f"epoch {epoch} step {step}: "
+                      f"loss={float(metrics['loss']):.4f}")
+            if step % args.save_per_step == 0:
+                ckpt.save_checkpoint(
+                    os.path.join(args.model_dir, f"step_{step}"),
+                    jax.device_get(state.params),
+                    metadata={"step": step, "epoch": epoch})
+            if 0 < args.max_steps <= step:
+                break
+        ckpt.save_checkpoint(
+            os.path.join(args.model_dir, f"epoch_{epoch}"),
+            jax.device_get(state.params),
+            metadata={"step": step, "epoch": epoch})
+
+
+if __name__ == "__main__":
+    main()
