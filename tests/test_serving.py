@@ -112,3 +112,31 @@ def test_chat_audio_consumer_blocks():
     assert consumer.text_tokens == [1, 2, 3]
     frame = hift_cfg.total_upsample
     assert wav.shape == (1, 10 * dec.ratio * frame)
+
+
+def test_audio_stream_processor_cuts_at_silence():
+    from moss_speech_decoder_cosy_tpu.serving.audio_process import (
+        AudioStreamProcessor)
+    sr = 24000
+    p = AudioStreamProcessor(sr=sr, min_chunk_seconds=0.25)
+    t = np.arange(sr // 2) / sr
+    loud = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    silent = np.zeros(sr // 4, np.float32)
+    assert p.push(loud[: sr // 8]) is None          # below min chunk
+    chunk = p.push(np.concatenate([loud[sr // 8:], silent]))
+    assert chunk is not None and len(chunk) >= int(sr * 0.25)
+    # the cut lands inside the silent region
+    assert np.abs(chunk[-1]) < 0.05
+    rest = p.flush()
+    assert len(chunk) + len(rest) == len(loud) + len(silent)
+
+
+def test_latency_stats():
+    from moss_speech_decoder_cosy_tpu.utils.profiling import LatencyStats
+    st = LatencyStats()
+    import time as _t
+    for _ in range(3):
+        with st.measure("step"):
+            _t.sleep(0.001)
+    s = st.summary()["step"]
+    assert s["n"] == 3 and s["mean_ms"] >= 1.0
