@@ -43,6 +43,7 @@ def main():
     flow = CausalMaskedDiffWithXvec(flow_cfg)
     hift = HiFTGenerator(hift_cfg)
     tok0 = jnp.zeros((1, 8), jnp.int32)
+    print("# init params...", file=sys.stderr, flush=True)
     flow_params = jax.jit(flow.init)(
         jax.random.PRNGKey(0), tok0, jnp.ones((1, 8), bool),
         jnp.zeros((1, 0, 80)), jnp.zeros((1, 192)))
@@ -60,9 +61,12 @@ def main():
     stream = dec.device_stream_decoder()
 
     # warmup: full pass compiles the hop shapes
+    print("# warmup stream_decode...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     wav = stream.stream_decode(tokens)
     compile_wall = time.perf_counter() - t0
+    print(f"# warmup done in {compile_wall:.1f}s", file=sys.stderr,
+          flush=True)
     audio_sec = wav.shape[-1] / pipe_cfg.sample_rate
 
     # first-chunk latency: one steady first-hop step, compute+sync only
