@@ -66,6 +66,14 @@ class DeviceStreamDecoder:
         self._step = jax.jit(
             self._step_impl,
             static_argnames=("emit_tokens", "first", "finalize"))
+        # split variant: two smaller XLA programs (much faster to compile
+        # than the monolith; still zero host crossings — intermediates are
+        # device arrays)
+        self._flow_step = jax.jit(
+            self._flow_step_impl,
+            static_argnames=("emit_tokens", "finalize"))
+        self._voc_step = jax.jit(
+            self._voc_step_impl, static_argnames=("first", "finalize"))
 
     # ------------------------------------------------------------------
     def init_state(self) -> DeviceStreamState:
@@ -135,6 +143,62 @@ class DeviceStreamDecoder:
             )
         return emit, new_state
 
+    def _flow_step_impl(self, flow_params, token_buf: jnp.ndarray,
+                        token_offset: jnp.ndarray,
+                        emit_tokens: int, finalize: bool) -> jnp.ndarray:
+        """Flow half of the hop: window slice -> mel -> emit slice."""
+        d = self.dec
+        w = self.window
+        end = token_offset + emit_tokens + (0 if finalize else self.la)
+        start = jnp.maximum(end - w, 0)
+        window = jax.lax.dynamic_slice(token_buf, (0, start), (1, w))
+        tokens = jnp.concatenate([self._prompt_tok, window], axis=1)
+        n_valid = self.p + (end - start)
+        valid = jnp.arange(self.p + w)[None, :] < n_valid
+        mel_full = d.flow.apply(flow_params, tokens, valid,
+                                self._prompt_feat, self._emb,
+                                streaming=True, finalize=finalize)
+        actual_offset = token_offset - start
+        return jax.lax.dynamic_slice(
+            mel_full, (0, (self.p + actual_offset) * self.ratio, 0),
+            (1, emit_tokens * self.ratio, mel_full.shape[-1]))
+
+    def _voc_step_impl(self, hift_params, emit_mel: jnp.ndarray,
+                       state: DeviceStreamState, first: bool,
+                       finalize: bool
+                       ) -> Tuple[jnp.ndarray, DeviceStreamState]:
+        """Vocoder half: hift with caches + cross-fade + cache update."""
+        d = self.dec
+        emit_tokens = emit_mel.shape[1] // self.ratio
+        dt = d.compute_dtype or jnp.float32
+        offset = state.token_offset
+        if first:
+            mel_in = emit_mel
+            cache_source = jnp.zeros((1, 0, 1), dt)
+        else:
+            mel_in = jnp.concatenate(
+                [state.mel_cache.astype(emit_mel.dtype), emit_mel], axis=1)
+            cache_source = state.source_cache.astype(dt)
+        wav, source = d.hift.apply(hift_params, mel_in.astype(dt),
+                                   cache_source, jax.random.PRNGKey(0))
+        if not first:
+            head = (wav[:, : self.scl] * self._fade_in
+                    + state.speech_cache * self._fade_out)
+            wav = jnp.concatenate([head, wav[:, self.scl:]], axis=1)
+        if finalize:
+            return wav, state.replace(token_offset=offset + emit_tokens)
+        emit = wav[:, : wav.shape[1] - self.scl]
+        new_state = DeviceStreamState(
+            token_offset=offset + emit_tokens,
+            mel_cache=mel_in[:, mel_in.shape[1] - self.mel_cache_len:]
+            .astype(jnp.float32),
+            source_cache=source[:, source.shape[1] - self.scl:]
+            .astype(jnp.float32),
+            speech_cache=wav[:, wav.shape[1] - self.scl:]
+            .astype(jnp.float32),
+        )
+        return emit, new_state
+
     # ------------------------------------------------------------------
     def schedule(self, n_tokens: int) -> List[Tuple[int, bool, bool]]:
         """Hop plan: [(emit_tokens, first, finalize), ...] mirroring
@@ -152,8 +216,13 @@ class DeviceStreamDecoder:
         plan.append((n_tokens - offset, first, True))
         return plan
 
-    def stream_decode(self, tokens: np.ndarray) -> np.ndarray:
-        """Full-stream decode with one device upload and one fetch."""
+    def stream_decode(self, tokens: np.ndarray,
+                      fused: bool = False) -> np.ndarray:
+        """Full-stream decode with one device upload and one fetch.
+
+        ``fused=False`` (default) uses the split flow/voc jits — identical
+        results, far cheaper compile; ``fused=True`` uses the single-program
+        step."""
         n = int(tokens.shape[1])
         cap = max(n + self.window, self.window)
         buf = np.zeros((1, cap), np.int32)
@@ -164,10 +233,19 @@ class DeviceStreamDecoder:
         for emit_tokens, first, finalize in self.schedule(n):
             if emit_tokens <= 0:
                 continue
-            seg, state = self._step(self.dec.flow_params,
-                                    self.dec.hift_params, token_buf,
-                                    state, emit_tokens=emit_tokens,
-                                    first=first, finalize=finalize)
+            if fused:
+                seg, state = self._step(self.dec.flow_params,
+                                        self.dec.hift_params, token_buf,
+                                        state, emit_tokens=emit_tokens,
+                                        first=first, finalize=finalize)
+            else:
+                mel = self._flow_step(self.dec.flow_params, token_buf,
+                                      state.token_offset,
+                                      emit_tokens=emit_tokens,
+                                      finalize=finalize)
+                seg, state = self._voc_step(self.dec.hift_params, mel,
+                                            state, first=first,
+                                            finalize=finalize)
             segs.append(seg)
         wav = jnp.concatenate(segs, axis=1)
         return np.asarray(wav, dtype=np.float32)

@@ -169,3 +169,12 @@ def test_device_stream_with_prompt(decoder):
                                         max_token_len=16)
     wav_dev = dev.stream_decode(token)
     np.testing.assert_allclose(wav_dev, wav_host, atol=2e-4)
+
+
+def test_device_stream_split_matches_fused(decoder):
+    rng = np.random.RandomState(9)
+    token = rng.randint(0, 64, (1, 28))
+    dev = decoder.device_stream_decoder(block_size=4, max_token_len=16)
+    wav_split = dev.stream_decode(token)
+    wav_fused = dev.stream_decode(token, fused=True)
+    np.testing.assert_allclose(wav_split, wav_fused, atol=1e-5)
