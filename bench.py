@@ -21,8 +21,16 @@ import numpy as np
 
 
 def main():
+    import os
     import jax
     import jax.numpy as jnp
+    # persistent compilation cache: re-runs (and the driver's bench run)
+    # skip the remote XLA compiles entirely
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from moss_speech_decoder_cosy_tpu.models.flow import (
         CausalMaskedDiffWithXvec)
     from moss_speech_decoder_cosy_tpu.models.hift import HiFTGenerator
