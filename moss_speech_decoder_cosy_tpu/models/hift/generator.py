@@ -90,8 +90,9 @@ class SourceModuleHnNSF2(nn.Module):
 
         fn = f0 * jnp.arange(1, h + 1, dtype=f0.dtype)[None, None, :]
         rad = (fn / cfg.sampling_rate) % 1.0
-        # random initial phase per harmonic except the fundamental
-        rand_ini = jax.random.uniform(k_ini, (b, h), dtype=f0.dtype)
+        # random initial phase per harmonic except the fundamental; drawn
+        # with batch 1 and broadcast so batched serving == single-stream
+        rand_ini = jax.random.uniform(k_ini, (1, h), dtype=f0.dtype)
         rand_ini = rand_ini.at[:, 0].set(0.0)
         rad = rad.at[:, 0, :].add(rand_ini)
         # integrate at low rate, re-upsample the phase (SineGen2._f02sine)
@@ -102,7 +103,9 @@ class SourceModuleHnNSF2(nn.Module):
 
         uv = (f0 > cfg.nsf_voiced_threshold).astype(f0.dtype)
         noise_amp = uv * cfg.nsf_sigma + (1.0 - uv) * cfg.nsf_alpha / 3.0
-        noise = noise_amp * jax.random.normal(k_noise, sines.shape, f0.dtype)
+        noise = noise_amp * jnp.broadcast_to(
+            jax.random.normal(k_noise, (1,) + sines.shape[1:], f0.dtype),
+            sines.shape)
         sine_waves = sines * uv + noise
 
         merged = jnp.tanh(nn.Dense(1, name="l_linear")(sine_waves))

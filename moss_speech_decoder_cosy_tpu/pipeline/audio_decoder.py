@@ -159,16 +159,18 @@ class AudioDecoder:
     def device_stream_decoder(self, prompt_token=None, prompt_feat=None,
                               embedding=None,
                               block_size: Optional[int] = None,
-                              max_token_len: Optional[int] = None):
+                              max_token_len: Optional[int] = None,
+                              batch: int = 1):
         """Fused on-device streaming decoder (pipeline/device_session.py):
-        ~3 compiled shapes, zero per-hop host round trips."""
+        ~3 compiled shapes, zero per-hop host round trips.  ``batch > 1``
+        decodes that many streams in lockstep (multi-stream serving)."""
         from .device_session import DeviceStreamDecoder
         prompt_token, prompt_feat, embedding = self._defaults(
             prompt_token, prompt_feat, embedding)
         return DeviceStreamDecoder(
             self, prompt_token, prompt_feat, embedding,
             block_size or self.pipe_cfg.block_size,
-            max_token_len or self.pipe_cfg.max_token_len)
+            max_token_len or self.pipe_cfg.max_token_len, batch=batch)
 
 
 class StreamSession:

@@ -42,8 +42,9 @@ class DeviceStreamDecoder:
 
     def __init__(self, dec, prompt_token: np.ndarray,
                  prompt_feat: np.ndarray, embedding: np.ndarray,
-                 block_size: int, max_token_len: int):
+                 block_size: int, max_token_len: int, batch: int = 1):
         self.dec = dec
+        self.batch = batch
         self.hop = block_size
         self.window = max_token_len
         self.p = int(prompt_token.shape[1])
@@ -56,9 +57,14 @@ class DeviceStreamDecoder:
         self.scl = dec.source_cache_len
         dt = dec.compute_dtype or jnp.float32
 
-        self._prompt_tok = jnp.asarray(prompt_token, jnp.int32)
-        self._prompt_feat = jnp.asarray(prompt_feat).astype(dt)
-        self._emb = jnp.asarray(embedding).astype(dt)
+        def _bcast(x):
+            x = jnp.asarray(x)
+            if x.shape[0] == 1 and batch > 1:
+                x = jnp.broadcast_to(x, (batch,) + x.shape[1:])
+            return x
+        self._prompt_tok = _bcast(prompt_token).astype(jnp.int32)
+        self._prompt_feat = _bcast(prompt_feat).astype(dt)
+        self._emb = _bcast(embedding).astype(dt)
         win = np.hamming(2 * self.scl).astype(np.float32)
         self._fade_in = jnp.asarray(win[: self.scl])
         self._fade_out = jnp.asarray(win[self.scl:])
@@ -78,12 +84,13 @@ class DeviceStreamDecoder:
     # ------------------------------------------------------------------
     def init_state(self) -> DeviceStreamState:
         d = self.dec
+        b = self.batch
         n_mel = d.flow_cfg.output_size
         return DeviceStreamState(
             token_offset=jnp.zeros((), jnp.int32),
-            mel_cache=jnp.zeros((1, self.mel_cache_len, n_mel)),
-            source_cache=jnp.zeros((1, self.scl, 1)),
-            speech_cache=jnp.zeros((1, self.scl)),
+            mel_cache=jnp.zeros((b, self.mel_cache_len, n_mel)),
+            source_cache=jnp.zeros((b, self.scl, 1)),
+            speech_cache=jnp.zeros((b, self.scl)),
         )
 
     def _step_impl(self, flow_params, hift_params, token_buf: jnp.ndarray,
@@ -95,14 +102,16 @@ class DeviceStreamDecoder:
         Returns (wav segment (1, emit_samples), new state)."""
         d = self.dec
         w = self.window
+        b = token_buf.shape[0]
         offset = state.token_offset
         end = offset + emit_tokens + (0 if finalize else self.la)
         start = jnp.maximum(end - w, 0)
         window = jax.lax.dynamic_slice(token_buf, (0, start),
-                                       (1, w))          # (1, W)
+                                       (b, w))          # (B, W)
         tokens = jnp.concatenate([self._prompt_tok, window], axis=1)
         n_valid = self.p + (end - start)
-        valid = jnp.arange(self.p + w)[None, :] < n_valid
+        valid = jnp.broadcast_to(
+            jnp.arange(self.p + w)[None, :] < n_valid, tokens.shape)
 
         mel_full = d.flow.apply(flow_params, tokens, valid,
                                 self._prompt_feat, self._emb,
@@ -110,12 +119,12 @@ class DeviceStreamDecoder:
         actual_offset = offset - start
         emit_mel = jax.lax.dynamic_slice(
             mel_full, (0, (self.p + actual_offset) * self.ratio, 0),
-            (1, emit_tokens * self.ratio, mel_full.shape[-1]))
+            (b, emit_tokens * self.ratio, mel_full.shape[-1]))
 
         dt = d.compute_dtype or jnp.float32
         if first:
             mel_in = emit_mel
-            cache_source = jnp.zeros((1, 0, 1), dt)
+            cache_source = jnp.zeros((emit_mel.shape[0], 0, 1), dt)
         else:
             mel_in = jnp.concatenate(
                 [state.mel_cache.astype(emit_mel.dtype), emit_mel], axis=1)
@@ -149,19 +158,21 @@ class DeviceStreamDecoder:
         """Flow half of the hop: window slice -> mel -> emit slice."""
         d = self.dec
         w = self.window
+        b = token_buf.shape[0]
         end = token_offset + emit_tokens + (0 if finalize else self.la)
         start = jnp.maximum(end - w, 0)
-        window = jax.lax.dynamic_slice(token_buf, (0, start), (1, w))
+        window = jax.lax.dynamic_slice(token_buf, (0, start), (b, w))
         tokens = jnp.concatenate([self._prompt_tok, window], axis=1)
         n_valid = self.p + (end - start)
-        valid = jnp.arange(self.p + w)[None, :] < n_valid
+        valid = jnp.broadcast_to(
+            jnp.arange(self.p + w)[None, :] < n_valid, tokens.shape)
         mel_full = d.flow.apply(flow_params, tokens, valid,
                                 self._prompt_feat, self._emb,
                                 streaming=True, finalize=finalize)
         actual_offset = token_offset - start
         return jax.lax.dynamic_slice(
             mel_full, (0, (self.p + actual_offset) * self.ratio, 0),
-            (1, emit_tokens * self.ratio, mel_full.shape[-1]))
+            (b, emit_tokens * self.ratio, mel_full.shape[-1]))
 
     def _voc_step_impl(self, hift_params, emit_mel: jnp.ndarray,
                        state: DeviceStreamState, first: bool,
@@ -174,7 +185,7 @@ class DeviceStreamDecoder:
         offset = state.token_offset
         if first:
             mel_in = emit_mel
-            cache_source = jnp.zeros((1, 0, 1), dt)
+            cache_source = jnp.zeros((emit_mel.shape[0], 0, 1), dt)
         else:
             mel_in = jnp.concatenate(
                 [state.mel_cache.astype(emit_mel.dtype), emit_mel], axis=1)
@@ -223,10 +234,12 @@ class DeviceStreamDecoder:
         ``fused=False`` (default) uses the split flow/voc jits — identical
         results, far cheaper compile; ``fused=True`` uses the single-program
         step."""
+        tokens = np.asarray(tokens)
+        assert tokens.shape[0] == self.batch, (tokens.shape, self.batch)
         n = int(tokens.shape[1])
         cap = max(n + self.window, self.window)
-        buf = np.zeros((1, cap), np.int32)
-        buf[0, :n] = np.asarray(tokens).reshape(-1)
+        buf = np.zeros((self.batch, cap), np.int32)
+        buf[:, :n] = tokens
         token_buf = jnp.asarray(buf)
         state = self.init_state()
         segs = []

@@ -178,3 +178,16 @@ def test_device_stream_split_matches_fused(decoder):
     wav_split = dev.stream_decode(token)
     wav_fused = dev.stream_decode(token, fused=True)
     np.testing.assert_allclose(wav_split, wav_fused, atol=1e-5)
+
+
+def test_batched_device_stream_matches_single(decoder):
+    """Lockstep batched decoding must equal per-stream decoding."""
+    rng = np.random.RandomState(10)
+    toks = rng.randint(0, 64, (2, 24))
+    dev_b = decoder.device_stream_decoder(block_size=4, max_token_len=16,
+                                          batch=2)
+    wav_b = dev_b.stream_decode(toks)
+    dev_1 = decoder.device_stream_decoder(block_size=4, max_token_len=16)
+    for i in range(2):
+        wav_i = dev_1.stream_decode(toks[i:i + 1])
+        np.testing.assert_allclose(wav_b[i:i + 1], wav_i, atol=2e-4)
