@@ -77,14 +77,18 @@ def main():
           flush=True)
     audio_sec = wav.shape[-1] / pipe_cfg.sample_rate
 
-    # first-chunk latency: one steady first-hop step, compute+sync only
+    # first-chunk latency: first-hop flow+voc steps, compute+sync only
+    # (shapes already compiled by the warmup pass)
     import jax as _jax
     state = stream.init_state()
-    buf = jnp.asarray(np.pad(tokens[:, :64], ((0, 0), (0, 64))))
+    buf = jnp.asarray(np.pad(tokens[:, :64],
+                             ((0, 0), (0, stream.window))))
+    _jax.block_until_ready(buf)
     t0 = time.perf_counter()
-    seg, _ = stream._step(dec.flow_params, dec.hift_params, buf, state,
-                          emit_tokens=pipe_cfg.block_size, first=True,
-                          finalize=False)
+    mel = stream._flow_step(dec.flow_params, buf, state.token_offset,
+                            emit_tokens=pipe_cfg.block_size, finalize=False)
+    seg, _ = stream._voc_step(dec.hift_params, mel, state, first=True,
+                              finalize=False)
     _jax.block_until_ready(seg)
     first_chunk_ms = (time.perf_counter() - t0) * 1e3
 

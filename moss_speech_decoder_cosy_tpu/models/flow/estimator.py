@@ -144,13 +144,16 @@ class CausalConditionalDecoder(nn.Module):
         h = jnp.concatenate([x, mu, spks_b, cond], axis=-1)
 
         channels = tuple(c.channels)
+        causal = c.causal
+        block_cls = CausalBlock1D if causal else Block1D
         hiddens = []
         masks = [valid]
         # --- down path (decoder.py:427-448)
         for i, ch in enumerate(channels):
             is_last = i == len(channels) - 1
             m = masks[-1]
-            h = CausalResnetBlock1D(ch, name=f"down_res_{i}")(h, m, t_emb)
+            h = CausalResnetBlock1D(ch, causal=causal,
+                                    name=f"down_res_{i}")(h, m, t_emb)
             bias = self._attn_bias(m, streaming, h.dtype)
             for j in range(c.n_blocks):
                 h = BasicTransformerBlock(
@@ -158,8 +161,12 @@ class CausalConditionalDecoder(nn.Module):
                     name=f"down_tf_{i}_{j}")(h, bias)
             hiddens.append(h)
             if is_last:
-                h = CausalConv1d(ch, 3, name=f"down_conv_{i}")(
-                    h * m[..., None])
+                if causal:
+                    h = CausalConv1d(ch, 3, name=f"down_conv_{i}")(
+                        h * m[..., None])
+                else:
+                    h = Conv1d(ch, 3, padding=1, name=f"down_conv_{i}")(
+                        h * m[..., None])
             else:
                 h = Downsample1D(ch, name=f"down_conv_{i}")(h * m[..., None])
             masks.append(m[:, ::2] if not is_last else m)
@@ -169,7 +176,7 @@ class CausalConditionalDecoder(nn.Module):
         m = masks[-1]
         bias = self._attn_bias(m, streaming, h.dtype)
         for i in range(c.num_mid_blocks):
-            h = CausalResnetBlock1D(channels[-1],
+            h = CausalResnetBlock1D(channels[-1], causal=causal,
                                     name=f"mid_res_{i}")(h, m, t_emb)
             for j in range(c.n_blocks):
                 h = BasicTransformerBlock(
@@ -184,19 +191,24 @@ class CausalConditionalDecoder(nn.Module):
             m = masks.pop()
             skip = hiddens.pop()
             h = jnp.concatenate([h[:, : skip.shape[1]], skip], axis=-1)
-            h = CausalResnetBlock1D(out_ch, name=f"up_res_{i}")(h, m, t_emb)
+            h = CausalResnetBlock1D(out_ch, causal=causal,
+                                    name=f"up_res_{i}")(h, m, t_emb)
             bias = self._attn_bias(m, streaming, h.dtype)
             for j in range(c.n_blocks):
                 h = BasicTransformerBlock(
                     out_ch, c.num_heads, c.attention_head_dim, c.act_fn,
                     name=f"up_tf_{i}_{j}")(h, bias)
             if is_last:
-                h = CausalConv1d(out_ch, 3, name=f"up_conv_{i}")(
-                    h * m[..., None])
+                if causal:
+                    h = CausalConv1d(out_ch, 3, name=f"up_conv_{i}")(
+                        h * m[..., None])
+                else:
+                    h = Conv1d(out_ch, 3, padding=1, name=f"up_conv_{i}")(
+                        h * m[..., None])
             else:
                 h = TransposeUpsample1D(out_ch, name=f"up_conv_{i}")(
                     h * m[..., None])
 
-        h = CausalBlock1D(up_channels[-1], name="final_block")(h, m)
+        h = block_cls(up_channels[-1], name="final_block")(h, m)
         out = Conv1d(c.out_channels, 1, name="final_proj")(h * m[..., None])
         return out * valid[..., None]

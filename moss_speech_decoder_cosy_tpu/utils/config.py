@@ -53,6 +53,7 @@ class EstimatorConfig:
     static_chunk_size: int = 50          # mel frames per streaming chunk
     num_left_chunks: int = -1            # forward passes -1 (decoder.py:440)
     dropout: float = 0.0
+    causal: bool = True                  # False -> v1 ConditionalDecoder
 
 
 @dataclasses.dataclass(frozen=True)

@@ -98,3 +98,49 @@ def test_estimator_standalone_shapes():
     out = est.apply(params, x, valid, mu, tt, spks, cond, streaming=True)
     assert out.shape == (b, t, d)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_v1_flow_path():
+    """CosyVoice-v1 MaskedDiffWithXvec (non-causal estimator + length
+    regulator + flow cache)."""
+    import dataclasses
+    from moss_speech_decoder_cosy_tpu.models.flow.flow_v1 import (
+        MaskedDiffWithXvec)
+    cfg = tiny_flow_config()
+    cfg = dataclasses.replace(
+        cfg, estimator=dataclasses.replace(cfg.estimator, causal=False),
+        input_frame_rate=50)
+    m = MaskedDiffWithXvec(cfg)
+    rng = np.random.RandomState(0)
+    token = jnp.asarray(rng.randint(0, cfg.vocab_size, (1, 10)))
+    p_tok = jnp.asarray(rng.randint(0, cfg.vocab_size, (1, 4)))
+    p_feat = jnp.asarray(
+        rng.randn(1, 6, cfg.output_size).astype(np.float32) * 0.1)
+    emb = jnp.asarray(rng.randn(1, cfg.spk_embed_dim).astype(np.float32))
+    mel_len2 = 16
+    params = m.init(jax.random.PRNGKey(0), token, p_tok, p_feat, emb,
+                    mel_len2, method=m.inference)
+    mel, cache = m.apply(params, token, p_tok, p_feat, emb, mel_len2,
+                         method=m.inference)
+    assert mel.shape == (1, mel_len2, cfg.output_size)
+    # cache = prompt z/mu + last min(34, T) frames (flow_matching.py:61-74)
+    assert cache.shape == (1, 6 + min(34, 6 + mel_len2),
+                           cfg.output_size, 2)
+    # second (grown) window consumes the cache
+    token2 = jnp.asarray(rng.randint(0, cfg.vocab_size, (1, 24)))
+    mel2, cache2 = m.apply(params, token2, p_tok, p_feat, emb, 40,
+                           cache, method=m.inference)
+    assert mel2.shape == (1, 40, cfg.output_size)
+    assert np.isfinite(np.asarray(mel2)).all()
+
+
+def test_v1_regulator_split_points():
+    from moss_speech_decoder_cosy_tpu.models.flow.flow_v1 import (
+        InterpolateRegulator)
+    reg = InterpolateRegulator(8, n_layers=2)
+    x1 = jnp.zeros((1, 4, 8))
+    x2 = jnp.asarray(np.random.RandomState(0)
+                     .randn(1, 50, 8).astype(np.float32))
+    params = reg.init(jax.random.PRNGKey(0), x2, 20)
+    out = reg.apply(params, x1, x2, 10, 100, method=reg.inference)
+    assert out.shape == (1, 110, 8)
