@@ -86,10 +86,11 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
-                 attn_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 attn_bias: Optional[jnp.ndarray] = None,
+                 flash_chunk: int = -1) -> jnp.ndarray:
         h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x = x + UNetAttention(self.num_heads, self.head_dim,
-                              name="attn1")(h, attn_bias)
+                              name="attn1")(h, attn_bias, flash_chunk)
         h = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
         ff = nn.Dense(self.dim * self.ff_mult, name="ff_proj")(h)
         ff = get_activation(self.act_fn)(ff)
@@ -121,11 +122,16 @@ class CausalConditionalDecoder(nn.Module):
     cfg: EstimatorConfig
 
     def _attn_bias(self, valid: jnp.ndarray, streaming: bool,
-                   dtype) -> jnp.ndarray:
+                   dtype):
+        """Returns (bias or None, flash_chunk).  With flash enabled the
+        chunk-causal mask is computed analytically inside the pallas
+        kernel — valid must be all-True (offline decode path)."""
         c = self.cfg
         chunk = c.static_chunk_size if streaming else 0
+        if c.use_flash_attention:
+            return None, chunk
         m = chunk_attention_mask(valid, chunk, c.num_left_chunks)
-        return mask_to_bias(m, dtype)
+        return mask_to_bias(m, dtype), -1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, valid: jnp.ndarray, mu: jnp.ndarray,
@@ -154,11 +160,11 @@ class CausalConditionalDecoder(nn.Module):
             m = masks[-1]
             h = CausalResnetBlock1D(ch, causal=causal,
                                     name=f"down_res_{i}")(h, m, t_emb)
-            bias = self._attn_bias(m, streaming, h.dtype)
+            bias, fchunk = self._attn_bias(m, streaming, h.dtype)
             for j in range(c.n_blocks):
                 h = BasicTransformerBlock(
                     ch, c.num_heads, c.attention_head_dim, c.act_fn,
-                    name=f"down_tf_{i}_{j}")(h, bias)
+                    name=f"down_tf_{i}_{j}")(h, bias, fchunk)
             hiddens.append(h)
             if is_last:
                 if causal:
@@ -174,14 +180,14 @@ class CausalConditionalDecoder(nn.Module):
 
         # --- mid blocks
         m = masks[-1]
-        bias = self._attn_bias(m, streaming, h.dtype)
+        bias, fchunk = self._attn_bias(m, streaming, h.dtype)
         for i in range(c.num_mid_blocks):
             h = CausalResnetBlock1D(channels[-1], causal=causal,
                                     name=f"mid_res_{i}")(h, m, t_emb)
             for j in range(c.n_blocks):
                 h = BasicTransformerBlock(
                     channels[-1], c.num_heads, c.attention_head_dim, c.act_fn,
-                    name=f"mid_tf_{i}_{j}")(h, bias)
+                    name=f"mid_tf_{i}_{j}")(h, bias, fchunk)
 
         # --- up path with skip connections
         up_channels = channels[::-1] + (channels[0],)
@@ -193,11 +199,11 @@ class CausalConditionalDecoder(nn.Module):
             h = jnp.concatenate([h[:, : skip.shape[1]], skip], axis=-1)
             h = CausalResnetBlock1D(out_ch, causal=causal,
                                     name=f"up_res_{i}")(h, m, t_emb)
-            bias = self._attn_bias(m, streaming, h.dtype)
+            bias, fchunk = self._attn_bias(m, streaming, h.dtype)
             for j in range(c.n_blocks):
                 h = BasicTransformerBlock(
                     out_ch, c.num_heads, c.attention_head_dim, c.act_fn,
-                    name=f"up_tf_{i}_{j}")(h, bias)
+                    name=f"up_tf_{i}_{j}")(h, bias, fchunk)
             if is_last:
                 if causal:
                     h = CausalConv1d(out_ch, 3, name=f"up_conv_{i}")(

@@ -84,14 +84,19 @@ class RelPositionMultiHeadedAttention(nn.Module):
 
 class UNetAttention(nn.Module):
     """diffusers CrossAttention (self-attention form) used by Matcha's
-    BasicTransformerBlock: bias-free q/k/v, additive float bias mask."""
+    BasicTransformerBlock: bias-free q/k/v, additive float bias mask.
+
+    With ``flash_chunk >= 0`` the pallas flash kernel computes attention
+    with the analytic chunk-causal mask instead of an explicit bias — use
+    only when every position is valid (offline decode)."""
 
     heads: int
     head_dim: int
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
-                 attn_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 attn_bias: Optional[jnp.ndarray] = None,
+                 flash_chunk: int = -1) -> jnp.ndarray:
         b, t, dim = x.shape
         inner = self.heads * self.head_dim
         q = nn.Dense(inner, use_bias=False, name="to_q")(x)
@@ -100,6 +105,13 @@ class UNetAttention(nn.Module):
         q = q.reshape(b, t, self.heads, self.head_dim).transpose(0, 2, 1, 3)
         k = k.reshape(b, t, self.heads, self.head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(b, t, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+        if flash_chunk >= 0:
+            from .pallas_attention import flash_chunk_attention
+            out = flash_chunk_attention(
+                q, k, v, chunk_size=flash_chunk,
+                interpret=jax.default_backend() == "cpu")
+            out = out.transpose(0, 2, 1, 3).reshape(b, t, inner)
+            return nn.Dense(dim, name="to_out")(out)
         scale = self.head_dim ** -0.5
         scores = (q @ k.transpose(0, 1, 3, 2)) * scale
         if attn_bias is not None:

@@ -54,6 +54,7 @@ class EstimatorConfig:
     num_left_chunks: int = -1            # forward passes -1 (decoder.py:440)
     dropout: float = 0.0
     causal: bool = True                  # False -> v1 ConditionalDecoder
+    use_flash_attention: bool = False    # pallas kernel for long offline T
 
 
 @dataclasses.dataclass(frozen=True)
