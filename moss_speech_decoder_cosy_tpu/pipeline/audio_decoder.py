@@ -114,12 +114,20 @@ class AudioDecoder:
     def token2wav(self, token: np.ndarray,
                   prompt_token: Optional[np.ndarray] = None,
                   prompt_feat: Optional[np.ndarray] = None,
-                  embedding: Optional[np.ndarray] = None) -> np.ndarray:
-        """Offline decode: (1, T) int tokens -> (1, T*ratio*frame) wav."""
+                  embedding: Optional[np.ndarray] = None,
+                  speed: float = 1.0) -> np.ndarray:
+        """Offline decode: (1, T) int tokens -> (1, T*ratio*frame) wav.
+
+        ``speed != 1`` linearly resamples the mel before vocoding
+        (flow_inference.py:158-161; non-streaming only)."""
         prompt_token, prompt_feat, embedding = self._defaults(
             prompt_token, prompt_feat, embedding)
         mel = self._flow_mel(token, prompt_token, prompt_feat, embedding,
                              streaming=False, finalize=True)
+        if speed != 1.0:
+            from ..models.hift.generator import linear_interpolate
+            mel = np.asarray(linear_interpolate(
+                jnp.asarray(mel), int(mel.shape[1] / speed)))
         wav, _ = self._hift(mel, np.zeros((1, 0, 1), np.float32))
         return wav
 

@@ -98,3 +98,66 @@ def test_orbax_save_load(tmp_path):
     assert set(a) == set(b)
     for k in a:
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+def test_reference_yaml_parsing(tmp_path):
+    """hyperpyyaml-style checkpoint config -> declarative dataclasses."""
+    from moss_speech_decoder_cosy_tpu.utils.ref_config import (
+        configs_from_reference_yaml)
+    y = tmp_path / "config.yaml"
+    y.write_text("""
+sample_rate: 24000
+flow: !new:cosyvoice.flow.flow.CausalMaskedDiffWithXvec
+    input_size: 512
+    output_size: 80
+    spk_embed_dim: 192
+    vocab_size: 16384
+    input_frame_rate: 12.5
+    token_mel_ratio: 4
+    pre_lookahead_len: 3
+    encoder: !new:cosyvoice.transformer.upsample_encoder.UpsampleConformerEncoder
+        output_size: 512
+        attention_heads: 8
+        linear_units: 2048
+        num_blocks: 6
+        input_size: 512
+        use_cnn_module: False
+        macaron_style: False
+        static_chunk_size: 25
+        upsample_stride: 4
+    decoder: !new:cosyvoice.flow.flow_matching.CausalConditionalCFM
+        in_channels: 240
+        cfm_params: !new:omegaconf.DictConfig
+            content:
+                sigma_min: 1e-06
+                t_scheduler: cosine
+                training_cfg_rate: 0.2
+                inference_cfg_rate: 0.7
+        estimator: !new:cosyvoice.flow.decoder.CausalConditionalDecoder
+            in_channels: 320
+            out_channels: 80
+            channels: [256]
+            attention_head_dim: 64
+            n_blocks: 4
+            num_mid_blocks: 12
+            num_heads: 8
+            act_fn: gelu
+            static_chunk_size: 50
+hift: !new:cosyvoice.hifigan.generator.HiFTGenerator
+    in_channels: 80
+    base_channels: 512
+    nb_harmonics: 8
+    sampling_rate: 24000
+    upsample_rates: [8, 5, 3]
+    upsample_kernel_sizes: [16, 11, 7]
+    istft_params:
+        n_fft: 16
+        hop_len: 4
+""")
+    flow_cfg, hift_cfg = configs_from_reference_yaml(str(y))
+    assert flow_cfg.vocab_size == 16384
+    assert flow_cfg.token_mel_ratio == 4
+    assert flow_cfg.encoder.upsample_stride == 4
+    assert flow_cfg.estimator.num_mid_blocks == 12
+    assert flow_cfg.estimator.causal is True
+    assert hift_cfg.total_upsample == 480
