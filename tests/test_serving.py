@@ -140,3 +140,23 @@ def test_latency_stats():
             _t.sleep(0.001)
     s = st.summary()["step"]
     assert s["n"] == 3 and s["mean_ms"] >= 1.0
+
+
+def test_web_demo_page_serves():
+    from moss_speech_decoder_cosy_tpu.serving.web_demo import WebDemo
+    from aiohttp.test_utils import TestServer
+    import aiohttp
+
+    async def run():
+        demo = WebDemo(handler=lambda s: s)
+        server = TestServer(demo.ws.app)
+        await server.start_server()
+        async with aiohttp.ClientSession() as s:
+            async with s.get(server.make_url("/")) as resp:
+                assert resp.status == 200
+                text = await resp.text()
+        await server.close()
+        return text
+
+    text = asyncio.run(run())
+    assert "websocket" in text or "WebSocket" in text
