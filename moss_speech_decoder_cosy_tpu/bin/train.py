@@ -13,6 +13,7 @@ Example:
 from __future__ import annotations
 
 import argparse
+import faulthandler
 import functools
 import json
 import os
@@ -20,6 +21,10 @@ import time
 
 import numpy as np
 import jax
+
+# crash visibility in elastic/fleet runs — the torchrun @record analogue
+# (bin/train.py:28,102 in the reference)
+faulthandler.enable()
 
 
 def parse_args():
@@ -112,11 +117,20 @@ def main():
     optimizer = make_optimizer(args.peak_lr, args.warmup_steps)
     model, state, _ = create_flow_train_state(
         flow_cfg, jax.random.PRNGKey(0), optimizer)
+    start_step = 0
     if args.checkpoint:
         loaded = ckpt.load_checkpoint(args.checkpoint, like=state.params)
         merged, skipped = ckpt.shape_filtered_merge(state.params, loaded)
         state = state.replace(params=merged)
-        print(f"resumed {args.checkpoint}; skipped {len(skipped)} keys")
+        meta_path = os.path.join(args.checkpoint, "metadata.json")
+        if os.path.exists(meta_path):
+            start_step = json.load(open(meta_path)).get("step", 0)
+            # schedules are pure functions of state.step; fast-forward it
+            # (the reference's scheduler.set_step, bin/train.py:199-201)
+            state = state.replace(
+                step=jax.numpy.asarray(start_step, jax.numpy.int32))
+        print(f"resumed {args.checkpoint} at step {start_step}; "
+              f"skipped {len(skipped)} keys")
 
     mesh = make_mesh() if args.use_mesh and len(jax.devices()) > 1 else None
     jit_step = make_flow_train_step(model, optimizer, mesh=mesh,
@@ -128,7 +142,7 @@ def main():
         step_fn = jit_step
 
     rng = jax.random.PRNGKey(1)
-    step = 0
+    step = start_step
     for epoch in range(args.epochs):
         dl.set_epoch(epoch)
         _, pipeline = make_dataloader(args, flow_cfg)
