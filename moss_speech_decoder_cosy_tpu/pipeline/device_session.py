@@ -29,6 +29,11 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.jit
+def _pcm16_device(wav: jnp.ndarray) -> jnp.ndarray:
+    return (jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+
+
 @flax.struct.dataclass
 class DeviceStreamState:
     token_offset: jnp.ndarray     # () i32, emitted tokens so far
@@ -227,13 +232,15 @@ class DeviceStreamDecoder:
         plan.append((n_tokens - offset, first, True))
         return plan
 
-    def stream_decode(self, tokens: np.ndarray,
-                      fused: bool = False) -> np.ndarray:
+    def stream_decode(self, tokens: np.ndarray, fused: bool = False,
+                      output: str = "float32") -> np.ndarray:
         """Full-stream decode with one device upload and one fetch.
 
         ``fused=False`` (default) uses the split flow/voc jits — identical
         results, far cheaper compile; ``fused=True`` uses the single-program
-        step."""
+        step.  ``output='int16'`` quantizes ON DEVICE to 16-bit PCM (the
+        reference's wire/file format, CLIENT_STREAMING_USAGE.md:110) —
+        quarter the device->host bytes."""
         tokens = np.asarray(tokens)
         assert tokens.shape[0] == self.batch, (tokens.shape, self.batch)
         n = int(tokens.shape[1])
@@ -261,6 +268,8 @@ class DeviceStreamDecoder:
                                             finalize=finalize)
             segs.append(seg)
         wav = jnp.concatenate(segs, axis=1)
+        if output == "int16":
+            return np.asarray(_pcm16_device(wav))
         return np.asarray(wav, dtype=np.float32)
 
     def warmup(self, n_tokens: int):

@@ -191,3 +191,14 @@ def test_batched_device_stream_matches_single(decoder):
     for i in range(2):
         wav_i = dev_1.stream_decode(toks[i:i + 1])
         np.testing.assert_allclose(wav_b[i:i + 1], wav_i, atol=2e-4)
+
+
+def test_device_stream_int16_output(decoder):
+    rng = np.random.RandomState(11)
+    token = rng.randint(0, 64, (1, 24))
+    dev = decoder.device_stream_decoder(block_size=4, max_token_len=16)
+    wav_f = dev.stream_decode(token)
+    wav_i = dev.stream_decode(token, output="int16")
+    assert wav_i.dtype == np.int16
+    np.testing.assert_allclose(wav_i.astype(np.float32) / 32767.0, wav_f,
+                               atol=1e-4)
