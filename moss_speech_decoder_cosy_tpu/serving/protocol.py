@@ -33,9 +33,10 @@ def parse_message(data: bytes) -> Tuple[int, bytes]:
 
 
 def pcm16_encode(samples: np.ndarray) -> bytes:
-    x = np.clip(np.asarray(samples, np.float32), -1.0, 1.0)
-    return (x * 32767.0).astype("<i2").tobytes()
+    from ..native import pcm16_encode as _native
+    return _native(samples)
 
 
 def pcm16_decode(data: bytes) -> np.ndarray:
-    return np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    from ..native import pcm16_decode as _native
+    return _native(data)

@@ -160,3 +160,21 @@ def test_web_demo_page_serves():
 
     text = asyncio.run(run())
     assert "websocket" in text or "WebSocket" in text
+
+
+def test_native_audio_kernels():
+    from moss_speech_decoder_cosy_tpu import native
+    assert native.available(), "g++ toolchain expected in this image"
+    rng = np.random.RandomState(0)
+    x = (rng.randn(4096) * 0.5).astype(np.float32)
+    data = native.pcm16_encode(x)
+    y = native.pcm16_decode(data)
+    np.testing.assert_allclose(y, np.clip(x, -1, 1), atol=1e-3)
+    # crossfade equals the numpy formula
+    n = 256
+    head = rng.randn(n).astype(np.float32)
+    tail = rng.randn(n).astype(np.float32)
+    win = np.hamming(2 * n).astype(np.float32)
+    got = native.crossfade(head, tail, win[:n], win[n:])
+    want = head * win[:n] + tail * win[n:]
+    np.testing.assert_allclose(got, want, atol=1e-6)
