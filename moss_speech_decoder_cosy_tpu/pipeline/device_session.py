@@ -85,6 +85,9 @@ class DeviceStreamDecoder:
             static_argnames=("emit_tokens", "finalize"))
         self._voc_step = jax.jit(
             self._voc_step_impl, static_argnames=("first", "finalize"))
+        self._steady_scan = jax.jit(
+            self._steady_scan_impl,
+            static_argnames=("n_hops", "emit_tokens"))
 
     # ------------------------------------------------------------------
     def init_state(self) -> DeviceStreamState:
@@ -215,6 +218,27 @@ class DeviceStreamDecoder:
         )
         return emit, new_state
 
+    def _steady_scan_impl(self, flow_params, hift_params,
+                          token_buf: jnp.ndarray, state: DeviceStreamState,
+                          n_hops: int, emit_tokens: int):
+        """ALL steady hops in one lax.scan — one dispatch for the bulk of
+        the stream (python jit-call overhead per hop would otherwise
+        dominate; see BENCH_NOTES.md)."""
+
+        def body(st, _):
+            mel = self._flow_step_impl(flow_params, token_buf,
+                                       st.token_offset,
+                                       emit_tokens=emit_tokens,
+                                       finalize=False)
+            seg, st = self._voc_step_impl(hift_params, mel, st,
+                                          first=False, finalize=False)
+            return st, seg
+
+        state, segs = jax.lax.scan(body, state, None, length=n_hops)
+        # (n_hops, B, emit) -> (B, n_hops*emit)
+        segs = segs.transpose(1, 0, 2).reshape(segs.shape[1], -1)
+        return segs, state
+
     # ------------------------------------------------------------------
     def schedule(self, n_tokens: int) -> List[Tuple[int, bool, bool]]:
         """Hop plan: [(emit_tokens, first, finalize), ...] mirroring
@@ -250,9 +274,30 @@ class DeviceStreamDecoder:
         token_buf = jnp.asarray(buf)
         state = self.init_state()
         segs = []
-        for emit_tokens, first, finalize in self.schedule(n):
-            if emit_tokens <= 0:
-                continue
+        plan = [p for p in self.schedule(n) if p[0] > 0]
+        i = 0
+        while i < len(plan):
+            emit_tokens, first, finalize = plan[i]
+            # batch consecutive identical steady hops into scan dispatches;
+            # power-of-two bucket sizes so any stream length reuses the
+            # same handful of compiled programs
+            if (not fused and not first and not finalize):
+                j = i
+                while (j < len(plan) and plan[j] == (emit_tokens, False,
+                                                     False)):
+                    j += 1
+                run = j - i
+                if run > 1:
+                    for bucket in (64, 16, 4, 2):
+                        while run >= bucket:
+                            seg, state = self._steady_scan(
+                                self.dec.flow_params, self.dec.hift_params,
+                                token_buf, state, n_hops=bucket,
+                                emit_tokens=emit_tokens)
+                            segs.append(seg)
+                            run -= bucket
+                    i = j - run
+                    continue
             if fused:
                 seg, state = self._step(self.dec.flow_params,
                                         self.dec.hift_params, token_buf,
@@ -267,6 +312,7 @@ class DeviceStreamDecoder:
                                             state, first=first,
                                             finalize=finalize)
             segs.append(seg)
+            i += 1
         wav = jnp.concatenate(segs, axis=1)
         if output == "int16":
             return np.asarray(_pcm16_device(wav))
