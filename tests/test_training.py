@@ -67,3 +67,15 @@ def test_data_parallel_step_on_mesh():
         getattr(x, "sharding", None) is not None
         and any(s is not None for s in getattr(x.sharding, "spec", ()))
         for x in flat if hasattr(x, "sharding"))
+
+
+def test_distributed_helpers():
+    from moss_speech_decoder_cosy_tpu.parallel import distributed as dist
+    assert dist.host_shard(list(range(10)), 0, 2) == [0, 2, 4, 6, 8]
+    assert dist.host_shard(list(range(10)), 1, 2) == [1, 3, 5, 7, 9]
+    mesh = dist.global_mesh()
+    assert mesh.shape["data"] == 8
+    batch = {"x": np.arange(16, dtype=np.float32).reshape(16, 1)}
+    g = dist.global_batch(batch, mesh)
+    assert g["x"].shape == (16, 1)
+    np.testing.assert_array_equal(np.asarray(g["x"]), batch["x"])
