@@ -85,9 +85,11 @@ class DeviceStreamDecoder:
             static_argnames=("emit_tokens", "finalize"))
         self._voc_step = jax.jit(
             self._voc_step_impl, static_argnames=("first", "finalize"))
-        self._steady_scan = jax.jit(
-            self._steady_scan_impl,
+        self._flow_scan = jax.jit(
+            self._flow_scan_impl,
             static_argnames=("n_hops", "emit_tokens"))
+        self._voc_scan = jax.jit(
+            self._voc_scan_impl, static_argnames=("emit_tokens",))
 
     # ------------------------------------------------------------------
     def init_state(self) -> DeviceStreamState:
@@ -218,24 +220,32 @@ class DeviceStreamDecoder:
         )
         return emit, new_state
 
-    def _steady_scan_impl(self, flow_params, hift_params,
-                          token_buf: jnp.ndarray, state: DeviceStreamState,
-                          n_hops: int, emit_tokens: int):
-        """ALL steady hops in one lax.scan — one dispatch for the bulk of
-        the stream (python jit-call overhead per hop would otherwise
-        dominate; see BENCH_NOTES.md)."""
+    def _flow_scan_impl(self, flow_params, token_buf: jnp.ndarray,
+                        token_offset: jnp.ndarray, n_hops: int,
+                        emit_tokens: int):
+        """n_hops steady flow hops in one lax.scan dispatch.  (Flow and
+        vocoder are scanned as SEPARATE programs: fusing both into one XLA
+        program stalls the remote compiler — see BENCH_NOTES.md.)"""
 
-        def body(st, _):
-            mel = self._flow_step_impl(flow_params, token_buf,
-                                       st.token_offset,
+        def body(offset, _):
+            mel = self._flow_step_impl(flow_params, token_buf, offset,
                                        emit_tokens=emit_tokens,
                                        finalize=False)
+            return offset + emit_tokens, mel
+
+        offset, mels = jax.lax.scan(body, token_offset, None, length=n_hops)
+        return mels, offset                 # (n_hops, B, emit*r, D)
+
+    def _voc_scan_impl(self, hift_params, mels: jnp.ndarray,
+                       state: DeviceStreamState, emit_tokens: int):
+        """Vocoder over the stacked steady-hop mels, carrying caches."""
+
+        def body(st, mel):
             seg, st = self._voc_step_impl(hift_params, mel, st,
                                           first=False, finalize=False)
             return st, seg
 
-        state, segs = jax.lax.scan(body, state, None, length=n_hops)
-        # (n_hops, B, emit) -> (B, n_hops*emit)
+        state, segs = jax.lax.scan(body, state, mels)
         segs = segs.transpose(1, 0, 2).reshape(segs.shape[1], -1)
         return segs, state
 
@@ -290,9 +300,12 @@ class DeviceStreamDecoder:
                 if run > 1:
                     for bucket in (64, 16, 4, 2):
                         while run >= bucket:
-                            seg, state = self._steady_scan(
-                                self.dec.flow_params, self.dec.hift_params,
-                                token_buf, state, n_hops=bucket,
+                            mels, _ = self._flow_scan(
+                                self.dec.flow_params, token_buf,
+                                state.token_offset, n_hops=bucket,
+                                emit_tokens=emit_tokens)
+                            seg, state = self._voc_scan(
+                                self.dec.hift_params, mels, state,
                                 emit_tokens=emit_tokens)
                             segs.append(seg)
                             run -= bucket
