@@ -29,6 +29,33 @@ def parquet_opener(data: Iterable[dict]) -> Iterator[dict]:
             yield row
 
 
+def jsonl_opener(data: Iterable[dict]) -> Iterator[dict]:
+    """{'src': path.jsonl} -> one dict per line (the cosyvoice1
+    cosy_jsonl_opener family, cosyvoice1/dataset/processor.py:100+);
+    rows may reference wav paths loaded lazily downstream."""
+    import json
+    for sample in data:
+        with open(sample["src"]) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                row = json.loads(line)
+                row.update({k: v for k, v in sample.items() if k != "src"})
+                yield row
+
+
+def wav_loader(data, sample_rate_key: str = "sample_rate"):
+    """Load 'wav' path rows into float32 'speech' (for jsonl datasets)."""
+    from ..eval.audio_io import read_wav
+    for s in data:
+        if "speech" not in s and "wav" in s:
+            wav, sr = read_wav(s["wav"])
+            s["speech"] = wav
+            s[sample_rate_key] = sr
+        yield s
+
+
 def filter_samples(data, max_length: float = 40960, min_length: float = 0.1,
                    token_max_length: int = 200, token_min_length: int = 1,
                    sample_rate_key: str = "sample_rate"):

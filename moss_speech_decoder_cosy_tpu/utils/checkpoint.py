@@ -317,6 +317,33 @@ def convert_tokenizer_state_dict(sd: StateDict, cfg):
     return m.tree(), m.unused()
 
 
+def _convert_qwen2(m: "_Mapper", cfg):
+    """HF Qwen2 (model.* names) -> models/llm/qwen2.Qwen2Model params."""
+    m.put("embed_tokens/embedding", "model.embed_tokens.weight")
+    for i in range(cfg.num_layers):
+        s, d = f"model.layers.{i}", f"layers_{i}"
+        m.put(f"{d}/input_layernorm/scale", f"{s}.input_layernorm.weight")
+        m.put(f"{d}/post_attention_layernorm/scale",
+              f"{s}.post_attention_layernorm.weight")
+        m.linear(f"{d}/q_proj", f"{s}.self_attn.q_proj")
+        m.linear(f"{d}/k_proj", f"{s}.self_attn.k_proj")
+        m.linear(f"{d}/v_proj", f"{s}.self_attn.v_proj")
+        m.linear(f"{d}/o_proj", f"{s}.self_attn.o_proj", bias=False)
+        m.linear(f"{d}/gate_proj", f"{s}.mlp.gate_proj", bias=False)
+        m.linear(f"{d}/up_proj", f"{s}.mlp.up_proj", bias=False)
+        m.linear(f"{d}/down_proj", f"{s}.mlp.down_proj", bias=False)
+    m.put("norm/scale", "model.norm.weight")
+
+
+def convert_qwen2_state_dict(sd: StateDict, cfg):
+    """HF Qwen2ForCausalLM state_dict -> flax Qwen2Model params
+    (the CosyVoice2 LM backbone, llm.py:231-260; lm_head handled by the
+    speech-LM wrapper which has its own llm_decoder)."""
+    m = _Mapper(sd)
+    _convert_qwen2(m, cfg)
+    return m.tree(), m.unused()
+
+
 def conversion_plan(kind: str, cfg) -> list:
     """(dst, src, transform) triples for a converter, without arrays —
     lets tests synthesize a torch state_dict from flax params and
@@ -328,6 +355,8 @@ def conversion_plan(kind: str, cfg) -> list:
         _convert_hift(m, cfg)
     elif kind == "tokenizer":
         _convert_tokenizer(m, cfg)
+    elif kind == "qwen2":
+        _convert_qwen2(m, cfg)
     else:
         raise ValueError(kind)
     return m.plan

@@ -161,3 +161,30 @@ hift: !new:cosyvoice.hifigan.generator.HiFTGenerator
     assert flow_cfg.estimator.num_mid_blocks == 12
     assert flow_cfg.estimator.causal is True
     assert hift_cfg.total_upsample == 480
+
+
+def test_qwen2_conversion_roundtrip():
+    from moss_speech_decoder_cosy_tpu.models.llm.qwen2 import (
+        Qwen2Model, tiny_qwen2_config)
+    cfg = tiny_qwen2_config()
+    m = Qwen2Model(cfg)
+
+    def prefill(mdl, ids):
+        e = mdl.embed_tokens(ids)
+        return mdl.forward_embeds(e, mdl.init_cache(1))
+
+    params = m.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, 4), jnp.int32), method=prefill)
+    _roundtrip("qwen2", cfg, params, ckpt.convert_qwen2_state_dict)
+
+
+def test_jsonl_opener(tmp_path):
+    import json
+    from moss_speech_decoder_cosy_tpu.data import processor
+    p = tmp_path / "a.jsonl"
+    rows = [{"utt": "u0", "speech_token": [1, 2]},
+            {"utt": "u1", "speech_token": [3]}]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    out = list(processor.jsonl_opener(iter([{"src": str(p), "epoch": 0}])))
+    assert [r["utt"] for r in out] == ["u0", "u1"]
+    assert out[0]["epoch"] == 0
