@@ -13,9 +13,11 @@ BENCH_NOTES.md).  This module keeps EVERYTHING on device:
 - per-hop wav segments stay on device; ``stream_decode`` concatenates and
   fetches once at the end.
 
-Exactly three compiled shapes per (block_size, prompt) geometry: first hop,
-steady hop, finalize — the TPU answer to the reference's per-shape TRT
-engines (flow_matching.py:129-156).
+A handful of compiled programs per (block_size, prompt) geometry: first
+hop, steady hop (plus power-of-two lax.scan bulk variants), finalize — the
+TPU answer to the reference's per-shape TRT engines
+(flow_matching.py:129-156).  Flow and vocoder stay separate XLA programs:
+fusing both into one stalls this environment's remote compiler.
 """
 
 from __future__ import annotations
