@@ -192,6 +192,48 @@ class WhisperVQEncoder(nn.Module):
         ids, token_valid, _ = self._pool_and_quantize(x, valid2)
         return ids, token_valid
 
+    # ------------------------------------------------------------- train
+    def encode_train(self, mel: jnp.ndarray, valid: jnp.ndarray,
+                     codebook: jnp.ndarray):
+        """Training forward up to (and through) the VQ with a straight-
+        through estimator (modeling_whisper.py:1391-1464): returns
+        (hidden_pre_vq (B,Tt,D), quantized_st (B,Tt,D), ids, token_valid).
+
+        ``codebook`` is the TRAINING codebook (training/vq.VQTrainState) —
+        the module's own codebook param is inference-only; pass
+        ``state.codebook`` here so EMA updates take effect immediately."""
+        c = self.cfg
+        x, _, _ = self._convs(mel)
+        t2 = x.shape[1]
+        x = x + self.embed_positions[None, :t2]
+        valid2 = valid[:, ::2]
+        pos = jnp.arange(t2)
+        if c.causal_attention:
+            allow = pos[None, :] <= pos[:, None]
+        else:
+            blk = c.quantize_causal_block_size
+            allow = (pos[None, :] // blk) <= (pos[:, None] // blk)
+        mask = allow[None] & valid2[:, None, :]
+        bias = mask_to_bias(mask, x.dtype)[:, None]
+        for layer in self.layers:
+            x = layer(x, bias)
+        k = c.pooling_kernel_size
+        b, t, d = x.shape
+        pad = (-t) % k
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            valid2 = jnp.pad(valid2, ((0, 0), (0, pad)))
+        hidden = x.reshape(b, -1, k, d).mean(axis=2)
+        token_valid = valid2[:, ::k]
+        x2 = jnp.sum(hidden * hidden, axis=-1, keepdims=True)
+        c2 = jnp.sum(codebook * codebook, axis=-1)
+        dist = x2 + c2[None, None, :] - 2.0 * jnp.einsum(
+            "btd,vd->btv", hidden, codebook)
+        ids = jnp.argmin(dist, axis=-1)
+        quantized = jnp.take(codebook, ids, axis=0)
+        quantized_st = hidden + jax.lax.stop_gradient(quantized - hidden)
+        return hidden, quantized_st, ids, token_valid
+
     # ---------------------------------------------------------- streaming
     def init_state(self, batch_size: int = 1) -> TokenizerStreamState:
         c = self.cfg

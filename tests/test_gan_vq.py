@@ -134,3 +134,37 @@ def test_vq_ema_psum_matches_single_device():
         hidden[:, None], ids[:, None], valid[:, None])
     np.testing.assert_allclose(np.asarray(sharded.codebook[0]),
                                np.asarray(single.codebook), atol=1e-5)
+
+
+def test_tokenizer_vq_training_roundtrip():
+    """encode_train + commit loss + EMA update: gradients flow through the
+    straight-through estimator into encoder params, and the EMA codebook
+    moves (the reference's in-forward VQ training,
+    modeling_whisper.py:1391-1465)."""
+    from moss_speech_decoder_cosy_tpu.tokenizer import (
+        WhisperVQEncoder, tiny_tokenizer_config)
+    cfg = tiny_tokenizer_config()
+    m = WhisperVQEncoder(cfg)
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray(rng.randn(2, 16, cfg.num_mel_bins).astype(np.float32))
+    valid = jnp.ones((2, 16), bool)
+    params = m.init(jax.random.PRNGKey(0), mel, valid)
+    vq_state = vq_mod.init_vq_state(
+        jnp.asarray(params["params"]["codebook"]))
+
+    def loss_fn(p):
+        hidden, q_st, ids, tv = m.apply(p, mel, valid, vq_state.codebook,
+                                        method=m.encode_train)
+        downstream = jnp.mean(q_st ** 2)          # placeholder ASR loss
+        commit = vq_mod.commit_loss(hidden, jnp.take(vq_state.codebook, ids,
+                                                     axis=0), tv, cfg)
+        return downstream + commit, (hidden, ids, tv)
+
+    (loss, (hidden, ids, tv)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    gnorm = float(optax.global_norm(grads))
+    assert gnorm > 0                               # flows through ST
+    new_state = vq_mod.ema_update(vq_state, hidden, ids, tv, cfg)
+    assert not np.allclose(np.asarray(new_state.codebook),
+                           np.asarray(vq_state.codebook))

@@ -148,3 +148,24 @@ def test_causal_conv_streaming_equals_offline():
         y, cache = m.apply(params, jnp.asarray(x[:, i:i + 6]), cache)
         outs.append(np.asarray(y))
     np.testing.assert_allclose(np.concatenate(outs, axis=1), full, atol=1e-6)
+
+
+@pytest.mark.parametrize("k,d,chunk", [(3, 1, 4), (5, 2, 8), (7, 1, 5),
+                                       (2, 1, 3), (9, 3, 16)])
+def test_causal_conv_streaming_grid(k, d, chunk):
+    """Stream==offline over a kernel/dilation/chunk grid — the reference's
+    streaming-module test discipline (streaming_module_example.py:306-363,
+    delta <= 1e-6)."""
+    rng = np.random.RandomState(k * 10 + d)
+    b, t, c = 1, 48, 6
+    x = rng.randn(b, t, c).astype(np.float32)
+    m = CausalConv1d(c, k, dilation=d)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    full = np.asarray(m.apply(params, jnp.asarray(x)))
+    cache = jnp.zeros((b, (k - 1) * d, c))
+    outs = []
+    for i in range(0, t, chunk):
+        y, cache = m.apply(params, jnp.asarray(x[:, i:i + chunk]), cache)
+        outs.append(np.asarray(y))
+    np.testing.assert_allclose(np.concatenate(outs, axis=1), full,
+                               atol=1e-6)
