@@ -144,3 +144,39 @@ def test_v1_regulator_split_points():
     params = reg.init(jax.random.PRNGKey(0), x2, 20)
     out = reg.apply(params, x1, x2, 10, 100, method=reg.inference)
     assert out.shape == (1, 110, 8)
+
+
+def test_dit_estimator_and_cfm():
+    """cosyvoice1 DiT estimator family: shapes, mask correctness, CFM."""
+    from moss_speech_decoder_cosy_tpu.models.flow.dit import (
+        DiTEstimator, DiTConditionalCFM, tiny_dit_config)
+    from moss_speech_decoder_cosy_tpu.utils.config import CFMConfig
+    dit_cfg = tiny_dit_config()
+    rng = np.random.RandomState(0)
+    b, t, d = 2, 12, dit_cfg.io_channels
+    x = jnp.asarray(rng.randn(b, t, d).astype(np.float32))
+    mu = jnp.asarray(rng.randn(b, t, d).astype(np.float32))
+    spks = jnp.asarray(rng.randn(b, d).astype(np.float32))
+    cond = jnp.zeros((b, t, d))
+    valid = jnp.ones((b, t), bool)
+    tt = jnp.full((b,), 0.3)
+    est = DiTEstimator(dit_cfg)
+    params = est.init(jax.random.PRNGKey(0), x, valid, mu, tt, spks, cond)
+    out = est.apply(params, x, valid, mu, tt, spks, cond)
+    assert out.shape == (b, t, d)
+    # padded keys must not affect valid outputs
+    pad = 4
+    xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    mup = jnp.pad(mu, ((0, 0), (0, pad), (0, 0)))
+    condp = jnp.pad(cond, ((0, 0), (0, pad), (0, 0)))
+    vp = jnp.pad(valid, ((0, 0), (0, pad)))
+    outp = est.apply(params, xp, vp, mup, tt, spks, condp)
+    np.testing.assert_allclose(np.asarray(outp[:, :t]), np.asarray(out),
+                               atol=2e-5)
+
+    cfm = DiTConditionalCFM(CFMConfig(n_timesteps=3, max_noise_len=64),
+                            dit_cfg)
+    cparams = cfm.init(jax.random.PRNGKey(1), mu, valid, spks, cond)
+    mel = cfm.apply(cparams, mu, valid, spks, cond)
+    assert mel.shape == (b, t, d)
+    assert np.isfinite(np.asarray(mel)).all()
