@@ -30,6 +30,14 @@ class WhisperVQConfig:
     quantize_loss_scale: float = 10.0
     quantize_restart_interval: int = 100
     activation: str = "gelu"
+    # ASR-supervision head (training-time; quantize_encoder_only checkpoints
+    # ship without it, config.json:55)
+    include_post_vq: bool = False        # encoder layers after the VQ
+    decoder_layers: int = 4
+    decoder_attention_heads: int = 20
+    decoder_ffn_dim: int = 5120
+    vocab_size: int = 51866
+    max_target_positions: int = 448
 
     # feature-extractor constants (whisper_feat_extractor.py / HF whisper)
     sampling_rate: int = 16000
@@ -54,4 +62,6 @@ def tiny_tokenizer_config() -> WhisperVQConfig:
     return WhisperVQConfig(
         num_mel_bins=8, d_model=16, attention_heads=2, ffn_dim=24,
         encoder_layers=3, quantize_position=2, pooling_position=2,
-        quantize_vocab_size=32, max_source_positions=64)
+        quantize_vocab_size=32, max_source_positions=64,
+        decoder_layers=2, decoder_attention_heads=2, decoder_ffn_dim=24,
+        vocab_size=64, max_target_positions=32)

@@ -94,3 +94,34 @@ def test_tokenizer_block_causal_mode():
     params = m.init(jax.random.PRNGKey(0), mel, valid)
     ids, _ = m.apply(params, mel, valid)
     assert ids.shape == (1, 4)
+
+
+def test_asr_supervision_head():
+    """Post-VQ encoder + whisper decoder + CE: the tokenizer's training
+    supervision path (modeling_whisper.py:1466,1614+)."""
+    from moss_speech_decoder_cosy_tpu.tokenizer.asr_decoder import (
+        PostVQEncoder, WhisperVQDecoder, asr_ce_loss)
+    from moss_speech_decoder_cosy_tpu.training import vq as vq_mod
+    cfg = tiny_tokenizer_config()
+    m = WhisperVQEncoder(cfg)
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray(rng.randn(1, 16, cfg.num_mel_bins).astype(np.float32))
+    valid = jnp.ones((1, 16), bool)
+    params = m.init(jax.random.PRNGKey(0), mel, valid)
+    codebook = jnp.asarray(params["params"]["codebook"])
+    hidden, q_st, ids, tv = m.apply(params, mel, valid, codebook,
+                                    method=m.encode_train)
+
+    post = PostVQEncoder(cfg)
+    pparams = post.init(jax.random.PRNGKey(1), q_st, tv)
+    enc = post.apply(pparams, q_st, tv)
+    assert enc.shape == q_st.shape
+
+    dec = WhisperVQDecoder(cfg)
+    text = jnp.asarray(rng.randint(0, cfg.vocab_size, (1, 6)))
+    text_valid = jnp.ones((1, 6), bool)
+    dparams = dec.init(jax.random.PRNGKey(2), text, text_valid, enc, tv)
+    logits = dec.apply(dparams, text, text_valid, enc, tv)
+    assert logits.shape == (1, 6, cfg.vocab_size)
+    loss = asr_ce_loss(logits[:, :-1], text[:, 1:], text_valid[:, 1:])
+    assert np.isfinite(float(loss)) and float(loss) > 0
