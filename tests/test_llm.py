@@ -96,3 +96,26 @@ def test_bistream_session():
     for c in chunks:
         assert c.shape == (cfg.mix_ratio[1],)
         assert (c < cfg.speech_token_size).all()
+
+
+def test_transformer_lm_v1():
+    """Legacy v1 TransformerLM: teacher-forced logits + scan generation."""
+    from moss_speech_decoder_cosy_tpu.models.llm.transformer_lm import (
+        TransformerLM, tiny_transformer_lm_config)
+    cfg = tiny_transformer_lm_config()
+    m = TransformerLM(cfg)
+    rng = np.random.RandomState(0)
+    text = jnp.asarray(rng.randint(0, cfg.text_token_size, (1, 5)))
+    text_valid = jnp.ones((1, 5), bool)
+    speech = jnp.asarray(rng.randint(0, cfg.speech_token_size, (1, 7)))
+    speech_valid = jnp.ones((1, 7), bool)
+    params = m.init(jax.random.PRNGKey(0), text, text_valid, speech,
+                    speech_valid)
+    logits, valid = m.apply(params, text, text_valid, speech, speech_valid)
+    assert logits.shape == (1, 1 + 5 + 1 + 7, cfg.speech_token_size + 1)
+    toks, n = m.apply(params, text, text_valid, jax.random.PRNGKey(1), 8,
+                      method=m.generate)
+    toks, n = np.asarray(toks), int(n)
+    assert toks.shape == (8,)
+    assert (toks[:n] < cfg.speech_token_size).all()
+    assert (toks[n:] == cfg.speech_token_size).all()
