@@ -12,8 +12,6 @@ TPU-first: feature-last, analytic masks, no flash-attn dependency.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ import flax.linen as nn
 from ...ops.attention import RelPositionMultiHeadedAttention
 from ...ops.embeddings import espnet_rel_pos
 from ...ops.masks import chunk_attention_mask
-from ...ops.convs import Conv1d, CausalConv1d
+from ...ops.convs import Conv1d
 from ...ops.activations import get_activation
 from ...utils.config import EncoderConfig
 

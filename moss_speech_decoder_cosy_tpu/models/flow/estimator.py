@@ -12,7 +12,7 @@ graph, like the reference's TRT engines per shape).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

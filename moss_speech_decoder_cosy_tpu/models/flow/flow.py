@@ -8,7 +8,7 @@ hop is a single jitted dispatch.  The pipeline layer owns all session state.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

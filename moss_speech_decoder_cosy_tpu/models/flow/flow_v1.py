@@ -13,7 +13,6 @@ checkpoints are servable too.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import numpy as np

@@ -14,7 +14,6 @@
 from __future__ import annotations
 
 import functools
-import math
 import sys
 
 import numpy as np

@@ -16,7 +16,7 @@ sharding.  The TPU-native mapping:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -23,7 +23,7 @@ fusing both into one stalls this environment's remote compiler.
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 import flax.struct

@@ -14,7 +14,6 @@ hifigan.py:9-90, utils/losses.py:6-22, matcha hifigan LSGAN losses) in JAX:
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, List, Sequence, Tuple
 
 import numpy as np

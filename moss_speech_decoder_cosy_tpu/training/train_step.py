@@ -12,7 +12,6 @@ utils/train_utils.py) onto SPMD JAX:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Optional
 
 import jax
@@ -22,8 +21,7 @@ import flax
 
 from ..models.flow import CausalMaskedDiffWithXvec
 from ..utils.config import FlowConfig
-from ..parallel.mesh import (make_mesh, replicated, batch_sharded,
-                             zero_sharding)
+from ..parallel.mesh import replicated, batch_sharded, zero_sharding
 
 
 @flax.struct.dataclass
