@@ -109,10 +109,8 @@ def main():
     logger = MetricLogger(os.path.join(args.model_dir, "tensorboard"))
     dl, _ = make_dataloader(args, flow_cfg)
 
-    if args.model != "flow":
-        raise NotImplementedError(
-            "hifigan GAN training wiring: use training.gan.make_gan_train_step"
-            " (see tests/test_gan_vq.py) — CLI wiring lands next round")
+    if args.model == "hifigan":
+        return train_hifigan(args, flow_cfg, logger)
 
     optimizer = make_optimizer(args.peak_lr, args.warmup_steps)
     model, state, _ = create_flow_train_state(
@@ -172,6 +170,66 @@ def main():
             os.path.join(args.model_dir, f"epoch_{epoch}"),
             jax.device_get(state.params),
             metadata={"step": step, "epoch": epoch})
+
+
+def train_hifigan(args, flow_cfg, logger):
+    """GAN fine-tune loop: alternating discriminator/generator turns per
+    batch (executor.train_one_epoc_gan, executor.py:94-180)."""
+    import functools
+    import optax
+    import jax.numpy as jnp
+    from ..models.hift import HiFTGenerator
+    from ..training import gan as gan_mod
+    from ..utils.config import moss_hift_config, tiny_hift_config
+    from ..utils import checkpoint as ckpt
+    from ..ops.melspec import matcha_mel_spectrogram
+
+    hift_cfg = (tiny_hift_config() if args.config == "tiny"
+                else moss_hift_config())
+    gen = HiFTGenerator(hift_cfg)
+    disc = gan_mod.MultipleDiscriminator()
+    t0_mel = jnp.zeros((1, 8, hift_cfg.in_channels))
+    gp = gen.init(jax.random.PRNGKey(0), t0_mel)
+    wav0 = jnp.zeros((1, 8 * hift_cfg.total_upsample))
+    dp = disc.init(jax.random.PRNGKey(1), wav0, wav0)
+    gen_tx = optax.adam(args.peak_lr, b1=0.8, b2=0.99)
+    disc_tx = optax.adam(args.peak_lr, b1=0.8, b2=0.99)
+    mel_tf = [functools.partial(
+        matcha_mel_spectrogram,
+        sampling_rate=hift_cfg.sampling_rate)]
+    disc_step, gen_step = gan_mod.make_gan_train_step(
+        gen, disc, mel_tf, gen_tx, disc_tx)
+    state = gan_mod.GanTrainState(
+        step=jnp.zeros((), jnp.int32), gen_params=gp, disc_params=dp,
+        gen_opt=gen_tx.init(gp), disc_opt=disc_tx.init(dp))
+
+    rng = jax.random.PRNGKey(2)
+    step = 0
+    for epoch in range(args.epochs):
+        dl, pipeline = make_dataloader(args, flow_cfg)
+        dl.set_epoch(epoch)
+        for batch in pipeline:
+            arrays = {"speech": batch["speech"],
+                      "speech_feat": batch["speech_feat"],
+                      "pitch_feat": batch["pitch_feat"]}
+            rng, k1, k2 = jax.random.split(rng, 3)
+            state, dm = disc_step(state, arrays, k1)
+            state, gm = gen_step(state, arrays, k2)
+            step += 1
+            if step % 10 == 0:
+                logger.log(step, {**dm, **gm})
+                print(f"epoch {epoch} step {step}: "
+                      f"gen={float(gm['loss']):.4f} "
+                      f"disc={float(dm['loss_disc']):.4f}")
+            if step % args.save_per_step == 0 or (
+                    0 < args.max_steps <= step):
+                ckpt.save_checkpoint(
+                    os.path.join(args.model_dir, f"gan_step_{step}"),
+                    jax.device_get({"generator": state.gen_params,
+                                    "discriminator": state.disc_params}),
+                    metadata={"step": step, "epoch": epoch})
+            if 0 < args.max_steps <= step:
+                return
 
 
 if __name__ == "__main__":

@@ -188,3 +188,25 @@ def test_jsonl_opener(tmp_path):
     out = list(processor.jsonl_opener(iter([{"src": str(p), "epoch": 0}])))
     assert [r["utt"] for r in out] == ["u0", "u1"]
     assert out[0]["epoch"] == 0
+
+
+def test_average_checkpoints():
+    from moss_speech_decoder_cosy_tpu.utils.export import (
+        average_checkpoints)
+    a = {"w": np.asarray([1.0, 2.0]), "b": {"x": np.asarray(2.0)}}
+    b = {"w": np.asarray([3.0, 4.0]), "b": {"x": np.asarray(4.0)}}
+    avg = average_checkpoints([a, b])
+    np.testing.assert_allclose(np.asarray(avg["w"]), [2.0, 3.0])
+    np.testing.assert_allclose(np.asarray(avg["b"]["x"]), 3.0)
+
+
+def test_export_serialized_roundtrip():
+    from moss_speech_decoder_cosy_tpu.utils.export import (
+        export_serialized, load_serialized)
+    fn = lambda x: x * 2.0 + 1.0  # noqa: E731
+    x = jnp.ones((4,))
+    data = export_serialized(fn, x)
+    assert isinstance(data, bytes) and len(data) > 0
+    restored = load_serialized(data)
+    np.testing.assert_allclose(np.asarray(restored(x)),
+                               np.asarray(fn(x)))

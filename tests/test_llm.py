@@ -119,3 +119,48 @@ def test_transformer_lm_v1():
     assert toks.shape == (8,)
     assert (toks[:n] < cfg.speech_token_size).all()
     assert (toks[n:] == cfg.speech_token_size).all()
+
+
+def test_speech_synthesizer_end_to_end():
+    """text ids -> LM tokens -> flow+hift waveform (inference_zero_shot
+    role)."""
+    import dataclasses
+    from moss_speech_decoder_cosy_tpu.synthesizer import SpeechSynthesizer
+    from moss_speech_decoder_cosy_tpu.models.flow import (
+        CausalMaskedDiffWithXvec)
+    from moss_speech_decoder_cosy_tpu.models.hift import HiFTGenerator
+    from moss_speech_decoder_cosy_tpu.pipeline import AudioDecoder
+    from moss_speech_decoder_cosy_tpu.utils.config import (
+        tiny_flow_config, tiny_hift_config, PipelineConfig)
+
+    lm_cfg = tiny_speech_lm_config()
+    # speech tokens must fit the tiny flow vocab (64 > 32+3)
+    lm = Qwen2SpeechLM(lm_cfg)
+    text = jnp.zeros((1, 4), jnp.int32)
+    ps = jnp.zeros((1, 0), jnp.int32)
+    lm_params = lm.init(jax.random.PRNGKey(0), text, ps,
+                        jax.random.PRNGKey(1), max_len=4)
+
+    flow_cfg, hift_cfg = tiny_flow_config(), tiny_hift_config()
+    flow = CausalMaskedDiffWithXvec(flow_cfg)
+    fp = flow.init(jax.random.PRNGKey(2), jnp.zeros((1, 8), jnp.int32),
+                   jnp.ones((1, 8), bool),
+                   jnp.zeros((1, 0, flow_cfg.output_size)),
+                   jnp.zeros((1, flow_cfg.spk_embed_dim)))
+    hift = HiFTGenerator(hift_cfg)
+    hp = hift.init(jax.random.PRNGKey(3),
+                   jnp.zeros((1, 8, hift_cfg.in_channels)))
+    dec = AudioDecoder(flow_cfg, hift_cfg, fp, hp,
+                       PipelineConfig(block_size=4, mel_cache_len=4,
+                                      max_token_len=16))
+    syn = SpeechSynthesizer(lm, lm_params, dec, max_tokens=12)
+    text_ids = np.random.RandomState(0).randint(0, 100, (1, 5))
+    wav = syn.tts(text_ids, seed=1)
+    frame = hift_cfg.total_upsample
+    assert wav.shape[1] % (dec.ratio * frame) == 0
+    if wav.shape[1] > 0:
+        assert np.isfinite(wav).all()
+    # chunked producer/consumer path
+    chunks = list(syn.tts_stream(text_ids, seed=1))
+    wav2 = np.concatenate(chunks, axis=-1) if chunks else wav
+    assert wav2.shape[1] == wav.shape[1]
