@@ -28,7 +28,7 @@ def export_serialized(fn: Callable, *example_args) -> bytes:
     """Serialize fn for the example shapes to portable bytes."""
     from jax import export as jexport
     exported = jexport.export(jax.jit(fn))(*example_args)
-    return exported.serialize()
+    return bytes(exported.serialize())
 
 
 def load_serialized(data: bytes):
