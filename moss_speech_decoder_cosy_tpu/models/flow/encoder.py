@@ -72,7 +72,9 @@ class PreLookaheadLayer(nn.Module):
 
 class ConvolutionModule(nn.Module):
     """Conformer conv module (transformer/convolution.py:24-145); layer-norm
-    variant, optional causal left padding."""
+    variant, optional causal left padding.  (The reference also supports a
+    batch_norm variant; the production flow configs disable the conv module
+    entirely — add running-stats BN here if a checkpoint needs it.)"""
 
     channels: int
     kernel_size: int = 15

@@ -124,7 +124,6 @@ class PipelineConfig:
     max_token_len: int = 40              # sliding window bound
     sample_rate: int = 24000
     token_overlap_len: float = 3.5
-    compute_dtype: str = "float32"
 
     @property
     def mel_overlap_len(self) -> int:
