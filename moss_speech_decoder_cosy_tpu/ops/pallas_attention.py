@@ -22,84 +22,99 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1.0e30
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_actual: int, t_pad: int,
-                 blk_q: int, blk_kv: int, chunk: int, scale: float):
-    """Grid: (B*H, T_pad // blk_q).  Refs: q/o (blk_q, dk),
-    k/v (T_pad, dk)."""
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, *,
+                 t_actual: int, blk_q: int, blk_kv: int, chunk: int,
+                 scale: float):
+    """Grid: (B*H, T_pad//blk_q, T_pad//blk_kv) — KV blocks iterate in the
+    innermost grid dim so pallas double-buffers their DMA automatically.
+    Scratch (m, l, acc) carries the online softmax across KV steps."""
     qi = pl.program_id(1)
-    q = q_ref[:] * scale
+    j = pl.program_id(2)
+    n_kv = pl.num_programs(2)
 
-    m0 = jnp.full((blk_q, 1), _NEG, jnp.float32)
-    l0 = jnp.zeros((blk_q, 1), jnp.float32)
-    acc0 = jnp.zeros((blk_q, q.shape[-1]), jnp.float32)
+    @pl.when(j == 0)
+    def _():
+        m_s[:] = jnp.full_like(m_s, _NEG)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
 
-    q_pos = qi * blk_q + jax.lax.broadcasted_iota(
-        jnp.int32, (blk_q, blk_kv), 0)
+    # with the chunk-causal mask, KV blocks fully in the future contribute
+    # nothing — skip their compute (their DMA is pipelined anyway)
+    if chunk > 0:
+        last_q = qi * blk_q + blk_q - 1
+        visible = j * blk_kv <= (last_q // chunk + 1) * chunk - 1
+    else:
+        visible = j >= 0
 
-    def body(j, carry):
-        m, l, acc = carry
-        k = k_ref[pl.ds(j * blk_kv, blk_kv), :]
-        v = v_ref[pl.ds(j * blk_kv, blk_kv), :]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    @pl.when(visible)
+    def _():
+        q = q_ref[:] * scale
+        s = jnp.dot(q, k_ref[:].T, preferred_element_type=jnp.float32)
+        q_pos = qi * blk_q + jax.lax.broadcasted_iota(
+            jnp.int32, (blk_q, blk_kv), 0)
         k_pos = j * blk_kv + jax.lax.broadcasted_iota(
             jnp.int32, (blk_q, blk_kv), 1)
         allow = k_pos < t_actual
         if chunk > 0:
             allow = allow & ((k_pos // chunk) <= (q_pos // chunk))
         s = jnp.where(allow, s, _NEG)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        m_prev = m_s[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jnp.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        return m_new, l_new, acc_new
+        alpha = jnp.exp(m_prev - m_new)
+        m_s[:] = m_new
+        l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_s[:] = acc_s[:] * alpha + jnp.dot(
+            p.astype(v_ref.dtype), v_ref[:],
+            preferred_element_type=jnp.float32)
 
-    if chunk > 0:
-        # skip kv blocks strictly after this query block's chunk window
-        last_q = qi * blk_q + blk_q - 1
-        visible_end = jnp.minimum((last_q // chunk + 1) * chunk, t_pad)
-        n_kv = pl.cdiv(visible_end, blk_kv)
-    else:
-        n_kv = t_pad // blk_kv
-    m, l, acc = jax.lax.fori_loop(0, n_kv, body, (m0, l0, acc0))
-    o_ref[:] = (acc / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
+    @pl.when(j == n_kv - 1)
+    def _():
+        o_ref[:] = (acc_s[:] / jnp.maximum(l_s[:], 1e-20)).astype(
+            o_ref.dtype)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("chunk_size", "blk_q", "blk_kv",
                                     "interpret"))
 def flash_chunk_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                          chunk_size: int = 0, blk_q: int = 128,
-                          blk_kv: int = 128,
+                          chunk_size: int = 0, blk_q: int = 256,
+                          blk_kv: int = 256,
                           interpret: bool = False) -> jnp.ndarray:
     """q/k/v: (B, H, T, dk) -> (B, H, T, dk); chunk_size=0 -> full attn."""
     b, h, t, dk = q.shape
     scale = 1.0 / np.sqrt(dk)
-    t_pad = ((t + max(blk_q, blk_kv) - 1)
-             // max(blk_q, blk_kv)) * max(blk_q, blk_kv)
+    blk = max(blk_q, blk_kv)
+    t_pad = ((t + blk - 1) // blk) * blk
 
     def pad(x):
         return jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0))
                        ).reshape(b * h, t_pad, dk)
 
     kernel = functools.partial(
-        _attn_kernel, t_actual=t, t_pad=t_pad, blk_q=blk_q, blk_kv=blk_kv,
+        _attn_kernel, t_actual=t, blk_q=blk_q, blk_kv=blk_kv,
         chunk=chunk_size, scale=scale)
     out = pl.pallas_call(
         kernel,
-        grid=(b * h, t_pad // blk_q),
+        grid=(b * h, t_pad // blk_q, t_pad // blk_kv),
         in_specs=[
-            pl.BlockSpec((None, blk_q, dk), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((None, t_pad, dk), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((None, t_pad, dk), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, blk_q, dk), lambda i, qi, j: (i, qi, 0)),
+            pl.BlockSpec((None, blk_kv, dk), lambda i, qi, j: (i, j, 0)),
+            pl.BlockSpec((None, blk_kv, dk), lambda i, qi, j: (i, j, 0)),
         ],
-        out_specs=pl.BlockSpec((None, blk_q, dk), lambda i, j: (i, j, 0)),
+        out_specs=pl.BlockSpec((None, blk_q, dk),
+                               lambda i, qi, j: (i, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, t_pad, dk), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((blk_q, 1), jnp.float32),
+            pltpu.VMEM((blk_q, 1), jnp.float32),
+            pltpu.VMEM((blk_q, dk), jnp.float32),
+        ],
         interpret=interpret,
     )(pad(q), pad(k), pad(v))
     return out.reshape(b, h, t_pad, dk)[:, :, :t]
