@@ -87,10 +87,12 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  attn_bias: Optional[jnp.ndarray] = None,
-                 flash_chunk: int = -1) -> jnp.ndarray:
+                 flash_chunk: int = -1,
+                 flash_valid_len: int = -1) -> jnp.ndarray:
         h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x = x + UNetAttention(self.num_heads, self.head_dim,
-                              name="attn1")(h, attn_bias, flash_chunk)
+                              name="attn1")(h, attn_bias, flash_chunk,
+                                            flash_valid_len)
         h = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
         ff = nn.Dense(self.dim * self.ff_mult, name="ff_proj")(h)
         ff = get_activation(self.act_fn)(ff)
@@ -149,6 +151,18 @@ class CausalConditionalDecoder(nn.Module):
                                   (x.shape[0], x.shape[1], spks.shape[-1]))
         h = jnp.concatenate([x, mu, spks_b, cond], axis=-1)
 
+        # flash path: pad the time axis ONCE to the kernel block size so
+        # per-layer attention calls are copy-free; the true length feeds
+        # the kernel's analytic key mask
+        t_true = h.shape[1]
+        flash_pad = 0
+        if c.use_flash_attention:
+            blk = 512
+            flash_pad = (-t_true) % blk
+            if flash_pad:
+                h = jnp.pad(h, ((0, 0), (0, flash_pad), (0, 0)))
+                valid = jnp.pad(valid, ((0, 0), (0, flash_pad)))
+
         channels = tuple(c.channels)
         causal = c.causal
         block_cls = CausalBlock1D if causal else Block1D
@@ -164,7 +178,7 @@ class CausalConditionalDecoder(nn.Module):
             for j in range(c.n_blocks):
                 h = BasicTransformerBlock(
                     ch, c.num_heads, c.attention_head_dim, c.act_fn,
-                    name=f"down_tf_{i}_{j}")(h, bias, fchunk)
+                    name=f"down_tf_{i}_{j}")(h, bias, fchunk, t_true)
             hiddens.append(h)
             if is_last:
                 if causal:
@@ -187,7 +201,7 @@ class CausalConditionalDecoder(nn.Module):
             for j in range(c.n_blocks):
                 h = BasicTransformerBlock(
                     channels[-1], c.num_heads, c.attention_head_dim, c.act_fn,
-                    name=f"mid_tf_{i}_{j}")(h, bias, fchunk)
+                    name=f"mid_tf_{i}_{j}")(h, bias, fchunk, t_true)
 
         # --- up path with skip connections
         up_channels = channels[::-1] + (channels[0],)
@@ -203,7 +217,7 @@ class CausalConditionalDecoder(nn.Module):
             for j in range(c.n_blocks):
                 h = BasicTransformerBlock(
                     out_ch, c.num_heads, c.attention_head_dim, c.act_fn,
-                    name=f"up_tf_{i}_{j}")(h, bias, fchunk)
+                    name=f"up_tf_{i}_{j}")(h, bias, fchunk, t_true)
             if is_last:
                 if causal:
                     h = CausalConv1d(out_ch, 3, name=f"up_conv_{i}")(
@@ -217,4 +231,7 @@ class CausalConditionalDecoder(nn.Module):
 
         h = block_cls(up_channels[-1], name="final_block")(h, m)
         out = Conv1d(c.out_channels, 1, name="final_proj")(h * m[..., None])
-        return out * valid[..., None]
+        out = out * valid[..., None]
+        if flash_pad:
+            out = out[:, :t_true]
+        return out

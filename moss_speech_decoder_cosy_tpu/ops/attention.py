@@ -96,7 +96,8 @@ class UNetAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  attn_bias: Optional[jnp.ndarray] = None,
-                 flash_chunk: int = -1) -> jnp.ndarray:
+                 flash_chunk: int = -1,
+                 flash_valid_len: int = -1) -> jnp.ndarray:
         b, t, dim = x.shape
         inner = self.heads * self.head_dim
         q = nn.Dense(inner, use_bias=False, name="to_q")(x)
@@ -109,7 +110,8 @@ class UNetAttention(nn.Module):
             from .pallas_attention import flash_chunk_attention
             out = flash_chunk_attention(
                 q, k, v, chunk_size=flash_chunk,
-                interpret=jax.default_backend() == "cpu")
+                interpret=jax.default_backend() == "cpu",
+                valid_len=flash_valid_len if flash_valid_len > 0 else None)
             out = out.transpose(0, 2, 1, 3).reshape(b, t, inner)
             return nn.Dense(dim, name="to_out")(out)
         scale = self.head_dim ** -0.5

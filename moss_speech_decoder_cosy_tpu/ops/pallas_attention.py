@@ -81,12 +81,16 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, *,
 
 @functools.partial(jax.jit,
                    static_argnames=("chunk_size", "blk_q", "blk_kv",
-                                    "interpret"))
+                                    "interpret", "valid_len"))
 def flash_chunk_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                          chunk_size: int = 0, blk_q: int = 256,
-                          blk_kv: int = 256,
-                          interpret: bool = False) -> jnp.ndarray:
-    """q/k/v: (B, H, T, dk) -> (B, H, T, dk); chunk_size=0 -> full attn."""
+                          chunk_size: int = 0, blk_q: int = 512,
+                          blk_kv: int = 512, interpret: bool = False,
+                          valid_len: int | None = None) -> jnp.ndarray:
+    """q/k/v: (B, H, T, dk) -> (B, H, T, dk); chunk_size=0 -> full attn.
+
+    ``valid_len``: true sequence length when T is already padded by the
+    caller (keys >= valid_len are masked; padding once outside avoids
+    per-call pad/reshape copies)."""
     b, h, t, dk = q.shape
     scale = 1.0 / np.sqrt(dk)
     blk = max(blk_q, blk_kv)
@@ -97,7 +101,8 @@ def flash_chunk_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                        ).reshape(b * h, t_pad, dk)
 
     kernel = functools.partial(
-        _attn_kernel, t_actual=t, blk_q=blk_q, blk_kv=blk_kv,
+        _attn_kernel, t_actual=valid_len if valid_len is not None else t,
+        blk_q=blk_q, blk_kv=blk_kv,
         chunk=chunk_size, scale=scale)
     out = pl.pallas_call(
         kernel,
