@@ -344,6 +344,37 @@ def convert_qwen2_state_dict(sd: StateDict, cfg):
     return m.tree(), m.unused()
 
 
+def _convert_speech_lm(m: "_Mapper", cfg):
+    """CosyVoice2 Qwen2LM checkpoint -> Qwen2SpeechLM params: the Qwen2
+    backbone under ``llm.model.*`` (llm.py:231-260 wraps the HF model) plus
+    the speech heads (llm.py:286-295)."""
+    m.put("llm_embedding/embedding", "llm_embedding.weight")
+    m.put("speech_embedding/embedding", "speech_embedding.weight")
+    m.linear("llm_decoder", "llm_decoder")
+    m.put("llm/embed_tokens/embedding", "llm.model.model.embed_tokens.weight")
+    bk = cfg.backbone
+    for i in range(bk.num_layers):
+        s_, d = f"llm.model.model.layers.{i}", f"llm/layers_{i}"
+        m.put(f"{d}/input_layernorm/scale", f"{s_}.input_layernorm.weight")
+        m.put(f"{d}/post_attention_layernorm/scale",
+              f"{s_}.post_attention_layernorm.weight")
+        m.linear(f"{d}/q_proj", f"{s_}.self_attn.q_proj")
+        m.linear(f"{d}/k_proj", f"{s_}.self_attn.k_proj")
+        m.linear(f"{d}/v_proj", f"{s_}.self_attn.v_proj")
+        m.linear(f"{d}/o_proj", f"{s_}.self_attn.o_proj", bias=False)
+        m.linear(f"{d}/gate_proj", f"{s_}.mlp.gate_proj", bias=False)
+        m.linear(f"{d}/up_proj", f"{s_}.mlp.up_proj", bias=False)
+        m.linear(f"{d}/down_proj", f"{s_}.mlp.down_proj", bias=False)
+    m.put("llm/norm/scale", "llm.model.model.norm.weight")
+
+
+def convert_speech_lm_state_dict(sd: StateDict, cfg):
+    """CosyVoice2 llm.pt -> flax Qwen2SpeechLM params."""
+    m = _Mapper(sd)
+    _convert_speech_lm(m, cfg)
+    return m.tree(), m.unused()
+
+
 def conversion_plan(kind: str, cfg) -> list:
     """(dst, src, transform) triples for a converter, without arrays —
     lets tests synthesize a torch state_dict from flax params and
@@ -357,6 +388,8 @@ def conversion_plan(kind: str, cfg) -> list:
         _convert_tokenizer(m, cfg)
     elif kind == "qwen2":
         _convert_qwen2(m, cfg)
+    elif kind == "speech_lm":
+        _convert_speech_lm(m, cfg)
     else:
         raise ValueError(kind)
     return m.plan

@@ -210,3 +210,15 @@ def test_export_serialized_roundtrip():
     restored = load_serialized(data)
     np.testing.assert_allclose(np.asarray(restored(x)),
                                np.asarray(fn(x)))
+
+
+def test_speech_lm_conversion_roundtrip():
+    from moss_speech_decoder_cosy_tpu.models.llm.speech_lm import (
+        Qwen2SpeechLM, tiny_speech_lm_config)
+    cfg = tiny_speech_lm_config()
+    m = Qwen2SpeechLM(cfg)
+    text = jnp.zeros((1, 4), jnp.int32)
+    ps = jnp.zeros((1, 2), jnp.int32)
+    params = m.init(jax.random.PRNGKey(0), text, ps, jax.random.PRNGKey(1),
+                    max_len=4)
+    _roundtrip("speech_lm", cfg, params, ckpt.convert_speech_lm_state_dict)
