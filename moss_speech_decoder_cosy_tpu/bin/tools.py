@@ -66,6 +66,28 @@ def make_parquet(args):
     print(f"wrote {len(paths)} shards to {args.output_dir}")
 
 
+def rebatch(args):
+    """Re-shard parquet files to a different utts-per-shard
+    (tools/rebatch.py role)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rows = []
+    for ln in open(args.input_list):
+        ln = ln.strip()
+        if ln:
+            rows.extend(pq.read_table(ln).to_pylist())
+    os.makedirs(args.output_dir, exist_ok=True)
+    per = args.num_utts_per_parquet
+    paths = []
+    for i in range(0, len(rows), per):
+        p = os.path.join(args.output_dir, f"parquet_{i // per:09d}.tar")
+        pq.write_table(pa.Table.from_pylist(rows[i:i + per]), p)
+        paths.append(p)
+    with open(os.path.join(args.output_dir, "data.list"), "w") as f:
+        f.write("\n".join(paths) + "\n")
+    print(f"rebatched {len(rows)} rows into {len(paths)} shards")
+
+
 def _build_codec(args):
     from .inference import build_codec
     ns = argparse.Namespace(
@@ -87,9 +109,14 @@ def main():
     pm.add_argument("--token_jsonl", default=None)
     pm.add_argument("--output_dir", required=True)
     pm.add_argument("--num_utts_per_parquet", type=int, default=1000)
+    pr = sub.add_parser("rebatch")
+    pr.add_argument("--input_list", required=True)
+    pr.add_argument("--output_dir", required=True)
+    pr.add_argument("--num_utts_per_parquet", type=int, default=1000)
     args = p.parse_args()
     {"extract_tokens": extract_tokens,
-     "make_parquet": make_parquet}[args.cmd](args)
+     "make_parquet": make_parquet,
+     "rebatch": rebatch}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -112,6 +112,36 @@ class SourceModuleHnNSF2(nn.Module):
         return merged                                    # (B, L, 1)
 
 
+class SourceModuleHnNSF(nn.Module):
+    """22.05 kHz source variant (generator.py:109-232: SineGen +
+    SourceModuleHnNSF): per-harmonic phase integrated at FULL audio rate
+    (theta = 2 pi cumsum(f0*h/sr mod 1)), uniform initial phase except the
+    fundamental.  Selected when sampling_rate == 22050 (generator.py:429)."""
+
+    cfg: HiFTConfig
+
+    @nn.compact
+    def __call__(self, f0: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+        cfg = self.cfg
+        h = cfg.nb_harmonics + 1
+        f0 = f0.astype(jnp.float32)                      # (B, L, 1)
+        k_ini, k_noise = jax.random.split(key)
+        fn = f0 * jnp.arange(1, h + 1, dtype=jnp.float32)[None, None, :]
+        rad = (fn / cfg.sampling_rate) % 1.0
+        theta = 2.0 * np.pi * jnp.cumsum(rad, axis=1)
+        phase_vec = jax.random.uniform(k_ini, (1, 1, h), jnp.float32,
+                                       minval=-np.pi, maxval=np.pi)
+        phase_vec = phase_vec.at[..., 0].set(0.0)
+        sines = cfg.nsf_alpha * jnp.sin(theta + phase_vec)
+        uv = (f0 > cfg.nsf_voiced_threshold).astype(jnp.float32)
+        noise_amp = uv * cfg.nsf_sigma + (1.0 - uv) * cfg.nsf_alpha / 3.0
+        noise = noise_amp * jnp.broadcast_to(
+            jax.random.normal(k_noise, (1,) + sines.shape[1:], jnp.float32),
+            sines.shape)
+        sine_waves = sines * uv + noise
+        return jnp.tanh(nn.Dense(1, name="l_linear")(sine_waves))
+
+
 class ResBlock(nn.Module):
     """BigVGAN-style dilated residual block with Snake activations
     (generator.py:46-107)."""
@@ -143,7 +173,11 @@ class HiFTGenerator(nn.Module):
     def setup(self):
         cfg = self.cfg
         self.f0_predictor = ConvRNNF0Predictor(cfg.f0_cond_channels)
-        self.m_source = SourceModuleHnNSF2(cfg)
+        # NOTE CosyVoice2 uses the original source module at 22.05 kHz
+        # (generator.py:429)
+        self.m_source = (SourceModuleHnNSF(cfg)
+                         if cfg.sampling_rate == 22050
+                         else SourceModuleHnNSF2(cfg))
         self.conv_pre = Conv1d(cfg.base_channels, 7, padding=3,
                                weight_norm=True, name="conv_pre")
         ups = []

