@@ -20,12 +20,9 @@ from __future__ import annotations
 
 import json
 import os
-import re
 from typing import Callable, Dict, Mapping
 
 import numpy as np
-import jax
-import flax
 import flax.traverse_util as tu
 
 from .config import FlowConfig, HiFTConfig
@@ -49,9 +46,6 @@ def _convT(w: Array) -> Array:        # (I, O, K) -> (K, I, O)
 
 def _g(w: Array) -> Array:            # weight_norm g: (O,1,1)/(I,1,1) -> 1-D
     return np.ascontiguousarray(w.reshape(-1))
-
-
-_INVERSE = {None: None, "_t": _t, "_conv": _conv}
 
 
 class _Mapper:
