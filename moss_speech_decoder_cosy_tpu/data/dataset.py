@@ -54,3 +54,38 @@ def build_pipeline(source: Iterable, processors: Sequence[Callable]
     for p in processors:
         it = p(it)
     return it
+
+
+class Prefetcher:
+    """Background-thread prefetch for the host input pipeline — keeps the
+    accelerator fed while parquet decode / mel extraction run on CPU (the
+    role of torch DataLoader workers, train_utils.py:54-76)."""
+
+    _DONE = object()
+
+    def __init__(self, iterable: Iterable, depth: int = 4):
+        import queue
+        import threading
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._err = None
+
+        def worker():
+            try:
+                for item in iterable:
+                    self._q.put(item)
+            except BaseException as e:          # surface in consumer
+                self._err = e
+            finally:
+                self._q.put(self._DONE)
+
+        self._t = threading.Thread(target=worker, daemon=True)
+        self._t.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._DONE:
+                if self._err is not None:
+                    raise self._err
+                return
+            yield item

@@ -94,3 +94,25 @@ def test_f0_tracker_finds_tone():
     voiced = f0[f0 > 0]
     assert len(voiced) > 20
     assert abs(np.median(voiced) - 220.0) < 8.0
+
+
+def test_prefetcher():
+    import time
+    from moss_speech_decoder_cosy_tpu.data.dataset import Prefetcher
+
+    def slow_gen():
+        for i in range(5):
+            time.sleep(0.01)
+            yield i
+
+    assert list(Prefetcher(slow_gen(), depth=2)) == [0, 1, 2, 3, 4]
+
+    def failing():
+        yield 1
+        raise ValueError("boom")
+
+    it = iter(Prefetcher(failing()))
+    assert next(it) == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        list(it)
