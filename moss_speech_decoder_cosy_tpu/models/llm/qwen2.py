@@ -147,11 +147,15 @@ class Qwen2Model(nn.Module):
                        for i in range(c.num_layers)]
         self.norm = RMSNorm(c.norm_eps, name="norm")
 
-    def init_cache(self, batch: int = 1) -> KVCache:
+    def init_cache(self, batch: int = 1, dtype=None) -> KVCache:
         c = self.cfg
+        if dtype is None:
+            # match the parameter dtype so cache updates are cast-free
+            dtype = self.embed_tokens.embedding.dtype
         shape = (c.num_layers, batch, c.num_kv_heads, c.max_seq_len,
                  c.head_dim)
-        return KVCache(k=jnp.zeros(shape), v=jnp.zeros(shape),
+        return KVCache(k=jnp.zeros(shape, dtype),
+                       v=jnp.zeros(shape, dtype),
                        length=jnp.zeros((), jnp.int32))
 
     def forward_embeds(self, embeds: jnp.ndarray, cache: KVCache,
@@ -177,9 +181,11 @@ class Qwen2Model(nn.Module):
             h = layer.input_layernorm(x)
             k_new, v_new = layer.kv(h, positions)
             k_cache = jax.lax.dynamic_update_slice(
-                k_cache, k_new[None], (i, 0, 0, pos0, 0))
+                k_cache, k_new[None].astype(k_cache.dtype),
+                (i, 0, 0, pos0, 0))
             v_cache = jax.lax.dynamic_update_slice(
-                v_cache, v_new[None], (i, 0, 0, pos0, 0))
+                v_cache, v_new[None].astype(v_cache.dtype),
+                (i, 0, 0, pos0, 0))
             x = x + layer.attend(h, positions, k_cache[i], v_cache[i], bias)
             h2 = layer.post_attention_layernorm(x)
             x = x + layer.down_proj(jax.nn.silu(layer.gate_proj(h2))
