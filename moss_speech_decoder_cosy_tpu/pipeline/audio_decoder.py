@@ -88,7 +88,15 @@ class AudioDecoder:
     def _flow_mel(self, token: np.ndarray, prompt_token: np.ndarray,
                   prompt_feat: np.ndarray, embedding: np.ndarray,
                   streaming: bool, finalize: bool) -> np.ndarray:
-        """Returns mel AFTER the prompt region, (1, Tm, n_mel) float32."""
+        """Returns mel AFTER the prompt region, (B, Tm, n_mel) float32."""
+        b = token.shape[0]
+        if prompt_token.shape[0] == 1 and b > 1:      # broadcast shared prompt
+            prompt_token = np.broadcast_to(
+                prompt_token, (b,) + prompt_token.shape[1:])
+            prompt_feat = np.broadcast_to(
+                prompt_feat, (b,) + prompt_feat.shape[1:])
+            embedding = np.broadcast_to(
+                embedding, (b,) + embedding.shape[1:])
         tokens = np.concatenate(
             [prompt_token, token], axis=1).astype(np.int32)
         valid = np.ones(tokens.shape, bool)

@@ -169,3 +169,23 @@ def test_causal_conv_streaming_grid(k, d, chunk):
         outs.append(np.asarray(y))
     np.testing.assert_allclose(np.concatenate(outs, axis=1), full,
                                atol=1e-6)
+
+
+def test_conv2d_matches_torch():
+    from moss_speech_decoder_cosy_tpu.ops.convs import Conv2d
+    rng = np.random.RandomState(7)
+    b, hh, ww, cin, cout = 2, 12, 10, 3, 6
+    x = rng.randn(b, hh, ww, cin).astype(np.float32)
+    m = Conv2d(cout, (3, 9), (1, 2), (1, 4), weight_norm=True)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    got = np.asarray(m.apply(params, jnp.asarray(x)))
+
+    tc = torch.nn.utils.weight_norm(
+        torch.nn.Conv2d(cin, cout, (3, 9), (1, 2), padding=(1, 4)))
+    v = np.asarray(params["params"]["v"])            # (KH, KW, I, O)
+    g = np.asarray(params["params"]["g"])            # (O,)
+    tc.weight_v.data = torch.from_numpy(v.transpose(3, 2, 0, 1).copy())
+    tc.weight_g.data = torch.from_numpy(g.reshape(-1, 1, 1, 1).copy())
+    tc.bias.data = torch.from_numpy(np.asarray(params["params"]["bias"]))
+    want = tc(torch.from_numpy(x.transpose(0, 3, 1, 2))).detach().numpy()
+    np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1), atol=2e-5)

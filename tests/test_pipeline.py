@@ -202,3 +202,14 @@ def test_device_stream_int16_output(decoder):
     assert wav_i.dtype == np.int16
     np.testing.assert_allclose(wav_i.astype(np.float32) / 32767.0, wav_f,
                                atol=1e-4)
+
+
+def test_token2wav_batched(decoder):
+    """Offline decode supports B > 1 (eval-throughput batching)."""
+    rng = np.random.RandomState(12)
+    toks = rng.randint(0, 64, (3, 12))
+    wav_b = decoder.token2wav(toks)
+    frame = decoder.hift_cfg.total_upsample
+    assert wav_b.shape == (3, 12 * decoder.ratio * frame)
+    wav_1 = decoder.token2wav(toks[1:2])
+    np.testing.assert_allclose(wav_b[1:2], wav_1, atol=2e-4)
