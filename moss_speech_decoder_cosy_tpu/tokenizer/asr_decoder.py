@@ -121,3 +121,40 @@ def asr_ce_loss(logits: jnp.ndarray, labels: jnp.ndarray,
                                axis=-1)[..., 0]
     m = valid.astype(logits.dtype)
     return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def greedy_decode(decoder: WhisperVQDecoder, params, enc: jnp.ndarray,
+                  enc_valid: jnp.ndarray, bos_id: int, eos_id: int,
+                  max_len: int = 64) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy ASR decoding over the post-VQ encoder states — the inference
+    side of the whisper head (generation_whisper.py's core loop, greedy
+    path).  Full-prefix recompute per step inside one lax.scan (whisper
+    target lengths are short, max_target_positions=448).
+
+    Returns (tokens (B, max_len) i32 padded with eos, lengths (B,))."""
+    b = enc.shape[0]
+
+    def apply_step(tokens, n):
+        token_valid = jnp.arange(max_len)[None, :] < jnp.maximum(n, 1)[:, None]
+        logits = decoder.apply(params, tokens, token_valid, enc, enc_valid)
+        idx = jnp.maximum(n - 1, 0)
+        last = jnp.take_along_axis(
+            logits, idx[:, None, None].repeat(1, axis=1), axis=1)[:, 0]
+        return jnp.argmax(last, axis=-1).astype(jnp.int32)
+
+    def body(carry, _):
+        tokens, n, done = carry
+        nxt = apply_step(tokens, n)
+        nxt = jnp.where(done, eos_id, nxt)
+        tokens = jax.vmap(lambda t, i, v: t.at[i].set(v))(
+            tokens, jnp.minimum(n, max_len - 1), nxt)
+        done = done | (nxt == eos_id)
+        n = jnp.where(done, n, n + 1)
+        return (tokens, n, done), ()
+
+    tokens0 = jnp.full((b, max_len), eos_id, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(bos_id)
+    carry = (tokens0, jnp.ones((b,), jnp.int32),
+             jnp.zeros((b,), bool))
+    (tokens, n, _), _ = jax.lax.scan(body, carry, None, length=max_len - 1)
+    return tokens, n

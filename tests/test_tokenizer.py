@@ -125,3 +125,28 @@ def test_asr_supervision_head():
     assert logits.shape == (1, 6, cfg.vocab_size)
     loss = asr_ce_loss(logits[:, :-1], text[:, 1:], text_valid[:, 1:])
     assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_asr_greedy_decode():
+    """Greedy ASR generation over the post-VQ states (inference side of
+    the whisper head)."""
+    from moss_speech_decoder_cosy_tpu.tokenizer.asr_decoder import (
+        WhisperVQDecoder, greedy_decode)
+    cfg = tiny_tokenizer_config()
+    dec = WhisperVQDecoder(cfg)
+    rng = np.random.RandomState(0)
+    enc = jnp.asarray(rng.randn(2, 6, cfg.d_model).astype(np.float32))
+    enc_valid = jnp.ones((2, 6), bool)
+    text0 = jnp.zeros((2, 8), jnp.int32)
+    params = dec.init(jax.random.PRNGKey(0), text0, jnp.ones((2, 8), bool),
+                      enc, enc_valid)
+    toks, n = jax.jit(
+        lambda p, e, v: greedy_decode(dec, p, e, v, bos_id=1, eos_id=2,
+                                      max_len=8))(params, enc, enc_valid)
+    toks, n = np.asarray(toks), np.asarray(n)
+    assert toks.shape == (2, 8)
+    assert (toks[:, 0] == 1).all()
+    assert (n >= 1).all() and (n <= 8).all()
+    # everything at/after length is eos
+    for b in range(2):
+        assert (toks[b, n[b]:] == 2).all() or n[b] == 8
