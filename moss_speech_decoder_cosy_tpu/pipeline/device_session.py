@@ -336,3 +336,49 @@ class DeviceStreamDecoder:
     def warmup(self, n_tokens: int):
         """Compile the hop shapes for an n-token stream."""
         self.stream_decode(np.zeros((1, n_tokens), np.int32))
+
+
+def stream_chunks(decoder: DeviceStreamDecoder, tokens: np.ndarray,
+                  fetch_threads: int = 1):
+    """True-streaming consumer: dispatch every hop up front (device queue),
+    then yield host wav chunks in order while later chunks transfer in the
+    background — transfer latency overlaps compute and other transfers.
+
+    Yields float32 (B, samples) arrays per hop.
+    """
+    import queue
+    import threading
+
+    tokens = np.asarray(tokens)
+    n = int(tokens.shape[1])
+    cap = max(n + decoder.window, decoder.window)
+    buf = np.zeros((decoder.batch, cap), np.int32)
+    buf[:, :n] = tokens
+    token_buf = jnp.asarray(buf)
+    state = decoder.init_state()
+
+    segs = []
+    for emit_tokens, first, finalize in decoder.schedule(n):
+        if emit_tokens <= 0:
+            continue
+        mel = decoder._flow_step(decoder.dec.flow_params, token_buf,
+                                 state.token_offset,
+                                 emit_tokens=emit_tokens, finalize=finalize)
+        seg, state = decoder._voc_step(decoder.dec.hift_params, mel, state,
+                                       first=first, finalize=finalize)
+        segs.append(seg)
+
+    q: "queue.Queue" = queue.Queue(maxsize=8)
+
+    def fetcher():
+        for s in segs:
+            q.put(np.asarray(s, dtype=np.float32))
+        q.put(None)
+
+    t = threading.Thread(target=fetcher, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        yield item

@@ -213,3 +213,15 @@ def test_token2wav_batched(decoder):
     assert wav_b.shape == (3, 12 * decoder.ratio * frame)
     wav_1 = decoder.token2wav(toks[1:2])
     np.testing.assert_allclose(wav_b[1:2], wav_1, atol=2e-4)
+
+
+def test_device_stream_chunks_generator(decoder):
+    from moss_speech_decoder_cosy_tpu.pipeline.device_session import (
+        stream_chunks)
+    rng = np.random.RandomState(13)
+    token = rng.randint(0, 64, (1, 24))
+    dev = decoder.device_stream_decoder(block_size=4, max_token_len=16)
+    chunks = list(stream_chunks(dev, token))
+    wav = np.concatenate(chunks, axis=-1)
+    want = dev.stream_decode(token)
+    np.testing.assert_allclose(wav, want, atol=2e-4)
