@@ -247,3 +247,43 @@ class BistreamSession:
                 self.params, logits0, self.cache, k, n=n_speech)
             out.append(np.asarray(toks))
         return out
+
+    def flush(self, n_final: int | None = None):
+        """Consume any trailing text (< mix_ratio[0] tokens) and emit a
+        final speech chunk (the reference's end-of-text handling,
+        llm.py:585-611)."""
+        n_text, n_speech = self.model.cfg.mix_ratio
+        n_final = n_final or n_speech
+        out = []
+        if not self._started and not self._text_buf:
+            return out
+        chunk, self._text_buf = self._text_buf, []
+        ids = jnp.asarray(chunk, jnp.int32)[None] if chunk else None
+        embeds = None
+        if ids is not None and ids.shape[1] > 0:
+            embeds = self.model.apply(
+                self.params, ids, method=lambda m, i: m.llm.embed_tokens(i))
+        task = self.model.apply(
+            self.params, jnp.ones((1, 1), jnp.int32),
+            method=lambda m, i: m.llm_embedding(i))
+        if not self._started:
+            sos = self.model.apply(
+                self.params, jnp.zeros((1, 1), jnp.int32),
+                method=lambda m, i: m.llm_embedding(i))
+            embeds = (jnp.concatenate([sos, embeds, task], axis=1)
+                      if embeds is not None
+                      else jnp.concatenate([sos, task], axis=1))
+            self.cache = self.model.apply(
+                self.params, 1, method=lambda m, b: m.llm.init_cache(b))
+            self._started = True
+        else:
+            embeds = (jnp.concatenate([embeds, task], axis=1)
+                      if embeds is not None else task)
+        h, self.cache = self._prefill(self.params, embeds, self.cache)
+        logits0 = self.model.apply(
+            self.params, h[:, -1], method=lambda m, x: m.llm_decoder(x))
+        self.key, k = jax.random.split(self.key)
+        toks, self.cache = self._gen_chunk(
+            self.params, logits0, self.cache, k, n=n_final)
+        out.append(np.asarray(toks))
+        return out

@@ -164,3 +164,20 @@ def test_speech_synthesizer_end_to_end():
     chunks = list(syn.tts_stream(text_ids, seed=1))
     wav2 = np.concatenate(chunks, axis=-1) if chunks else wav
     assert wav2.shape[1] == wav.shape[1]
+
+
+def test_bistream_flush():
+    cfg = tiny_speech_lm_config()
+    m = Qwen2SpeechLM(cfg)
+    text = jnp.asarray(np.zeros((1, 4), np.int32))
+    ps = jnp.zeros((1, 0), jnp.int32)
+    params = m.init(jax.random.PRNGKey(0), text, ps, jax.random.PRNGKey(1),
+                    max_len=4)
+    sess = BistreamSession(m, params, jax.random.PRNGKey(6))
+    chunks = sess.push_text([1, 2, 3])          # below mix ratio -> nothing
+    assert chunks == []
+    final = sess.flush(n_final=6)
+    assert len(final) == 1 and final[0].shape == (6,)
+    # flush with no text at all is a no-op
+    sess2 = BistreamSession(m, params, jax.random.PRNGKey(7))
+    assert sess2.flush() == []
