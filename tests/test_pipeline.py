@@ -225,3 +225,15 @@ def test_device_stream_chunks_generator(decoder):
     wav = np.concatenate(chunks, axis=-1)
     want = dev.stream_decode(token)
     np.testing.assert_allclose(wav, want, atol=2e-4)
+
+
+def test_device_stream_production_knobs(decoder):
+    """block_size=5 / max_token_len=40 (the reference defaults) with a
+    window larger than the early stream."""
+    rng = np.random.RandomState(14)
+    token = rng.randint(0, 64, (1, 27))
+    wav_host = decoder.stream_inference(token, block_size=5,
+                                        max_token_len=40)
+    dev = decoder.device_stream_decoder(block_size=5, max_token_len=40)
+    wav_dev = dev.stream_decode(token)
+    np.testing.assert_allclose(wav_dev, wav_host, atol=2e-4)
