@@ -36,6 +36,31 @@ def _pcm16_device(wav: jnp.ndarray) -> jnp.ndarray:
     return (jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
 
 
+def _parallel_fetch(arr: jnp.ndarray, n_threads: int = 8) -> np.ndarray:
+    """Device->host fetch in concurrent slices.  The transfer path here
+    (axon relay) serves concurrent streams ~10-20x faster than one large
+    synchronous copy (measured: 19 MB/s vs ~1-2 MB/s) — see BENCH_NOTES."""
+    import threading
+    t = arr.shape[-1]
+    if t < n_threads * 1024:
+        return np.asarray(arr)
+    bounds = [t * i // n_threads for i in range(n_threads + 1)]
+    parts = [arr[..., bounds[i]: bounds[i + 1]] for i in range(n_threads)]
+    jax.block_until_ready(parts)
+    out: list = [None] * n_threads
+
+    def get(i):
+        out[i] = np.asarray(parts[i])
+
+    threads = [threading.Thread(target=get, args=(i,))
+               for i in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    return np.concatenate(out, axis=-1)
+
+
 @flax.struct.dataclass
 class DeviceStreamState:
     token_offset: jnp.ndarray     # () i32, emitted tokens so far
@@ -330,8 +355,8 @@ class DeviceStreamDecoder:
             i += 1
         wav = jnp.concatenate(segs, axis=1)
         if output == "int16":
-            return np.asarray(_pcm16_device(wav))
-        return np.asarray(wav, dtype=np.float32)
+            return _parallel_fetch(_pcm16_device(wav))
+        return _parallel_fetch(wav).astype(np.float32)
 
     def warmup(self, n_tokens: int):
         """Compile the hop shapes for an n-token stream."""
