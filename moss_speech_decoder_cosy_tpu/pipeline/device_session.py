@@ -117,6 +117,9 @@ class DeviceStreamDecoder:
             static_argnames=("n_hops", "emit_tokens"))
         self._voc_scan = jax.jit(
             self._voc_scan_impl, static_argnames=("emit_tokens",))
+        self._flow_batched = jax.jit(
+            self._flow_batched_impl,
+            static_argnames=("n_hops", "emit_tokens"))
 
     # ------------------------------------------------------------------
     def init_state(self) -> DeviceStreamState:
@@ -276,6 +279,40 @@ class DeviceStreamDecoder:
         segs = segs.transpose(1, 0, 2).reshape(segs.shape[1], -1)
         return segs, state
 
+    def _flow_batched_impl(self, flow_params, token_buf: jnp.ndarray,
+                           token_offset: jnp.ndarray, n_hops: int,
+                           emit_tokens: int) -> jnp.ndarray:
+        """All n_hops steady flow windows as ONE batched forward.
+
+        Flow hops are independent (only the vocoder caches chain), so the
+        windows stack on the batch axis: 50 sequential latency-bound
+        forwards become one MXU-saturating call.  Stream batch must be 1.
+
+        Returns mels (n_hops, emit_tokens*ratio, n_mel)."""
+        d = self.dec
+        w = self.window
+        offsets = token_offset + emit_tokens * jnp.arange(n_hops)
+        ends = offsets + emit_tokens + self.la
+        starts = jnp.maximum(ends - w, 0)
+        idx = starts[:, None] + jnp.arange(w)[None, :]   # (n_hops, W)
+        windows = token_buf[0][idx]
+        prompt = jnp.broadcast_to(self._prompt_tok,
+                                  (n_hops,) + self._prompt_tok.shape[1:])
+        tokens = jnp.concatenate([prompt, windows], axis=1)
+        n_valid = self.p + (ends - starts)
+        valid = jnp.arange(self.p + w)[None, :] < n_valid[:, None]
+        pf = jnp.broadcast_to(self._prompt_feat,
+                              (n_hops,) + self._prompt_feat.shape[1:])
+        emb = jnp.broadcast_to(self._emb,
+                               (n_hops,) + self._emb.shape[1:])
+        mel_full = d.flow.apply(flow_params, tokens, valid, pf, emb,
+                                streaming=True, finalize=False)
+        actual = offsets - starts                        # (n_hops,)
+        r = self.ratio
+        frame_idx = ((self.p + actual[:, None]) * r
+                     + jnp.arange(emit_tokens * r)[None, :])
+        return jnp.take_along_axis(mel_full, frame_idx[..., None], axis=1)
+
     # ------------------------------------------------------------------
     def schedule(self, n_tokens: int) -> List[Tuple[int, bool, bool]]:
         """Hop plan: [(emit_tokens, first, finalize), ...] mirroring
@@ -327,10 +364,18 @@ class DeviceStreamDecoder:
                 if run > 1:
                     for bucket in (64, 16, 4, 2):
                         while run >= bucket:
-                            mels, _ = self._flow_scan(
-                                self.dec.flow_params, token_buf,
-                                state.token_offset, n_hops=bucket,
-                                emit_tokens=emit_tokens)
+                            if self.batch == 1:
+                                # one batched flow forward for the bucket
+                                m = self._flow_batched(
+                                    self.dec.flow_params, token_buf,
+                                    state.token_offset, n_hops=bucket,
+                                    emit_tokens=emit_tokens)
+                                mels = m[:, None]      # (hops, 1, T, D)
+                            else:
+                                mels, _ = self._flow_scan(
+                                    self.dec.flow_params, token_buf,
+                                    state.token_offset, n_hops=bucket,
+                                    emit_tokens=emit_tokens)
                             seg, state = self._voc_scan(
                                 self.dec.hift_params, mels, state,
                                 emit_tokens=emit_tokens)
