@@ -30,9 +30,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
-    """jax.distributed.initialize (no-op when single-process / already up)."""
-    if jax.process_count() > 1:
-        return
+    """jax.distributed.initialize (no-op when single-process / already up).
+
+    Must NOT touch ``jax.process_count()``/``jax.devices()`` before the
+    distributed client is up — querying them initializes the local backend
+    first, after which distributed init is ineffective.  Idempotency is
+    checked against the distributed client state instead.
+    """
+    if jax._src.distributed.global_state.client is not None:
+        return                                          # already initialized
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
