@@ -1,0 +1,360 @@
+"""Test-only import shims for the read-only torch reference.
+
+Golden-parity tests (tests/test_golden_parity.py) instantiate the
+reference's OWN torch modules from /root/reference/GLM_modules and compare
+them numerically against our JAX rebuild through the real checkpoint
+converters.  Three reference dependencies are absent from this image and
+are stubbed here:
+
+- ``torchaudio``: only touched at import time (file_utils.py:20) or on
+  code paths the tests do not take (audio loading); ``transforms.Spectrogram``
+  is given a faithful torch.stft implementation because the MRD
+  discriminator (hifigan/discriminator.py:90) uses it at runtime.
+- ``omegaconf``: flow.py:20 imports DictConfig purely as a constructor-arg
+  container for cfm_params.
+- ``matcha``: third_party/Matcha-TTS is an empty submodule in the
+  reference checkout.  The handful of blocks cosyvoice/flow/decoder.py:21-22
+  imports are re-implemented below following the public Matcha-TTS /
+  diffusers semantics (SinusoidalPosEmb scale=1000, Block1D =
+  conv3-groupnorm8-mish, ResnetBlock1D with mish time-MLP,
+  Downsample1D conv k3 s2 p1, Upsample1D convT k4 s2 p1,
+  TimestepEmbedding linear-silu-linear, BasicTransformerBlock =
+  LN -> self-attn -> LN -> FF).  These shims exist ONLY so the reference
+  decoder can run for parity testing.
+"""
+
+from __future__ import annotations
+
+import importlib.machinery
+import math
+import sys
+import types
+
+REFERENCE_PATH = "/root/reference/GLM_modules"
+
+
+def _module(name: str) -> types.ModuleType:
+    """Stub module with a real ModuleSpec so importlib.util.find_spec
+    (e.g. transformers' _is_package_available) doesn't choke on it."""
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    mod.__version__ = "0.0.0-stub"
+    return mod
+
+
+def _install_torchaudio():
+    import torch
+
+    ta = _module("torchaudio")
+    transforms = _module("torchaudio.transforms")
+    functional = _module("torchaudio.functional")
+    compliance = _module("torchaudio.compliance")
+    kaldi = _module("torchaudio.compliance.kaldi")
+
+    class Spectrogram(torch.nn.Module):
+        """torchaudio.transforms.Spectrogram via torch.stft (magnitude)."""
+
+        def __init__(self, n_fft=400, win_length=None, hop_length=None,
+                     pad=0, window_fn=torch.hann_window, power=2.0,
+                     normalized=False, center=True, pad_mode="reflect",
+                     onesided=True, **kw):
+            super().__init__()
+            self.n_fft = n_fft
+            self.win_length = win_length or n_fft
+            self.hop_length = hop_length or self.n_fft // 2
+            self.power = power
+            self.center = center
+            self.pad_mode = pad_mode
+            self.normalized = normalized
+            self.onesided = onesided
+            self.register_buffer("window", window_fn(self.win_length))
+
+        def forward(self, waveform):
+            spec = torch.stft(
+                waveform, self.n_fft, self.hop_length, self.win_length,
+                window=self.window, center=self.center,
+                pad_mode=self.pad_mode, normalized=self.normalized,
+                onesided=self.onesided, return_complex=True)
+            if self.power is None:
+                return torch.view_as_real(spec)
+            return spec.abs() ** self.power
+
+    class Resample(torch.nn.Module):
+        def __init__(self, orig_freq=16000, new_freq=16000, **kw):
+            super().__init__()
+            self.orig_freq, self.new_freq = orig_freq, new_freq
+
+        def forward(self, waveform):
+            raise NotImplementedError("torchaudio stub: Resample")
+
+    def _unavailable(*a, **k):
+        raise NotImplementedError("torchaudio stub: IO not available")
+
+    transforms.Spectrogram = Spectrogram
+    transforms.Resample = Resample
+    ta.transforms = transforms
+    ta.functional = functional
+    ta.compliance = compliance
+    compliance.kaldi = kaldi
+    kaldi.fbank = _unavailable
+    ta.load = _unavailable
+    ta.save = _unavailable
+    ta.info = _unavailable
+    sys.modules["torchaudio"] = ta
+    sys.modules["torchaudio.transforms"] = transforms
+    sys.modules["torchaudio.functional"] = functional
+    sys.modules["torchaudio.compliance"] = compliance
+    sys.modules["torchaudio.compliance.kaldi"] = kaldi
+
+
+def _install_omegaconf():
+    om = _module("omegaconf")
+
+    class DictConfig(dict):
+        """Attribute-style dict (constructor-arg container only)."""
+
+        def __init__(self, content=None, **kw):
+            super().__init__(content or {}, **kw)
+
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+        def get(self, k, default=None):
+            return dict.get(self, k, default)
+
+    om.DictConfig = DictConfig
+    om.OmegaConf = types.SimpleNamespace(create=DictConfig)
+    sys.modules["omegaconf"] = om
+
+
+def _install_matcha():
+    import torch
+    from torch import nn
+
+    matcha = _module("matcha")
+    models = _module("matcha.models")
+    components = _module("matcha.models.components")
+    decoder_mod = _module("matcha.models.components.decoder")
+    transformer_mod = _module("matcha.models.components.transformer")
+
+    class SinusoidalPosEmb(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.dim = dim
+
+        def forward(self, x, scale=1000):
+            if x.ndim < 1:
+                x = x.unsqueeze(0)
+            half_dim = self.dim // 2
+            emb = math.log(10000) / (half_dim - 1)
+            emb = torch.exp(
+                torch.arange(half_dim, device=x.device).float() * -emb)
+            emb = scale * x.unsqueeze(1) * emb.unsqueeze(0)
+            return torch.cat((emb.sin(), emb.cos()), dim=-1)
+
+    class Block1D(nn.Module):
+        def __init__(self, dim, dim_out, groups=8):
+            super().__init__()
+            self.block = nn.Sequential(
+                nn.Conv1d(dim, dim_out, 3, padding=1),
+                nn.GroupNorm(groups, dim_out),
+                nn.Mish(),
+            )
+
+        def forward(self, x, mask):
+            return self.block(x * mask) * mask
+
+    class ResnetBlock1D(nn.Module):
+        def __init__(self, dim, dim_out, time_emb_dim, groups=8):
+            super().__init__()
+            self.mlp = nn.Sequential(nn.Mish(),
+                                     nn.Linear(time_emb_dim, dim_out))
+            self.block1 = Block1D(dim, dim_out, groups=groups)
+            self.block2 = Block1D(dim_out, dim_out, groups=groups)
+            self.res_conv = nn.Conv1d(dim, dim_out, 1)
+
+        def forward(self, x, mask, time_emb):
+            h = self.block1(x, mask)
+            h = h + self.mlp(time_emb).unsqueeze(-1)
+            h = self.block2(h, mask)
+            return h + self.res_conv(x * mask)
+
+    class Downsample1D(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.conv = nn.Conv1d(dim, dim, 3, 2, 1)
+
+        def forward(self, x):
+            return self.conv(x)
+
+    class Upsample1D(nn.Module):
+        def __init__(self, channels, use_conv=False, use_conv_transpose=True,
+                     out_channels=None, name="conv"):
+            super().__init__()
+            self.channels = channels
+            self.out_channels = out_channels or channels
+            assert use_conv_transpose
+            self.conv = nn.ConvTranspose1d(channels, self.out_channels,
+                                           4, 2, 1)
+
+        def forward(self, x):
+            return self.conv(x)
+
+    class TimestepEmbedding(nn.Module):
+        def __init__(self, in_channels, time_embed_dim, act_fn="silu",
+                     out_dim=None, post_act_fn=None, cond_proj_dim=None):
+            super().__init__()
+            assert act_fn == "silu" and post_act_fn is None
+            self.linear_1 = nn.Linear(in_channels, time_embed_dim)
+            self.act = nn.SiLU()
+            self.linear_2 = nn.Linear(time_embed_dim,
+                                      out_dim or time_embed_dim)
+
+        def forward(self, sample):
+            return self.linear_2(self.act(self.linear_1(sample)))
+
+    class _GELU(nn.Module):
+        """diffusers GELU: Linear proj then exact gelu."""
+
+        def __init__(self, dim_in, dim_out):
+            super().__init__()
+            self.proj = nn.Linear(dim_in, dim_out)
+
+        def forward(self, x):
+            return torch.nn.functional.gelu(self.proj(x))
+
+    class _SnakeBeta(nn.Module):
+        """matcha transformer.py SnakeBeta FF activation (proj + snake-beta
+        with log-scale alpha/beta)."""
+
+        def __init__(self, in_features, out_features):
+            super().__init__()
+            self.proj = nn.Linear(in_features, out_features)
+            self.alpha = nn.Parameter(torch.zeros(out_features))
+            self.beta = nn.Parameter(torch.zeros(out_features))
+
+        def forward(self, x):
+            x = self.proj(x)
+            alpha = torch.exp(self.alpha)
+            beta = torch.exp(self.beta)
+            return x + (1.0 / (beta + 1e-9)) * torch.sin(x * alpha) ** 2
+
+    class _FeedForward(nn.Module):
+        def __init__(self, dim, dim_out=None, mult=4, dropout=0.0,
+                     activation_fn="geglu"):
+            super().__init__()
+            inner = int(dim * mult)
+            dim_out = dim_out or dim
+            if activation_fn == "gelu":
+                act = _GELU(dim, inner)
+            elif activation_fn == "snakebeta":
+                act = _SnakeBeta(dim, inner)
+            else:
+                raise NotImplementedError(
+                    f"matcha shim: activation_fn={activation_fn}")
+            self.net = nn.ModuleList(
+                [act, nn.Dropout(dropout), nn.Linear(inner, dim_out)])
+
+        def forward(self, x):
+            for layer in self.net:
+                x = layer(x)
+            return x
+
+    class _Attention(nn.Module):
+        """diffusers self-attention: bias-free qkv, additive float mask."""
+
+        def __init__(self, query_dim, heads, dim_head, dropout=0.0):
+            super().__init__()
+            inner = heads * dim_head
+            self.heads = heads
+            self.scale = dim_head ** -0.5
+            self.to_q = nn.Linear(query_dim, inner, bias=False)
+            self.to_k = nn.Linear(query_dim, inner, bias=False)
+            self.to_v = nn.Linear(query_dim, inner, bias=False)
+            self.to_out = nn.ModuleList(
+                [nn.Linear(inner, query_dim), nn.Dropout(dropout)])
+
+        def forward(self, hidden_states, attention_mask=None):
+            b, t, _ = hidden_states.shape
+            h = self.heads
+
+            def split(x):
+                return (x.reshape(b, t, h, -1).permute(0, 2, 1, 3)
+                        .reshape(b * h, t, -1))
+
+            q = split(self.to_q(hidden_states))
+            k = split(self.to_k(hidden_states))
+            v = split(self.to_v(hidden_states))
+            scores = torch.bmm(q, k.transpose(1, 2)) * self.scale
+            if attention_mask is not None:
+                if attention_mask.ndim == 3:          # (B, Tq, Tk) float bias
+                    mask = attention_mask.repeat_interleave(h, dim=0)
+                else:
+                    mask = attention_mask
+                scores = scores + mask
+            attn = scores.softmax(dim=-1)
+            out = torch.bmm(attn, v)
+            out = (out.reshape(b, h, t, -1).permute(0, 2, 1, 3)
+                   .reshape(b, t, -1))
+            out = self.to_out[0](out)
+            return self.to_out[1](out)
+
+    class BasicTransformerBlock(nn.Module):
+        def __init__(self, dim, num_attention_heads, attention_head_dim,
+                     dropout=0.0, activation_fn="geglu", **kw):
+            super().__init__()
+            self.norm1 = nn.LayerNorm(dim)
+            self.attn1 = _Attention(dim, num_attention_heads,
+                                    attention_head_dim, dropout)
+            self.norm3 = nn.LayerNorm(dim)
+            self.ff = _FeedForward(dim, dropout=dropout,
+                                   activation_fn=activation_fn)
+
+        def forward(self, hidden_states, attention_mask=None,
+                    encoder_hidden_states=None, encoder_attention_mask=None,
+                    timestep=None, **kw):
+            attn_out = self.attn1(self.norm1(hidden_states),
+                                  attention_mask=attention_mask)
+            hidden_states = hidden_states + attn_out
+            ff_out = self.ff(self.norm3(hidden_states))
+            return hidden_states + ff_out
+
+    decoder_mod.SinusoidalPosEmb = SinusoidalPosEmb
+    decoder_mod.Block1D = Block1D
+    decoder_mod.ResnetBlock1D = ResnetBlock1D
+    decoder_mod.Downsample1D = Downsample1D
+    decoder_mod.Upsample1D = Upsample1D
+    decoder_mod.TimestepEmbedding = TimestepEmbedding
+    transformer_mod.BasicTransformerBlock = BasicTransformerBlock
+
+    matcha.models = models
+    models.components = components
+    components.decoder = decoder_mod
+    components.transformer = transformer_mod
+    sys.modules["matcha"] = matcha
+    sys.modules["matcha.models"] = models
+    sys.modules["matcha.models.components"] = components
+    sys.modules["matcha.models.components.decoder"] = decoder_mod
+    sys.modules["matcha.models.components.transformer"] = transformer_mod
+
+
+_installed = False
+
+
+def install():
+    """Idempotent: add the reference to sys.path and stub its missing deps."""
+    global _installed
+    if _installed:
+        return
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    if "torchaudio" not in sys.modules:
+        _install_torchaudio()
+    if "omegaconf" not in sys.modules:
+        _install_omegaconf()
+    if "matcha" not in sys.modules:
+        _install_matcha()
+    _installed = True

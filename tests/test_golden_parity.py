@@ -1,0 +1,316 @@
+"""Golden numerical parity against the reference's OWN torch modules.
+
+Round-1 checkpoint tests were self-round-trips (synthesize torch layout
+from flax, convert back); they could not catch wrong name prefixes, wrong
+weight-norm storage, or transposed semantics.  These tests instantiate the
+reference torch modules from /root/reference/GLM_modules with small
+configs, push their real ``state_dict()`` through utils/checkpoint.py, and
+assert numerical parity of the outputs.
+
+Randomness policy: where the reference draws runtime noise (NSF initial
+phase + source noise), both sides are monkeypatched to zero so the
+deterministic compute path is compared exactly.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import ref_shim
+
+ref_shim.install()
+
+import torch  # noqa: E402
+
+from moss_speech_decoder_cosy_tpu.utils import checkpoint as ckpt  # noqa: E402
+from moss_speech_decoder_cosy_tpu.utils.config import (  # noqa: E402
+    HiFTConfig, tiny_hift_config)
+
+
+def _sd(module) -> dict:
+    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+
+
+def _max_abs(a, b) -> float:
+    return float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+
+
+# =====================================================================
+# HiFT vocoder (cosyvoice/hifigan/generator.py:392-582)
+# =====================================================================
+@pytest.fixture(scope="module")
+def hift_pair():
+    """(torch HiFTGenerator, flax HiFTGenerator, converted params, cfg)."""
+    from cosyvoice.hifigan.generator import HiFTGenerator as TorchHiFT
+    from cosyvoice.hifigan.f0_predictor import ConvRNNF0Predictor as TorchF0
+
+    from moss_speech_decoder_cosy_tpu.models.hift import HiFTGenerator
+
+    cfg = tiny_hift_config()
+    torch.manual_seed(0)
+    ref = TorchHiFT(
+        in_channels=cfg.in_channels,
+        base_channels=cfg.base_channels,
+        nb_harmonics=cfg.nb_harmonics,
+        sampling_rate=cfg.sampling_rate,
+        nsf_alpha=cfg.nsf_alpha,
+        nsf_sigma=cfg.nsf_sigma,
+        nsf_voiced_threshold=cfg.nsf_voiced_threshold,
+        upsample_rates=list(cfg.upsample_rates),
+        upsample_kernel_sizes=list(cfg.upsample_kernel_sizes),
+        istft_params={"n_fft": cfg.istft_n_fft, "hop_len": cfg.istft_hop_len},
+        resblock_kernel_sizes=list(cfg.resblock_kernel_sizes),
+        resblock_dilation_sizes=[list(d) for d in
+                                 cfg.resblock_dilation_sizes],
+        source_resblock_kernel_sizes=list(cfg.source_resblock_kernel_sizes),
+        source_resblock_dilation_sizes=[
+            list(d) for d in cfg.source_resblock_dilation_sizes],
+        lrelu_slope=cfg.lrelu_slope,
+        audio_limit=cfg.audio_limit,
+        f0_predictor=TorchF0(num_class=1, in_channels=cfg.in_channels,
+                             cond_channels=cfg.f0_cond_channels),
+    ).eval()
+
+    params, unused = ckpt.convert_hift_state_dict(_sd(ref), cfg)
+    # buffers that are not learned parameters on our side
+    assert set(unused) <= {"stft_window"}, unused
+    mine = HiFTGenerator(cfg)
+    return ref, mine, params, cfg
+
+
+def test_hift_f0_predictor_golden(hift_pair):
+    ref, mine, params, cfg = hift_pair
+    rng = np.random.RandomState(1)
+    mel = rng.randn(2, 11, cfg.in_channels).astype(np.float32)
+    with torch.no_grad():
+        want = ref.f0_predictor(torch.from_numpy(mel).transpose(1, 2)).numpy()
+    got = mine.apply(params, jnp.asarray(mel),
+                     method=lambda m, x: m.f0_predictor(x))
+    assert _max_abs(want, got) < 1e-5
+
+
+def test_hift_decode_golden(hift_pair):
+    """Same (mel, source) -> waveform: exercises conv_pre/ups/source branch/
+    Snake resblocks/conv_post/iSTFT and every weight-norm conversion."""
+    ref, mine, params, cfg = hift_pair
+    rng = np.random.RandomState(2)
+    t = 12
+    mel = rng.randn(1, t, cfg.in_channels).astype(np.float32)
+    s = (0.1 * rng.randn(1, t * cfg.total_upsample, 1)).astype(np.float32)
+    with torch.no_grad():
+        want = ref.decode(torch.from_numpy(mel).transpose(1, 2),
+                          torch.from_numpy(s).transpose(1, 2)).numpy()
+    got = np.asarray(mine.apply(
+        params, jnp.asarray(mel), jnp.asarray(s),
+        method=lambda m, x, src: m.decode(x, src)))
+    assert want.shape == got.shape
+    assert _max_abs(want, got) < 2e-4
+    assert float(np.mean(np.abs(want - got))) < 1e-5
+
+
+def test_hift_inference_golden_zero_noise(hift_pair, monkeypatch):
+    """Full mel->wav inference with NSF randomness zeroed on both sides:
+    covers f0 -> SineGen2 phase integration -> l_linear -> decode."""
+    ref, mine, params, cfg = hift_pair
+    rng = np.random.RandomState(3)
+    t = 12
+    mel = rng.randn(1, t, cfg.in_channels).astype(np.float32)
+
+    monkeypatch.setattr(
+        torch, "rand", lambda *a, **k: torch.zeros(
+            *a, **{kk: vv for kk, vv in k.items() if kk != "device"}))
+    monkeypatch.setattr(torch, "randn_like",
+                        lambda x, **k: torch.zeros_like(x))
+    with torch.no_grad():
+        want_wav, want_s = ref.inference(torch.from_numpy(mel).transpose(1, 2))
+
+    monkeypatch.setattr(jax.random, "uniform",
+                        lambda key, shape=(), dtype=jnp.float32, **k:
+                        jnp.zeros(shape, dtype))
+    monkeypatch.setattr(jax.random, "normal",
+                        lambda key, shape=(), dtype=jnp.float32, **k:
+                        jnp.zeros(shape, dtype))
+    with jax.disable_jit():
+        got_wav, got_s = mine.apply(params, jnp.asarray(mel))
+    assert _max_abs(want_s.transpose(1, 2).numpy(), got_s) < 2e-4
+    assert _max_abs(want_wav.numpy(), got_wav) < 2e-3
+    assert float(np.mean(np.abs(want_wav.numpy() - np.asarray(got_wav)))) \
+        < 1e-4
+
+
+def test_hift_cache_source_golden(hift_pair, monkeypatch):
+    """cache_source overwrite contract (generator.py:578-580)."""
+    ref, mine, params, cfg = hift_pair
+    rng = np.random.RandomState(4)
+    t = 10
+    mel = rng.randn(1, t, cfg.in_channels).astype(np.float32)
+    n_cache = 2 * cfg.total_upsample
+    cache = (0.05 * rng.randn(1, n_cache, 1)).astype(np.float32)
+
+    monkeypatch.setattr(
+        torch, "rand", lambda *a, **k: torch.zeros(
+            *a, **{kk: vv for kk, vv in k.items() if kk != "device"}))
+    monkeypatch.setattr(torch, "randn_like",
+                        lambda x, **k: torch.zeros_like(x))
+    with torch.no_grad():
+        want_wav, _ = ref.inference(
+            torch.from_numpy(mel).transpose(1, 2),
+            cache_source=torch.from_numpy(cache).transpose(1, 2))
+
+    monkeypatch.setattr(jax.random, "uniform",
+                        lambda key, shape=(), dtype=jnp.float32, **k:
+                        jnp.zeros(shape, dtype))
+    monkeypatch.setattr(jax.random, "normal",
+                        lambda key, shape=(), dtype=jnp.float32, **k:
+                        jnp.zeros(shape, dtype))
+    with jax.disable_jit():
+        got_wav, _ = mine.apply(params, jnp.asarray(mel),
+                                jnp.asarray(cache))
+    assert _max_abs(want_wav.numpy(), got_wav) < 2e-3
+
+
+def test_hift_22050_source_module_golden(monkeypatch):
+    """22.05 kHz selects the original SourceModuleHnNSF (generator.py:429);
+    parity for the full-rate phase integration variant."""
+    from cosyvoice.hifigan.generator import HiFTGenerator as TorchHiFT
+    from cosyvoice.hifigan.f0_predictor import ConvRNNF0Predictor as TorchF0
+    from moss_speech_decoder_cosy_tpu.models.hift import HiFTGenerator
+
+    cfg = HiFTConfig(
+        in_channels=16, base_channels=32, nb_harmonics=4,
+        sampling_rate=22050,
+        upsample_rates=(4, 3), upsample_kernel_sizes=(8, 5),
+        resblock_kernel_sizes=(3, 5),
+        resblock_dilation_sizes=((1, 3), (1, 3)),
+        source_resblock_kernel_sizes=(5, 5),
+        source_resblock_dilation_sizes=((1, 3), (1, 3)),
+        f0_cond_channels=24)
+    torch.manual_seed(5)
+    ref = TorchHiFT(
+        in_channels=16, base_channels=32, nb_harmonics=4,
+        sampling_rate=22050, upsample_rates=[4, 3],
+        upsample_kernel_sizes=[8, 5],
+        istft_params={"n_fft": 16, "hop_len": 4},
+        resblock_kernel_sizes=[3, 5],
+        resblock_dilation_sizes=[[1, 3], [1, 3]],
+        source_resblock_kernel_sizes=[5, 5],
+        source_resblock_dilation_sizes=[[1, 3], [1, 3]],
+        f0_predictor=TorchF0(num_class=1, in_channels=16,
+                             cond_channels=24)).eval()
+    params, unused = ckpt.convert_hift_state_dict(_sd(ref), cfg)
+    assert set(unused) <= {"stft_window"}, unused
+    mine = HiFTGenerator(cfg)
+
+    rng = np.random.RandomState(6)
+    mel = rng.randn(1, 9, 16).astype(np.float32)
+
+    class _ZeroUniform:
+        def __init__(self, *a, **k):
+            pass
+
+        def sample(self, sample_shape=()):
+            return torch.zeros(*sample_shape)
+
+    monkeypatch.setattr(torch.distributions.uniform, "Uniform", _ZeroUniform)
+    import cosyvoice.hifigan.generator as refgen
+    monkeypatch.setattr(refgen, "Uniform", _ZeroUniform)
+    monkeypatch.setattr(torch, "randn_like",
+                        lambda x, **k: torch.zeros_like(x))
+    with torch.no_grad():
+        want_wav, _ = ref.inference(torch.from_numpy(mel).transpose(1, 2))
+
+    monkeypatch.setattr(jax.random, "uniform",
+                        lambda key, shape=(), dtype=jnp.float32, **k:
+                        jnp.zeros(shape, dtype))
+    monkeypatch.setattr(jax.random, "normal",
+                        lambda key, shape=(), dtype=jnp.float32, **k:
+                        jnp.zeros(shape, dtype))
+    with jax.disable_jit():
+        got_wav, _ = mine.apply(params, jnp.asarray(mel))
+    assert _max_abs(want_wav.numpy(), got_wav) < 2e-3
+
+
+# =====================================================================
+# WhisperVQ tokenizer (speech_tokenizer/modeling_whisper.py:1151-1486)
+# =====================================================================
+@pytest.fixture(scope="module")
+def tokenizer_pair():
+    from speech_tokenizer.configuration_whisper import WhisperVQConfig
+    from speech_tokenizer.modeling_whisper import (
+        WhisperVQEncoder as TorchEncoder)
+    from moss_speech_decoder_cosy_tpu.tokenizer import (
+        WhisperVQEncoder, tiny_tokenizer_config)
+
+    cfg = tiny_tokenizer_config()
+    tcfg = WhisperVQConfig(
+        num_mel_bins=cfg.num_mel_bins,
+        d_model=cfg.d_model,
+        encoder_attention_heads=cfg.attention_heads,
+        encoder_ffn_dim=cfg.ffn_dim,
+        encoder_layers=cfg.encoder_layers,
+        max_source_positions=cfg.max_source_positions,
+        pooling_kernel_size=cfg.pooling_kernel_size,
+        pooling_type="avg",
+        pooling_position=cfg.pooling_position,
+        quantize_position=cfg.quantize_position,
+        quantize_vocab_size=cfg.quantize_vocab_size,
+        quantize_encoder_only=True,
+        encoder_causal_attention=True,
+        encoder_causal_convolution=True,
+        quantize_ema_decay=0.99,
+    )
+    tcfg._attn_implementation = "sdpa"
+    torch.manual_seed(7)
+    ref = TorchEncoder(tcfg).eval()
+    # give the codebook a non-degenerate spread (post_init leaves Embedding
+    # at std 0.02 which is fine, but make ties impossible)
+    with torch.no_grad():
+        ref.codebook.weight.copy_(torch.randn_like(ref.codebook.weight))
+
+    params, unused = ckpt.convert_tokenizer_state_dict(_sd(ref), cfg)
+    # post-VQ positions + EMA buffers are not used by the token path
+    assert set(unused) <= {"embed_positions2.weight", "ema_count",
+                           "ema_weight"}, unused
+    mine = WhisperVQEncoder(cfg)
+    return ref, mine, params, cfg
+
+
+def test_tokenizer_tokens_golden(tokenizer_pair):
+    ref, mine, params, cfg = tokenizer_pair
+    rng = np.random.RandomState(8)
+    t_mel = 48                                # post-conv 24, tokens 6
+    mel = rng.randn(1, t_mel, cfg.num_mel_bins).astype(np.float32)
+    with torch.no_grad():
+        out = ref(input_features=torch.from_numpy(mel).transpose(1, 2),
+                  attention_mask=torch.ones(1, t_mel, dtype=torch.long))
+    want = out.quantized_token_ids.numpy()
+    ids, token_valid = mine.apply(params, jnp.asarray(mel),
+                                  jnp.ones((1, t_mel), bool))
+    assert np.array_equal(want, np.asarray(ids)), (want, np.asarray(ids))
+    assert bool(np.all(np.asarray(token_valid)))
+
+
+def test_tokenizer_streaming_tokens_golden(tokenizer_pair):
+    """Streaming step() against the torch BATCH forward — the reference's
+    own equivalence contract (speech_tokenizer/utils.py:191-292)."""
+    ref, mine, params, cfg = tokenizer_pair
+    rng = np.random.RandomState(9)
+    t_mel = 48
+    chunk = 16                                # 8 post-conv = 2 tokens
+    mel = rng.randn(1, t_mel, cfg.num_mel_bins).astype(np.float32)
+    with torch.no_grad():
+        out = ref(input_features=torch.from_numpy(mel).transpose(1, 2),
+                  attention_mask=torch.ones(1, t_mel, dtype=torch.long))
+    want = out.quantized_token_ids.numpy()
+
+    state = mine.apply(params, 1, method=lambda m, b: m.init_state(b))
+    got = []
+    for i in range(0, t_mel, chunk):
+        ids, state = mine.apply(params, jnp.asarray(mel[:, i:i + chunk]),
+                                state,
+                                method=lambda m, x, s: m.step(x, s))
+        got.append(np.asarray(ids))
+    got = np.concatenate(got, axis=1)
+    assert np.array_equal(want, got), (want, got)
