@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ...ops.attention import RelPositionMultiHeadedAttention
-from ...ops.embeddings import espnet_rel_pos
+from ...ops.embeddings import espnet_rel_pos, wenet_rel_pos
 from ...ops.masks import chunk_attention_mask
 from ...ops.convs import Conv1d
 from ...ops.activations import get_activation
@@ -180,7 +180,9 @@ class UpsampleConformerEncoder(nn.Module):
         t = x.shape[1]
         embed = LinearEmbed(c.output_size, c.dropout_rate, name="embed")
         x = embed(x, deterministic)
-        pos = espnet_rel_pos(t, c.output_size).astype(x.dtype)
+        rel_pos = (espnet_rel_pos if c.pos_enc_layer_type == "rel_pos_espnet"
+                   else wenet_rel_pos)
+        pos = rel_pos(t, c.output_size).astype(x.dtype)
         if context is not None:
             context = embed(context, deterministic)
         chunk = c.static_chunk_size if streaming else 0
@@ -197,7 +199,7 @@ class UpsampleConformerEncoder(nn.Module):
         valid_up = jnp.repeat(valid, c.upsample_stride, axis=1)
         x = LinearEmbed(c.output_size, c.dropout_rate, name="up_embed")(
             x, deterministic)
-        pos_up = espnet_rel_pos(t_up, c.output_size).astype(x.dtype)
+        pos_up = rel_pos(t_up, c.output_size).astype(x.dtype)
         attn_mask_up = chunk_attention_mask(
             valid_up, chunk * c.upsample_stride if streaming else 0)
         for i in range(c.num_up_blocks):

@@ -70,8 +70,12 @@ class RelPositionMultiHeadedAttention(nn.Module):
         q_v = (q + pos_bias_v[None, None]).transpose(0, 2, 1, 3)
         kt = k.transpose(0, 2, 3, 1)                        # (B,H,dk,T)
         matrix_ac = q_u @ kt                                # (B,H,T,T)
-        matrix_bd = q_v @ p.transpose(0, 1, 3, 2)           # (B,H,T,2T-1)
-        matrix_bd = _rel_shift(matrix_bd)
+        matrix_bd = q_v @ p.transpose(0, 1, 3, 2)           # (B,H,T,P)
+        # the reference applies the rel-shift only when the pos table is the
+        # espnet 2T-1 flavor (attention.py:323-325 shape check); the wenet
+        # 'rel_pos' flavor feeds a length-T table and no shift.
+        if matrix_bd.shape[-1] != matrix_ac.shape[-1]:
+            matrix_bd = _rel_shift(matrix_bd)
         scores = (matrix_ac + matrix_bd) / jnp.sqrt(jnp.asarray(dk, x.dtype))
 
         if mask is not None and mask.ndim == 3:

@@ -37,10 +37,35 @@ def _rel_pe_table(d_model: int, max_len: int) -> np.ndarray:
 
 def espnet_rel_pos(size: int, d_model: int) -> jnp.ndarray:
     """Relative positional embedding (1, 2*size-1, d_model) for query len
-    ``size`` (relative offsets size-1 .. -(size-1))."""
+    ``size`` (relative offsets size-1 .. -(size-1)).
+
+    This is the ``rel_pos_espnet`` flavor (embedding.py:201-292); the
+    attention applies the rel-shift because the table is 2T-1 long."""
     table = _rel_pe_table(d_model, max(size, 16))
     center = table.shape[0] // 2
     return jnp.asarray(table[center - size + 1: center + size])[None]
+
+
+@functools.lru_cache(maxsize=None)
+def _abs_pe_table(d_model: int, max_len: int) -> np.ndarray:
+    """Standard sinusoid table pe[pos] (wenet PositionalEncoding,
+    reference transformer/embedding.py:49-57)."""
+    position = np.arange(max_len, dtype=np.float64)[:, None]
+    div = np.exp(np.arange(0, d_model, 2, dtype=np.float64)
+                 * -(math.log(10000.0) / d_model))
+    pe = np.zeros((max_len, d_model))
+    pe[:, 0::2] = np.sin(position * div)
+    pe[:, 1::2] = np.cos(position * div)
+    return pe.astype(np.float32)
+
+
+def wenet_rel_pos(size: int, d_model: int, offset: int = 0) -> jnp.ndarray:
+    """The ``rel_pos`` flavor used by the CosyVoice2/MOSS encoders
+    (class_utils.py:64 -> wenet RelPositionalEncoding): pe[offset:offset+T],
+    length T — the attention then skips the rel-shift because
+    matrix_bd already matches matrix_ac's shape (attention.py:324-325)."""
+    table = _abs_pe_table(d_model, max(size + offset, 16))
+    return jnp.asarray(table[offset: offset + size])[None]
 
 
 class SinusoidalPosEmb(nn.Module):

@@ -37,6 +37,10 @@ class EncoderConfig:
     activation: str = "swish"
     pre_lookahead_len: int = 3
     dropout_rate: float = 0.1
+    # 'rel_pos' (wenet length-T table, no rel-shift — the reference default,
+    # upsample_encoder.py:118 + class_utils.py:64) or 'rel_pos_espnet'
+    # (2T-1 table with rel-shift, used by cosyvoice1 checkpoints)
+    pos_enc_layer_type: str = "rel_pos"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -139,6 +139,21 @@ def _install_matcha():
     components = _module("matcha.models.components")
     decoder_mod = _module("matcha.models.components.decoder")
     transformer_mod = _module("matcha.models.components.transformer")
+    flow_matching_mod = _module("matcha.models.components.flow_matching")
+
+    class BASECFM(nn.Module):
+        """matcha flow_matching.BASECFM: parameter container base class."""
+
+        def __init__(self, n_feats, cfm_params, n_spks=1, spk_emb_dim=128):
+            super().__init__()
+            self.n_feats = n_feats
+            self.n_spks = n_spks
+            self.spk_emb_dim = spk_emb_dim
+            self.solver = cfm_params.solver
+            self.sigma_min = getattr(cfm_params, "sigma_min", 1e-4)
+            self.estimator = None
+
+    flow_matching_mod.BASECFM = BASECFM
 
     class SinusoidalPosEmb(nn.Module):
         def __init__(self, dim):
@@ -339,6 +354,7 @@ def _install_matcha():
     sys.modules["matcha.models.components"] = components
     sys.modules["matcha.models.components.decoder"] = decoder_mod
     sys.modules["matcha.models.components.transformer"] = transformer_mod
+    sys.modules["matcha.models.components.flow_matching"] = flow_matching_mod
 
 
 _installed = False

@@ -314,3 +314,165 @@ def test_tokenizer_streaming_tokens_golden(tokenizer_pair):
         got.append(np.asarray(ids))
     got = np.concatenate(got, axis=1)
     assert np.array_equal(want, got), (want, got)
+
+
+# =====================================================================
+# Flow stack: CausalMaskedDiffWithXvec (cosyvoice/flow/flow.py:151-283)
+# through UpsampleConformerEncoder + CausalConditionalDecoder + CFM
+# =====================================================================
+def _make_flow_pair(channels, macaron, use_cnn):
+    """Build matched (torch flow, flax flow, converted params, cfg)."""
+    from omegaconf import DictConfig
+    from cosyvoice.flow.flow import CausalMaskedDiffWithXvec as TorchFlow
+    from cosyvoice.transformer.upsample_encoder import (
+        UpsampleConformerEncoder as TorchEncoder)
+    from cosyvoice.flow.decoder import (
+        CausalConditionalDecoder as TorchEstimator)
+    from cosyvoice.flow.flow_matching import (
+        CausalConditionalCFM as TorchCFM)
+
+    from moss_speech_decoder_cosy_tpu.models.flow import (
+        CausalMaskedDiffWithXvec)
+    from moss_speech_decoder_cosy_tpu.utils.config import (
+        FlowConfig, EncoderConfig, EstimatorConfig, CFMConfig)
+
+    torch.manual_seed(11)
+    t_enc = TorchEncoder(
+        input_size=512, output_size=512, attention_heads=4,
+        linear_units=128, num_blocks=2, dropout_rate=0.0,
+        positional_dropout_rate=0.0, attention_dropout_rate=0.0,
+        input_layer="linear", macaron_style=macaron,
+        use_cnn_module=use_cnn, cnn_module_kernel=7,
+        cnn_module_norm="layer_norm", static_chunk_size=25,
+        upsample_stride=4)
+    t_est = TorchEstimator(
+        in_channels=320, out_channels=80, channels=list(channels),
+        dropout=0.0, attention_head_dim=16, n_blocks=1,
+        num_mid_blocks=1, num_heads=2, act_fn="gelu",
+        static_chunk_size=50)
+    cfm_params = DictConfig({
+        "sigma_min": 1e-6, "solver": "euler", "t_scheduler": "cosine",
+        "training_cfg_rate": 0.2, "inference_cfg_rate": 0.7,
+        "reg_loss_type": "l1"})
+    t_cfm = TorchCFM(in_channels=240, cfm_params=cfm_params, n_spks=1,
+                     spk_emb_dim=80, estimator=t_est)
+    ref = TorchFlow(
+        input_size=512, output_size=80, spk_embed_dim=192, vocab_size=64,
+        input_frame_rate=12, token_mel_ratio=4, pre_lookahead_len=3,
+        encoder=t_enc, decoder=t_cfm).eval()
+
+    cfg = FlowConfig(
+        vocab_size=64, input_size=512, output_size=80, spk_embed_dim=192,
+        input_frame_rate=12.5, token_mel_ratio=4,
+        encoder=EncoderConfig(
+            input_size=512, output_size=512, attention_heads=4,
+            linear_units=128, num_blocks=2, num_up_blocks=4,
+            static_chunk_size=25, upsample_stride=4, dropout_rate=0.0,
+            macaron_style=macaron, use_cnn_module=use_cnn,
+            cnn_module_kernel=7),
+        estimator=EstimatorConfig(
+            in_channels=320, out_channels=80, channels=tuple(channels),
+            attention_head_dim=16, n_blocks=1, num_mid_blocks=1,
+            num_heads=2, act_fn="gelu", static_chunk_size=50),
+        cfm=CFMConfig(n_timesteps=10, max_noise_len=15000))
+
+    params, unused = ckpt.convert_flow_state_dict(_sd(ref), cfg)
+    mine = CausalMaskedDiffWithXvec(cfg)
+    return ref, mine, params, cfg, unused
+
+
+@pytest.fixture(scope="module")
+def flow_pair():
+    return _make_flow_pair(channels=(64,), macaron=False, use_cnn=False)
+
+
+def _inject_torch_noise(monkeypatch, ref):
+    """Make my fixed CFM noise buffer equal the reference's rand_noise."""
+    from moss_speech_decoder_cosy_tpu.models.flow import cfm as cfm_mod
+    noise = ref.decoder.rand_noise.numpy().transpose(0, 2, 1)  # (1, L, 80)
+    monkeypatch.setattr(cfm_mod, "_fixed_noise",
+                        lambda max_len, dim: noise[:, :max_len, :dim])
+
+
+def _run_flow_pair(ref, mine, params, cfg, monkeypatch, streaming,
+                   finalize, n_tok=12, n_prompt=4):
+    _inject_torch_noise(monkeypatch, ref)
+    rng = np.random.RandomState(12)
+    token = rng.randint(0, cfg.vocab_size, (1, n_tok)).astype(np.int64)
+    prompt_token = rng.randint(0, cfg.vocab_size,
+                               (1, n_prompt)).astype(np.int64)
+    prompt_feat = rng.randn(1, n_prompt * cfg.token_mel_ratio,
+                            cfg.output_size).astype(np.float32)
+    emb = rng.randn(1, cfg.spk_embed_dim).astype(np.float32)
+
+    with torch.no_grad():
+        want, want_full = ref.inference(
+            token=torch.from_numpy(token),
+            token_len=torch.tensor([n_tok], dtype=torch.int32),
+            prompt_token=torch.from_numpy(prompt_token),
+            prompt_token_len=torch.tensor([n_prompt], dtype=torch.int32),
+            prompt_feat=torch.from_numpy(prompt_feat),
+            prompt_feat_len=torch.tensor([prompt_feat.shape[1]],
+                                         dtype=torch.int32),
+            embedding=torch.from_numpy(emb),
+            streaming=streaming, finalize=finalize)
+
+    all_tok = np.concatenate([prompt_token, token], axis=1)
+    full = mine.apply(params, jnp.asarray(all_tok, jnp.int32),
+                      jnp.ones_like(jnp.asarray(all_tok), bool),
+                      jnp.asarray(prompt_feat), jnp.asarray(emb),
+                      streaming=streaming, finalize=finalize)
+    got_full = np.asarray(full).transpose(0, 2, 1)       # (B, 80, T)
+    got = got_full[:, :, prompt_feat.shape[1]:]
+    assert want.shape == got.shape, (want.shape, got.shape)
+    return want.numpy(), got
+
+
+def test_flow_inference_golden_offline(flow_pair, monkeypatch):
+    ref, mine, params, cfg, unused = flow_pair
+    assert unused == [], unused
+    want, got = _run_flow_pair(ref, mine, params, cfg, monkeypatch,
+                               streaming=False, finalize=True)
+    assert _max_abs(want, got) < 2e-3
+    assert float(np.mean(np.abs(want - got))) < 2e-4
+
+
+def test_flow_inference_golden_streaming(flow_pair, monkeypatch):
+    """streaming=True engages the chunked attention masks in encoder and
+    estimator (static_chunk_size plumbing)."""
+    ref, mine, params, cfg, unused = flow_pair
+    want, got = _run_flow_pair(ref, mine, params, cfg, monkeypatch,
+                               streaming=True, finalize=True,
+                               n_tok=30, n_prompt=4)
+    assert _max_abs(want, got) < 2e-3
+
+
+def test_flow_inference_golden_lookahead(flow_pair, monkeypatch):
+    """finalize=False: the last pre_lookahead_len tokens act as encoder
+    context and produce no frames (flow.py:262-263)."""
+    ref, mine, params, cfg, unused = flow_pair
+    want, got = _run_flow_pair(ref, mine, params, cfg, monkeypatch,
+                               streaming=True, finalize=False,
+                               n_tok=15, n_prompt=4)
+    assert _max_abs(want, got) < 2e-3
+
+
+def test_flow_inference_golden_unet_2level(monkeypatch):
+    """channels=(64, 64): exercises Downsample1D / transpose-Upsample1D and
+    the skip-connection paths of the U-Net converter mapping."""
+    ref, mine, params, cfg, unused = _make_flow_pair(
+        channels=(64, 64), macaron=False, use_cnn=False)
+    assert unused == [], unused
+    want, got = _run_flow_pair(ref, mine, params, cfg, monkeypatch,
+                               streaming=False, finalize=True)
+    assert _max_abs(want, got) < 2e-3
+
+
+def test_flow_inference_golden_macaron_cnn(monkeypatch):
+    """macaron FFN + conformer conv module (layer_norm variant) parity."""
+    ref, mine, params, cfg, unused = _make_flow_pair(
+        channels=(64,), macaron=True, use_cnn=True)
+    assert unused == [], unused
+    want, got = _run_flow_pair(ref, mine, params, cfg, monkeypatch,
+                               streaming=False, finalize=True)
+    assert _max_abs(want, got) < 2e-3
