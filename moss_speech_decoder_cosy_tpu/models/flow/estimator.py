@@ -234,4 +234,12 @@ class CausalConditionalDecoder(nn.Module):
         out = out * valid[..., None]
         if flash_pad:
             out = out[:, :t_true]
+        if c.use_flash_attention:
+            # the flash kernel's analytic key mask covers only the scalar
+            # pre-pad length, NOT per-row valid; poison the output if any
+            # row is right-padded so misuse fails loudly instead of
+            # silently attending padding (offline all-valid is the
+            # supported path)
+            ok = jnp.all(valid[:, :t_true])
+            out = jnp.where(ok, out, jnp.full_like(out, jnp.nan))
         return out

@@ -183,39 +183,101 @@ class BistreamSession:
         self.cache = None
         self._prefill = jax.jit(
             lambda p, e, c: model.apply(p, e, c, method=model.prefill))
-        self._gen_chunk = jax.jit(self._gen_impl, static_argnames=("n",))
+        self._gen_chunk = jax.jit(self._gen_impl,
+                                  static_argnames=("n", "final"))
         self._text_buf: List[int] = []
         self._started = False
+        # RAS history ring persists across chunks (the reference feeds the
+        # full decoded-token history to sampling_ids, llm.py:580,602)
+        self._history = jnp.full((model.cfg.win_size,), -1, jnp.int32)
+        # embedding of the last accepted speech token, not yet in the KV
+        # cache (fed before the next phase's inputs)
+        self._pending_emb = None
 
-    def _gen_impl(self, params, logits0, cache, key, n):
-        """Sample n speech tokens: tok0 from ``logits0`` (the last prefilled
-        position), then feed speech embeddings autoregressively."""
+    def _gen_impl(self, params, logits0, cache, history, key, n, final):
+        """Sample up to n speech tokens starting from ``logits0`` (the last
+        prefilled position), feeding speech embeddings autoregressively.
+
+        Mid-stream (final=False): eos is masked, the FILL token
+        (speech_token_size + 2) ends the chunk (llm.py:570-591).
+        Final (final=True): eos is allowed and ends generation
+        (llm.py:595-611, ignore_eos=False).
+
+        Returns (tokens (n,), count, cache, history, last_emb, stopped):
+        ``last_emb`` is the embedding of the final accepted token, which is
+        NOT yet in the cache (the reference never feeds the fill/eos token
+        back; when the budget ends without a stop token the pending
+        embedding must prefix the next phase's inputs)."""
         model = self.model
 
-        def gen(mdl, logits0, cache, key):
+        def gen(mdl, logits0, cache, history, key):
             c = mdl.cfg
-            outs = jnp.zeros((n,), jnp.int32)
+            eos = c.speech_token_size
+            fill = eos + 2
 
-            def sample(logits, ks):
+            def sample(logits, hist, ks):
                 logp = jax.nn.log_softmax(logits[0])
-                logp = logp.at[c.speech_token_size:].set(-1e10)
-                return ras_sample(ks, logp,
-                                  jnp.full((c.win_size,), -1, jnp.int32), c)
+                ids = jnp.arange(logp.shape[0])
+                if final:
+                    allow = ids <= eos                 # specials masked
+                else:
+                    allow = (ids < eos) | (ids == fill)
+                logp = jnp.where(allow, logp, -1e10)
+                return ras_sample(ks, logp, hist, c)
 
-            def body(i, st):
-                cache, logits, outs, key = st
-                key, ks = jax.random.split(key)
-                tok = sample(logits, ks)
-                outs = outs.at[i].set(tok.astype(jnp.int32))
-                h, cache = mdl.llm.forward_embeds(
-                    mdl.speech_embedding(tok[None, None]), cache)
-                return (cache, mdl.llm_decoder(h[:, -1]), outs, key)
+            def is_stop(tok):
+                return tok == (eos if final else fill)
 
-            cache, _, outs, _ = jax.lax.fori_loop(
-                0, n, body, (cache, logits0, outs, key))
-            return outs, cache
+            def cond(carry: GenCarry):
+                return (~carry.done) & (carry.i < n)
 
-        return model.apply(params, logits0, cache, key, method=gen)
+            def body(carry: GenCarry):
+                key, ks = jax.random.split(carry.key)
+                h, cache = mdl.llm.forward_embeds(carry.cur_emb, carry.cache)
+                logits = mdl.llm_decoder(h[:, -1])
+                tok = sample(logits, carry.history, ks)
+                stop = is_stop(tok)
+                out = carry.out.at[carry.i].set(
+                    jnp.where(stop, carry.out[carry.i],
+                              tok).astype(jnp.int32))
+                history = jnp.where(
+                    stop, carry.history,
+                    jnp.roll(carry.history, -1).at[-1].set(tok))
+                cur = jnp.where(stop, carry.cur_emb,
+                                mdl.speech_embedding(tok[None, None]))
+                return GenCarry(cache=cache, cur_emb=cur, out=out,
+                                history=history,
+                                i=carry.i + jnp.where(stop, 0, 1),
+                                done=stop, key=key)
+
+            key, k0 = jax.random.split(key)
+            tok0 = sample(logits0, history, k0)
+            stop0 = is_stop(tok0)
+            out = jnp.full((n,), eos, jnp.int32)
+            out = out.at[0].set(jnp.where(stop0, eos, tok0).astype(jnp.int32))
+            emb0 = mdl.speech_embedding(tok0[None, None])
+            carry = GenCarry(
+                cache=cache, cur_emb=emb0, out=out,
+                history=jnp.where(
+                    stop0, history,
+                    jnp.roll(history, -1).at[-1].set(tok0)),
+                i=jnp.where(stop0, 0, 1).astype(jnp.int32),
+                done=stop0, key=key)
+            f = jax.lax.while_loop(cond, body, carry)
+            return f.out, f.i, f.cache, f.history, f.cur_emb, f.done
+
+        return model.apply(params, logits0, cache, history, key, method=gen)
+
+    def _run_chunk(self, logits0, n, final):
+        self.key, k = jax.random.split(self.key)
+        toks, count, self.cache, self._history, last_emb, stopped = \
+            self._gen_chunk(self.params, logits0, self.cache, self._history,
+                            k, n=n, final=final)
+        count = int(count)
+        # budget exhausted without fill/eos: the last token's embedding has
+        # not been fed through the backbone yet
+        self._pending_emb = None if bool(stopped) or count == 0 else last_emb
+        return np.asarray(toks)[:count]
 
     def push_text(self, text_ids: Iterable[int]) -> List[np.ndarray]:
         """Feed text tokens; yields speech chunks as ratios fill."""
@@ -238,22 +300,25 @@ class BistreamSession:
                     self.params, 1,
                     method=lambda m, b: m.llm.init_cache(b))
                 self._started = True
+            if self._pending_emb is not None:
+                embeds = jnp.concatenate([self._pending_emb, embeds], axis=1)
+                self._pending_emb = None
             h, self.cache = self._prefill(self.params, embeds, self.cache)
             logits0 = self.model.apply(
                 self.params, h[:, -1],
                 method=lambda m, x: m.llm_decoder(x))
-            self.key, k = jax.random.split(self.key)
-            toks, self.cache = self._gen_chunk(
-                self.params, logits0, self.cache, k, n=n_speech)
-            out.append(np.asarray(toks))
+            toks = self._run_chunk(logits0, n_speech, final=False)
+            if toks.size:
+                out.append(toks)
         return out
 
     def flush(self, n_final: int | None = None):
-        """Consume any trailing text (< mix_ratio[0] tokens) and emit a
-        final speech chunk (the reference's end-of-text handling,
-        llm.py:585-611)."""
+        """Consume any trailing text (< mix_ratio[0] tokens) and decode
+        until eos (the reference's end-of-text handling, llm.py:593-611:
+        ignore_eos=False; generation stops at the first eos instead of
+        emitting a fixed-length block).  ``n_final`` bounds the decode."""
         n_text, n_speech = self.model.cfg.mix_ratio
-        n_final = n_final or n_speech
+        n_final = n_final or 4 * n_speech
         out = []
         if not self._started and not self._text_buf:
             return out
@@ -277,13 +342,19 @@ class BistreamSession:
                 self.params, 1, method=lambda m, b: m.llm.init_cache(b))
             self._started = True
         else:
-            embeds = (jnp.concatenate([embeds, task], axis=1)
-                      if embeds is not None else task)
+            # [last pending speech emb] ++ trailing text ++ task
+            # (llm.py:596: lm_input ++ text_cache ++ task_id_emb)
+            parts = ([] if self._pending_emb is None
+                     else [self._pending_emb])
+            if embeds is not None:
+                parts.append(embeds)
+            parts.append(task)
+            embeds = jnp.concatenate(parts, axis=1)
+            self._pending_emb = None
         h, self.cache = self._prefill(self.params, embeds, self.cache)
         logits0 = self.model.apply(
             self.params, h[:, -1], method=lambda m, x: m.llm_decoder(x))
-        self.key, k = jax.random.split(self.key)
-        toks, self.cache = self._gen_chunk(
-            self.params, logits0, self.cache, k, n=n_final)
-        out.append(np.asarray(toks))
+        toks = self._run_chunk(logits0, n_final, final=True)
+        if toks.size:
+            out.append(toks)
         return out

@@ -42,8 +42,8 @@ class DiscriminatorP(nn.Module):
         p = self.period
         pad = (-t) % p
         if pad:
-            # torch uses reflect padding here
-            x = jnp.concatenate([x, x[:, t - pad:][:, ::-1]], axis=1)
+            # torch reflect padding: mirror excluding the edge sample
+            x = jnp.concatenate([x, x[:, t - 2: t - 2 - pad: -1]], axis=1)
         x = x.reshape(b, -1, p, 1)                     # (B, T/p, p, 1)
         fmap = []
         for i, ch in enumerate(self.channels):
