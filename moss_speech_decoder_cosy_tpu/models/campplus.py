@@ -190,3 +190,18 @@ class SpeakerEncoder:
         feat = kaldi_fbank(wav)
         feat = feat - jnp.mean(feat, axis=1, keepdims=True)
         return np.asarray(self._fn(self.params, feat))
+
+    @classmethod
+    def from_onnx(cls, path: str) -> "SpeakerEncoder":
+        """Load the reference's campplus.onnx
+        (GLM_modules/flow_inference.py:86-89) and run it natively."""
+        from ..utils.onnx_io import load_onnx_initializers
+        from ..utils.checkpoint import convert_campplus_state_dict
+        params, unused = convert_campplus_state_dict(
+            load_onnx_initializers(path))
+        if unused:
+            import logging
+            logging.getLogger(__name__).warning(
+                "campplus.onnx: %d unused initializers (e.g. %s)",
+                len(unused), unused[:3])
+        return cls(params)

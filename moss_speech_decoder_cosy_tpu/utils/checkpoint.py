@@ -48,6 +48,14 @@ def _g(w: Array) -> Array:            # weight_norm g: (O,1,1)/(I,1,1) -> 1-D
     return np.ascontiguousarray(w.reshape(-1))
 
 
+def _conv2(w: Array) -> Array:        # torch Conv2d (O, I, KH, KW) -> HWIO
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+def _dense_from_conv1(w: Array) -> Array:   # Conv1d k1 (O, I, 1) -> (I, O)
+    return np.ascontiguousarray(w[:, :, 0].T)
+
+
 class _Mapper:
     """Accumulates flat {'a/b/c': array} entries and reports leftovers.
 
@@ -113,6 +121,18 @@ class _Mapper:
     def norm(self, dst: str, src: str):
         self.put(f"{dst}/scale", f"{src}.weight")
         self.put(f"{dst}/bias", f"{src}.bias")
+
+    def batchnorm(self, dst: str, src: str):
+        """torch BatchNorm1d/2d (inference stats) -> models BatchNorm."""
+        self.put(f"{dst}/scale", f"{src}.weight")
+        self.put(f"{dst}/bias", f"{src}.bias")
+        self.put(f"{dst}/mean", f"{src}.running_mean")
+        self.put(f"{dst}/var", f"{src}.running_var")
+
+    def conv2d(self, dst: str, src: str, bias: bool = False):
+        self.put(f"{dst}/kernel", f"{src}.weight", _conv2)
+        if bias:
+            self.maybe(f"{dst}/bias", f"{src}.bias")
 
     def unused(self):
         return sorted(set(self.sd) - self.used)
@@ -369,6 +389,70 @@ def convert_speech_lm_state_dict(sd: StateDict, cfg):
     return m.tree(), m.unused()
 
 
+def _convert_campplus(m: "_Mapper", block_layers=(12, 24, 16)):
+    """modelscope speakerlab CAMPPlus names (the torch model the reference's
+    campplus.onnx was exported from, run via onnxruntime at
+    GLM_modules/flow_inference.py:86-89) -> models/campplus.py params.
+
+    ONNX exports keep the state_dict names for initializers, so the same
+    map serves both ``campplus.pt`` state_dicts and
+    ``load_onnx_initializers('campplus.onnx')`` outputs."""
+    # FCM 2-D front-end: conv1/bn1, layer{1,2} (two BasicResBlocks each,
+    # first strided with a projection shortcut), conv2/bn2
+    m.conv2d("head/conv1", "head.conv1")
+    m.batchnorm("head/bn1", "head.bn1")
+    for i in range(2):
+        for j, tag in enumerate("ab"):
+            s = f"head.layer{i + 1}.{j}"
+            d = f"head/block{i}{tag}"
+            m.conv2d(f"{d}/conv1", f"{s}.conv1")
+            m.batchnorm(f"{d}/bn1", f"{s}.bn1")
+            m.conv2d(f"{d}/conv2", f"{s}.conv2")
+            m.batchnorm(f"{d}/bn2", f"{s}.bn2")
+            if j == 0:                       # strided block has a projection
+                m.conv2d(f"{d}/shortcut_conv", f"{s}.shortcut.0")
+                m.batchnorm(f"{d}/shortcut_bn", f"{s}.shortcut.1")
+    m.conv2d("head/conv2", "head.conv2")
+    m.batchnorm("head/bn2", "head.bn2")
+
+    m.put("tdnn_conv/kernel", "xvector.tdnn.linear.weight", _conv)
+    m.batchnorm("tdnn_bn", "xvector.tdnn.nonlinear.batchnorm")
+    for bi, n_layers in enumerate(block_layers):
+        for li in range(n_layers):
+            s = f"xvector.block{bi + 1}.tdnnd{li + 1}"
+            d = f"block{bi}_layer{li}"
+            m.batchnorm(f"{d}/bn1", f"{s}.nonlinear1.batchnorm")
+            m.put(f"{d}/linear1/kernel", f"{s}.linear1.weight", _conv)
+            m.batchnorm(f"{d}/bn2", f"{s}.nonlinear2.batchnorm")
+            cam = f"{s}.cam_layer"
+            cd = f"{d}/cam_layer"
+            m.put(f"{cd}/linear_local/kernel", f"{cam}.linear_local.weight",
+                  _conv)
+            m.put(f"{cd}/linear1/kernel", f"{cam}.linear1.weight", _conv)
+            m.maybe(f"{cd}/linear1/bias", f"{cam}.linear1.bias")
+            m.put(f"{cd}/linear2/kernel", f"{cam}.linear2.weight", _conv)
+            m.maybe(f"{cd}/linear2/bias", f"{cam}.linear2.bias")
+        m.batchnorm(f"transit{bi}_bn",
+                    f"xvector.transit{bi + 1}.nonlinear.batchnorm")
+        m.put(f"transit{bi}_conv/kernel",
+              f"xvector.transit{bi + 1}.linear.weight", _conv)
+    m.batchnorm("out_bn", "xvector.out_nonlinear.batchnorm")
+    m.put("dense/kernel", "xvector.dense.linear.weight", _dense_from_conv1)
+    m.maybe("dense/bias", "xvector.dense.linear.bias")
+    m.batchnorm("dense_bn", "xvector.dense.nonlinear.batchnorm")
+
+
+def convert_campplus_state_dict(sd: StateDict, block_layers=(12, 24, 16)):
+    """campplus torch state_dict OR onnx initializers -> CAMPPlus params.
+
+    For the released campplus.onnx, obtain ``sd`` via
+    ``utils.onnx_io.load_onnx_initializers(path)``."""
+    m = _Mapper(sd)
+    _convert_campplus(m, block_layers)
+    unused = [k for k in m.unused() if not k.endswith("num_batches_tracked")]
+    return m.tree(), unused
+
+
 def conversion_plan(kind: str, cfg) -> list:
     """(dst, src, transform) triples for a converter, without arrays —
     lets tests synthesize a torch state_dict from flax params and
@@ -384,6 +468,8 @@ def conversion_plan(kind: str, cfg) -> list:
         _convert_qwen2(m, cfg)
     elif kind == "speech_lm":
         _convert_speech_lm(m, cfg)
+    elif kind == "campplus":
+        _convert_campplus(m, cfg if cfg is not None else (12, 24, 16))
     else:
         raise ValueError(kind)
     return m.plan

@@ -29,6 +29,10 @@ def _inverse(fn, x):
         return np.ascontiguousarray(x.transpose(1, 2, 0))
     if fn is ckpt._g:
         return np.ascontiguousarray(x.reshape(-1, 1, 1))
+    if fn is ckpt._conv2:
+        return np.ascontiguousarray(x.transpose(3, 2, 0, 1))
+    if fn is ckpt._dense_from_conv1:
+        return np.ascontiguousarray(x.T[..., None])
     raise AssertionError(fn)
 
 
@@ -222,3 +226,66 @@ def test_speech_lm_conversion_roundtrip():
     params = m.init(jax.random.PRNGKey(0), text, ps, jax.random.PRNGKey(1),
                     max_len=4)
     _roundtrip("speech_lm", cfg, params, ckpt.convert_speech_lm_state_dict)
+
+
+def test_campplus_conversion_roundtrip():
+    """campplus: plan covers every flax param; conversion is exact."""
+    from moss_speech_decoder_cosy_tpu.models.campplus import CAMPPlus
+    block_layers = (2, 3)
+    m = CAMPPlus(embedding_size=12, growth_rate=4, bn_size=2,
+                 init_channels=8, block_layers=block_layers,
+                 block_dilations=(1, 2))
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 20, 16)))
+    _roundtrip("campplus", block_layers, params,
+               ckpt.convert_campplus_state_dict)
+
+
+def test_onnx_initializer_reader():
+    """Hand-encode a tiny ONNX ModelProto on the wire and read it back."""
+    from moss_speech_decoder_cosy_tpu.utils.onnx_io import (
+        load_onnx_initializers)
+
+    def varint(v):
+        out = b""
+        while True:
+            b7 = v & 0x7F
+            v >>= 7
+            if v:
+                out += bytes([b7 | 0x80])
+            else:
+                return out + bytes([b7])
+
+    def field(num, wire, payload):
+        return varint((num << 3) | wire) + payload
+
+    def ld(num, payload):                       # length-delimited
+        return field(num, 2, varint(len(payload)) + payload)
+
+    rng = np.random.RandomState(0)
+    w = rng.randn(3, 2, 4).astype(np.float32)
+    ids = np.asarray([5, 600, 70000], np.int64)
+
+    # TensorProto 1: raw_data float32
+    t1 = (ld(1, varint(3) + varint(2) + varint(4))   # dims packed
+          + field(2, 0, varint(1))                   # data_type FLOAT
+          + ld(8, b"weight")
+          + ld(9, w.tobytes()))
+    # TensorProto 2: packed int64_data, unpacked dim
+    t2 = (field(1, 0, varint(3))
+          + field(2, 0, varint(7))                   # INT64
+          + ld(7, b"".join(varint(int(v)) for v in ids))
+          + ld(8, b"ids"))
+    graph = ld(5, t1) + ld(5, t2)
+    model = ld(7, graph) + ld(2, b"test-producer")   # graph + producer_name
+
+    import tempfile, os
+    with tempfile.NamedTemporaryFile(suffix=".onnx", delete=False) as f:
+        f.write(model)
+        path = f.name
+    try:
+        init = load_onnx_initializers(path)
+    finally:
+        os.unlink(path)
+    assert set(init) == {"weight", "ids"}
+    np.testing.assert_array_equal(init["weight"], w)
+    np.testing.assert_array_equal(init["ids"], ids)
