@@ -23,7 +23,7 @@ fully dynamic lengths.
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable, List, Optional
+from typing import List, Optional
 
 import numpy as np
 import jax
@@ -58,7 +58,17 @@ class SpeechCodec:
         self.features = WhisperFeatureExtractor(
             tok_cfg.n_fft, tok_cfg.hop_length, tok_cfg.num_mel_bins,
             tok_cfg.sampling_rate)
-        self.segment_samples = int(segment_seconds * tok_cfg.sampling_rate)
+        # segments may never exceed the encoder's position table; at the
+        # production config the 30 s segmentation (utils.py:120-121) IS the
+        # ring capacity (1500 post-conv positions * 2 * hop = 30 s).
+        # Rounded down to whole tokens so no frames are dropped at segment
+        # boundaries (30 s = 375 * 1280 exactly) and the streaming session
+        # can segment at the same points.
+        ring_samples = tok_cfg.max_source_positions * 2 * tok_cfg.hop_length
+        seg = min(int(segment_seconds * tok_cfg.sampling_rate), ring_samples)
+        self.segment_samples = max(
+            tok_cfg.samples_per_token,
+            seg - seg % tok_cfg.samples_per_token)
         self.prompt_mel_fn = prompt_mel_fn or (
             lambda w: matcha_mel_spectrogram(w))
         self._tok_fn = jax.jit(
@@ -92,10 +102,18 @@ class SpeechCodec:
     def new_encode_session(self):
         return TokenizerSession(self)
 
-    def encode_streaming(self, wav_16k: np.ndarray) -> np.ndarray:
-        """Feed the wav in 80 ms chunks through the causal path."""
+    def encode_streaming(self, wav_16k: np.ndarray,
+                         chunk_samples: Optional[int] = None) -> np.ndarray:
+        """Feed the wav in 80 ms chunks through the causal path; equals
+        ``encode`` token-for-token (the boundary-exact streaming features
+        plus the same ring-capacity segmentation)."""
+        wav = np.asarray(wav_16k, np.float32).reshape(-1)
+        step = chunk_samples or self.tok_cfg.samples_per_token
         sess = self.new_encode_session()
-        toks = list(sess.push(np.asarray(wav_16k).reshape(-1)))
+        toks: List[np.ndarray] = []
+        for s in range(0, len(wav), step):
+            toks.extend(sess.push(wav[s: s + step]))
+        toks.extend(sess.flush())
         return (np.concatenate(toks, axis=1) if toks
                 else np.zeros((1, 0), np.int32))
 
@@ -152,31 +170,78 @@ class SpeechCodec:
 
 
 class TokenizerSession:
-    """Incremental 16 kHz samples -> tokens, 80 ms granularity."""
+    """Incremental 16 kHz samples -> tokens, 80 ms granularity.
+
+    Matches the batch ``encode`` exactly:
+    - features come from StreamingFeatures (true frame context via a
+      12.5 ms holdback instead of the reference's per-chunk padding,
+      utils.py:144-176);
+    - sessions auto-segment when the KV ring would reach
+      ``max_source_positions`` — the streaming twin of the 30 s batch
+      segmentation (utils.py:120-121) — so a long-lived session never
+      silently overwrites the last ring slot.
+    """
 
     def __init__(self, codec: SpeechCodec):
+        from .tokenizer.features import StreamingFeatures
         self.codec = codec
         cfg = codec.tok_cfg
-        self.chunk_samples = cfg.samples_per_token  # 1280 = 80 ms
-        self.buf = np.zeros(0, np.float32)
-        self.state = codec.tokenizer.apply(
-            codec.tok_params, 1, method=codec.tokenizer.init_state)
-        self.max_log_spec = None
+        self.mel_per_tok = 2 * cfg.pooling_kernel_size
+        self._StreamingFeatures = StreamingFeatures
+        self._stream = StreamingFeatures(codec.features)
+        self._feat_buf = None                 # (1, <8, n_mels) remainder
+        self._seg_fed = 0                     # samples fed this segment
+        self.state = self._fresh_state()
 
-    def push(self, samples: np.ndarray) -> Iterable[np.ndarray]:
-        self.buf = np.concatenate(
-            [self.buf, np.asarray(samples, np.float32).reshape(-1)])
-        n = len(self.buf) // self.chunk_samples
-        if n == 0:
-            return
-        use, self.buf = (self.buf[: n * self.chunk_samples],
-                         self.buf[n * self.chunk_samples:])
-        feats, self.max_log_spec = self.codec.features(
-            jnp.asarray(use).reshape(1, -1), self.max_log_spec)
-        mel_per_tok = 2 * self.codec.tok_cfg.pooling_kernel_size
-        t = (feats.shape[1] // mel_per_tok) * mel_per_tok
-        for i in range(0, t, mel_per_tok):
+    def _fresh_state(self):
+        return self.codec.tokenizer.apply(
+            self.codec.tok_params, 1, method=self.codec.tokenizer.init_state)
+
+    def _consume(self, feats) -> List[np.ndarray]:
+        if feats is None:
+            return []
+        if self._feat_buf is not None:
+            feats = jnp.concatenate([self._feat_buf, feats], axis=1)
+        out = []
+        t = (feats.shape[1] // self.mel_per_tok) * self.mel_per_tok
+        for i in range(0, t, self.mel_per_tok):
             ids, self.state = self.codec._step_fn(
-                self.codec.tok_params, feats[:, i: i + mel_per_tok],
+                self.codec.tok_params, feats[:, i: i + self.mel_per_tok],
                 self.state)
-            yield np.asarray(ids)
+            out.append(np.asarray(ids))
+        self._feat_buf = feats[:, t:] if t < feats.shape[1] else None
+        return out
+
+    def _next_segment(self) -> List[np.ndarray]:
+        """Close the current segment and start fresh: features are
+        re-centered and the KV ring + conv caches reset, exactly like the
+        batch path's independent per-segment extraction.  The norm max
+        carries over (the causal stand-in for per-segment max)."""
+        out = self._consume(self._stream.flush())
+        max_carry = self._stream.max_log_spec
+        self._stream = self._StreamingFeatures(self.codec.features)
+        self._stream.max_log_spec = max_carry
+        self._feat_buf = None
+        self.state = self._fresh_state()
+        self._seg_fed = 0
+        return out
+
+    def push(self, samples: np.ndarray) -> List[np.ndarray]:
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        seg_cap = self.codec.segment_samples
+        out: List[np.ndarray] = []
+        pos = 0
+        while pos < len(samples):
+            room = seg_cap - self._seg_fed
+            take = samples[pos: pos + room]
+            pos += len(take)
+            self._seg_fed += len(take)
+            out.extend(self._consume(self._stream.push(take)))
+            if self._seg_fed == seg_cap:
+                out.extend(self._next_segment())
+        return out
+
+    def flush(self) -> List[np.ndarray]:
+        """Emit the tokens for any buffered tail (total = floor(T/8) like
+        the batch path's stride trim)."""
+        return self._consume(self._stream.flush())

@@ -101,3 +101,93 @@ class WhisperFeatureExtractor:
             max_val = jnp.asarray(max_log_spec, log_spec.dtype)
         log_spec = jnp.maximum(log_spec, max_val - 8.0)
         return (log_spec + 4.0) / 4.0, max_val
+
+
+class StreamingFeatures:
+    """Incremental feature extraction that is EXACTLY equal to the offline
+    extractor, frame for frame.
+
+    The offline STFT is center-padded: frame t sees samples
+    [t*hop - n_fft/2, t*hop + n_fft/2).  The reference's streaming path
+    (speech_tokenizer/utils.py:144-176) runs the stock extractor per chunk,
+    so its boundary frames see per-chunk reflect padding and diverge from
+    the batch features; here we instead hold back ``n_fft/2`` samples
+    (12.5 ms at 400/16k) so every emitted frame has its true context.
+
+    Normalization: the dynamic-range clamp uses the max of the first
+    emitted block, then stays frozen — the reference fork's
+    ``max_log_spec`` carry (whisper_feat_extractor.py:148-156) with
+    consistent raw-log units.
+    """
+
+    def __init__(self, fe: WhisperFeatureExtractor):
+        self.fe = fe
+        self._buf = np.zeros(0, np.float32)   # samples from frame _f0's left
+        self._f0 = 0                          # next frame index to emit
+        self._started = False
+        self.max_log_spec = None
+
+    @property
+    def _half(self) -> int:
+        return self.fe.n_fft // 2
+
+    def push(self, samples: np.ndarray) -> Optional[jnp.ndarray]:
+        """Feed samples; returns features for all frames whose full
+        (center-padded) context is now available, or None."""
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        hop, half = self.fe.hop_length, self._half
+        if not self._started:
+            if len(self._buf) + len(samples) <= half:
+                self._buf = np.concatenate([self._buf, samples])
+                return None
+            buf = np.concatenate([self._buf, samples])
+            # left reflect pad exactly like center=True at stream start
+            self._buf = np.concatenate([buf[half:0:-1], buf])
+            self._started = True
+        else:
+            self._buf = np.concatenate([self._buf, samples])
+        # buffer starts at padded-coordinate f0*hop; frame k (relative)
+        # needs padded samples [k*hop, k*hop + n_fft)
+        n = (len(self._buf) - self.fe.n_fft) // hop + 1
+        if n <= 0:
+            return None
+        return self._emit(n, self._buf[: (n - 1) * hop + self.fe.n_fft])
+
+    def flush(self) -> Optional[jnp.ndarray]:
+        """Emit the remaining frames using right reflect padding, matching
+        the offline extractor's tail (total frames = L // hop)."""
+        hop, half = self.fe.hop_length, self._half
+        if not self._started:
+            if len(self._buf) == 0:
+                return None
+            buf = self._buf
+            self._buf = np.concatenate([buf[half:0:-1], buf])
+            self._started = True
+        total_len = len(self._buf)
+        # reconstruct L (raw samples seen): padded stream = half + L
+        length = self._f0 * hop + total_len - half
+        n_total = length // hop                       # offline frame count
+        n = n_total - self._f0
+        if n <= 0:
+            return None
+        need = (n - 1) * hop + self.fe.n_fft
+        pad = need - total_len
+        buf = self._buf
+        if pad > 0:
+            buf = np.concatenate([buf, buf[-2: -2 - pad: -1]])
+        return self._emit(n, buf[:need])
+
+    def _emit(self, n: int, window: np.ndarray) -> jnp.ndarray:
+        hop = self.fe.hop_length
+        real, imag = stft_ops.stft(jnp.asarray(window).reshape(1, -1),
+                                   self.fe.n_fft, hop, self.fe.window,
+                                   center=False)
+        power = real * real + imag * imag
+        mel = jnp.matmul(power, jnp.asarray(self.fe.filters))
+        log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
+        if self.max_log_spec is None:
+            self.max_log_spec = jnp.max(log_spec)
+        feats = (jnp.maximum(log_spec, self.max_log_spec - 8.0) + 4.0) / 4.0
+        self._buf = self._buf[n * hop:]
+        self._f0 += n
+        return feats
