@@ -100,14 +100,47 @@ def main():
     for _ in range(runs):
         wav16 = stream.stream_decode(tokens, output="int16")
     proc = (time.perf_counter() - t0) / runs
-    rtf = proc / audio_sec
+    rtf_win = proc / audio_sec
 
+    # KV-cached incremental session (pipeline/kv_session.py): every token
+    # through the flow ONCE — removes the reference's 8x windowed re-decode
+    rtf_kv = None
+    first_chunk_kv_ms = None
+    if "--no-kv" not in sys.argv:
+        print("# warmup kv stream_decode...", file=sys.stderr, flush=True)
+        kv = dec.kv_stream_decoder(token_cap=n_tokens + 16)
+        t0 = time.perf_counter()
+        kv.stream_decode(tokens)
+        kv_compile = time.perf_counter() - t0
+        print(f"# kv warmup done in {kv_compile:.1f}s", file=sys.stderr,
+              flush=True)
+        # kv first-chunk latency: first flow hop + voc, compute+sync
+        cache, voc = kv.init_state()
+        kbuf = jnp.asarray(np.pad(tokens, ((0, 0), (0, kv.hop + kv.la + 1))))
+        _jax.block_until_ready((kbuf, cache["n_tok"]))
+        t0 = time.perf_counter()
+        mel, cache = kv._hop(dec.flow_params, kbuf, cache,
+                             emit_tokens=kv.hop, finalize=False)
+        seg, _ = kv._voc(dec.hift_params, mel, voc, first=True,
+                         finalize=False)
+        _jax.block_until_ready(seg)
+        first_chunk_kv_ms = (time.perf_counter() - t0) * 1e3
+        kv.stream_decode(tokens, output="int16")
+        t0 = time.perf_counter()
+        for _ in range(runs):
+            kv.stream_decode(tokens, output="int16")
+        rtf_kv = (time.perf_counter() - t0) / runs / audio_sec
+
+    rtf = min(rtf_win, rtf_kv) if rtf_kv is not None else rtf_win
     target = 0.05
     result = {"metric": "streaming_rtf", "value": round(rtf, 5),
               "unit": "ratio", "vs_baseline": round(target / rtf, 3)}
     print(json.dumps(result))
-    print(f"# audio={audio_sec:.2f}s proc={proc:.3f}s "
-          f"first_chunk={first_chunk_ms:.1f}ms compile_pass={compile_wall:.1f}s "
+    print(f"# audio={audio_sec:.2f}s windowed_rtf={rtf_win:.4f} "
+          f"kv_rtf={rtf_kv if rtf_kv is None else round(rtf_kv, 4)} "
+          f"first_chunk={first_chunk_ms:.1f}ms "
+          f"kv_first_chunk={first_chunk_kv_ms if first_chunk_kv_ms is None else round(first_chunk_kv_ms, 1)}ms "
+          f"compile_pass={compile_wall:.1f}s "
           f"dtype={dtype.__name__} platform={jax.devices()[0].platform}",
           file=sys.stderr)
 

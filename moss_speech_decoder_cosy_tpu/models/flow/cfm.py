@@ -51,13 +51,13 @@ class CausalConditionalCFM(nn.Module):
     def euler_step(self, x: jnp.ndarray, t_cur: jnp.ndarray,
                    dt: jnp.ndarray, mu_in: jnp.ndarray, valid_in: jnp.ndarray,
                    spks_in: jnp.ndarray, cond_in: jnp.ndarray,
-                   streaming: bool) -> jnp.ndarray:
+                   streaming: bool, attn_mask=None) -> jnp.ndarray:
         """One Euler step with the CFG batch-of-2 (flow_matching.py:98-125)."""
         b = x.shape[0]
         x_in = jnp.concatenate([x, x], axis=0)
         t_in = jnp.full((2 * b,), t_cur, x.dtype)
         dphi = self.estimator(x_in, valid_in, mu_in, t_in, spks_in, cond_in,
-                              streaming=streaming)
+                              streaming=streaming, attn_mask=attn_mask)
         rate = jnp.asarray(self.cfg.inference_cfg_rate, x.dtype)
         dphi = (1.0 + rate) * dphi[:b] - rate * dphi[b:]
         return x + dt * dphi
@@ -65,7 +65,8 @@ class CausalConditionalCFM(nn.Module):
     def __call__(self, mu: jnp.ndarray, valid: jnp.ndarray,
                  spks: jnp.ndarray, cond: jnp.ndarray,
                  streaming: bool = False,
-                 temperature: float = 1.0) -> jnp.ndarray:
+                 temperature: float = 1.0,
+                 attn_mask=None) -> jnp.ndarray:
         """mu (B, T, n_mel) -> mel (B, T, n_mel) by solving the flow ODE."""
         c = self.cfg
         b, t, d = mu.shape
@@ -88,7 +89,7 @@ class CausalConditionalCFM(nn.Module):
         def body(mdl, carry, ts):
             t_i, dt_i = ts
             x = mdl.euler_step(carry, t_i, dt_i, mu_in, valid_in,
-                               spks_in, cond_in, streaming)
+                               spks_in, cond_in, streaming, attn_mask)
             return x, ()
 
         scan = nn.scan(body,

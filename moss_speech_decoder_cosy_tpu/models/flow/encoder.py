@@ -170,9 +170,15 @@ class UpsampleConformerEncoder(nn.Module):
     def __call__(self, x: jnp.ndarray, valid: jnp.ndarray,
                  context: Optional[jnp.ndarray] = None,
                  streaming: bool = False,
-                 deterministic: bool = True
+                 deterministic: bool = True,
+                 attn_masks: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """x: embedded tokens (B, T, input_size); valid: bool (B, T).
+
+        ``attn_masks`` optionally overrides the (token-rate, mel-rate)
+        attention masks with explicit (T, T) / (T*s, T*s) bool masks — used
+        by the KV-cached streaming path's banded-mask reference forward
+        (models/flow/kv_stream.py).
 
         Returns (features (B, T*stride, output_size), valid_up (B, T*stride)).
         """
@@ -186,7 +192,10 @@ class UpsampleConformerEncoder(nn.Module):
         if context is not None:
             context = embed(context, deterministic)
         chunk = c.static_chunk_size if streaming else 0
-        attn_mask = chunk_attention_mask(valid, chunk)
+        if attn_masks is not None:
+            attn_mask = attn_masks[0][None] & valid[:, None, :]
+        else:
+            attn_mask = chunk_attention_mask(valid, chunk)
 
         x = PreLookaheadLayer(c.output_size, c.pre_lookahead_len,
                               name="pre_lookahead_layer")(x, context)
@@ -200,8 +209,11 @@ class UpsampleConformerEncoder(nn.Module):
         x = LinearEmbed(c.output_size, c.dropout_rate, name="up_embed")(
             x, deterministic)
         pos_up = rel_pos(t_up, c.output_size).astype(x.dtype)
-        attn_mask_up = chunk_attention_mask(
-            valid_up, chunk * c.upsample_stride if streaming else 0)
+        if attn_masks is not None:
+            attn_mask_up = attn_masks[1][None] & valid_up[:, None, :]
+        else:
+            attn_mask_up = chunk_attention_mask(
+                valid_up, chunk * c.upsample_stride if streaming else 0)
         for i in range(c.num_up_blocks):
             x = ConformerEncoderLayer(c, name=f"up_encoders_{i}")(
                 x, attn_mask_up, pos_up, valid_up, deterministic)

@@ -138,10 +138,18 @@ class CausalConditionalDecoder(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, valid: jnp.ndarray, mu: jnp.ndarray,
                  t: jnp.ndarray, spks: jnp.ndarray, cond: jnp.ndarray,
-                 streaming: bool = False) -> jnp.ndarray:
+                 streaming: bool = False,
+                 attn_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """x, mu, cond: (B, T, n_mel); valid: bool (B, T); t: (B,);
-        spks: (B, n_mel).  Returns velocity (B, T, n_mel)."""
+        spks: (B, n_mel).  ``attn_mask`` optionally overrides the chunk
+        mask with an explicit (T, T) bool mask (single-level causal configs
+        only) — the KV streaming path's banded reference forward
+        (models/flow/kv_stream.py).  Returns velocity (B, T, n_mel)."""
         c = self.cfg
+        if attn_mask is not None:
+            assert len(c.channels) == 1 and not c.use_flash_attention
+            override_bias = mask_to_bias(
+                attn_mask[None] & valid[:, None, :], x.dtype)
         t_emb = SinusoidalPosEmb(c.in_channels, name="time_embeddings")(t)
         time_dim = c.channels[0] * 4
         t_emb = TimestepEmbedding(time_dim, name="time_mlp")(
@@ -175,6 +183,8 @@ class CausalConditionalDecoder(nn.Module):
             h = CausalResnetBlock1D(ch, causal=causal,
                                     name=f"down_res_{i}")(h, m, t_emb)
             bias, fchunk = self._attn_bias(m, streaming, h.dtype)
+            if attn_mask is not None:
+                bias = override_bias
             for j in range(c.n_blocks):
                 h = BasicTransformerBlock(
                     ch, c.num_heads, c.attention_head_dim, c.act_fn,
@@ -195,6 +205,8 @@ class CausalConditionalDecoder(nn.Module):
         # --- mid blocks
         m = masks[-1]
         bias, fchunk = self._attn_bias(m, streaming, h.dtype)
+        if attn_mask is not None:
+            bias = override_bias
         for i in range(c.num_mid_blocks):
             h = CausalResnetBlock1D(channels[-1], causal=causal,
                                     name=f"mid_res_{i}")(h, m, t_emb)
@@ -214,6 +226,8 @@ class CausalConditionalDecoder(nn.Module):
             h = CausalResnetBlock1D(out_ch, causal=causal,
                                     name=f"up_res_{i}")(h, m, t_emb)
             bias, fchunk = self._attn_bias(m, streaming, h.dtype)
+            if attn_mask is not None:
+                bias = override_bias
             for j in range(c.n_blocks):
                 h = BasicTransformerBlock(
                     out_ch, c.num_heads, c.attention_head_dim, c.act_fn,

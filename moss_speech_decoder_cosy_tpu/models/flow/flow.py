@@ -44,7 +44,7 @@ class CausalMaskedDiffWithXvec(nn.Module):
         return self.spk_embed_affine_layer(emb)
 
     def encode(self, token: jnp.ndarray, valid: jnp.ndarray,
-               streaming: bool, finalize: bool
+               streaming: bool, finalize: bool, attn_masks=None
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """token (B, Ttot) -> (mu (B, Tm, n_mel), mel_valid (B, Tm)).
 
@@ -55,20 +55,22 @@ class CausalMaskedDiffWithXvec(nn.Module):
         x = self._embed_tokens(token, valid)
         if finalize:
             h, mel_valid = self.encoder(x, valid, context=None,
-                                        streaming=streaming)
+                                        streaming=streaming,
+                                        attn_masks=attn_masks)
         else:
             la = c.pre_lookahead_len
             ctx = x[:, token.shape[1] - la:]
             h, mel_valid = self.encoder(x[:, : token.shape[1] - la],
                                         valid[:, : token.shape[1] - la],
-                                        context=ctx, streaming=streaming)
+                                        context=ctx, streaming=streaming,
+                                        attn_masks=attn_masks)
         mu = self.encoder_proj(h)
         return mu, mel_valid
 
     def __call__(self, token: jnp.ndarray, valid: jnp.ndarray,
                  prompt_feat: jnp.ndarray, embedding: jnp.ndarray,
-                 streaming: bool = False, finalize: bool = True
-                 ) -> jnp.ndarray:
+                 streaming: bool = False, finalize: bool = True,
+                 kv_masks=None) -> jnp.ndarray:
         """Inference: returns the FULL mel (B, Tm, n_mel) including the
         prompt region; callers slice ``[:, prompt_len*ratio:]`` (the
         reference returns both views, flow.py:281-283).
@@ -80,12 +82,15 @@ class CausalMaskedDiffWithXvec(nn.Module):
         """
         c = self.cfg
         spks = self._spk(embedding)
-        mu, mel_valid = self.encode(token, valid, streaming, finalize)
+        enc_masks = (kv_masks[0], kv_masks[1]) if kv_masks else None
+        mu, mel_valid = self.encode(token, valid, streaming, finalize,
+                                    attn_masks=enc_masks)
         p = prompt_feat.shape[1]
         conds = jnp.zeros_like(mu)
         conds = conds.at[:, :p].set(prompt_feat.astype(mu.dtype))
         return self.decoder(mu, mel_valid, spks=spks, cond=conds,
-                            streaming=streaming)
+                            streaming=streaming,
+                            attn_mask=kv_masks[2] if kv_masks else None)
 
     def loss(self, token: jnp.ndarray, token_valid: jnp.ndarray,
              feat: jnp.ndarray, feat_valid: jnp.ndarray,

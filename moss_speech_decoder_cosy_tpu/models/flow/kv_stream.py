@@ -1,0 +1,604 @@
+"""Incremental KV-cached streaming flow path.
+
+The reference's streaming decode re-runs a bounded 40-token window per
+5-token hop (flow_inference.py:194-204) — 8x redundant FLOPs.  This module
+computes every frame exactly ONCE: each hop pushes only the new chunk
+through the encoder and the CFM U-Net, attending to circular KV rings of
+the recent past (per conformer layer for the encoder; per U-Net attention
+layer AND per ODE step for the estimator, since x_t differs at every Euler
+step).  Causal convs carry explicit (k-1)-frame caches (per ODE step in the
+estimator).
+
+Semantics: exactly one forward pass with a banded chunk-causal mask
+(``ops.masks.banded_chunk_mask``) — chunk c attends to itself plus the
+``ring`` frames before it.  This deviates from the reference's windowed
+re-decode (where old frames are recomputed each hop under a shifted
+window); the deviation is quantified in tests/test_kv_stream.py and the
+exact ring==banded-forward equivalence is asserted there.
+
+Key TPU-first facts exploited:
+- the estimator's UNetAttention has no positional encoding, and the encoder
+  attention's position term is key-indexed (wenet 'rel_pos' flavor, no
+  rel-shift) and cached per slot — so softmax is permutation-invariant over
+  key slots and the rings can be true circular buffers updated with O(chunk)
+  scatters instead of O(ring) shifts;
+- positional tables are uploaded once and sliced on device (no per-hop host
+  traffic);
+- the whole hop is two static-shape jitted programs (flow chunk, vocoder
+  chunk) — see pipeline/kv_session.py.
+
+All mirror modules reuse the exact parameter names of the full modules in
+encoder.py / estimator.py / cfm.py / flow.py, so they apply with the SAME
+params pytree (and torch-converted checkpoints) — any structural drift
+fails loudly as a missing-parameter error.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .cfm import _fixed_noise, t_span_cosine
+from .encoder import LinearEmbed, FeedForward
+from ...ops.activations import mish, get_activation
+from ...ops.attention import masked_softmax
+from ...ops.convs import Conv1d, CausalConv1d
+from ...ops.embeddings import SinusoidalPosEmb, TimestepEmbedding, \
+    _abs_pe_table
+from ...utils.config import (FlowConfig, EncoderConfig, EstimatorConfig,
+                             CFMConfig)
+
+
+# --------------------------------------------------------------------------
+# ring utilities
+# --------------------------------------------------------------------------
+
+def ring_write(ring: jnp.ndarray, chunk: jnp.ndarray,
+               n_done: jnp.ndarray) -> jnp.ndarray:
+    """Write ``chunk`` into the circular ``ring`` at positions
+    ``n_done .. n_done+C (mod R)`` along axis -2.  If the chunk is longer
+    than the ring only its tail is written (earlier frames would be
+    overwritten anyway)."""
+    r = ring.shape[-2]
+    c = chunk.shape[-2]
+    m = min(c, r)
+    tail = chunk[..., c - m:, :]
+    idx = (n_done + (c - m) + jnp.arange(m)) % r
+    return ring.at[..., idx, :].set(tail.astype(ring.dtype))
+
+
+def _ring_mask(ring_len: int, chunk_len: int,
+               n_done: jnp.ndarray) -> jnp.ndarray:
+    """(1, 1, chunk, ring+chunk) bool attend-mask: ring slots are valid
+    while fewer than ``ring_len`` frames have been seen only where already
+    written; the current chunk is fully visible (chunk-causal semantics)."""
+    ring_ok = jnp.arange(ring_len) < n_done
+    key_ok = jnp.concatenate(
+        [ring_ok, jnp.ones((chunk_len,), bool)])
+    return jnp.broadcast_to(key_ok[None, None, None, :],
+                            (1, 1, chunk_len, ring_len + chunk_len))
+
+
+# --------------------------------------------------------------------------
+# encoder step modules (mirror encoder.py param names)
+# --------------------------------------------------------------------------
+
+class RelPosAttentionStep(nn.Module):
+    """RelPositionMultiHeadedAttention over [KV ring ++ current chunk].
+
+    wenet 'rel_pos' flavor only: matrix_bd is key-indexed
+    ((q+v)·linear_pos(pe[abs_key_pos])) so the projected position vector is
+    cached per ring slot alongside k/v (attention.py:73-78)."""
+
+    heads: int
+    dim: int
+    key_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, pos_emb: jnp.ndarray,
+                 ring_k: jnp.ndarray, ring_v: jnp.ndarray,
+                 ring_pk: jnp.ndarray, mask: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                            jnp.ndarray]:
+        b, c, _ = x.shape
+        h, dk = self.heads, self.dim // self.heads
+        q = nn.Dense(self.dim, name="linear_q")(x)
+        k_c = nn.Dense(self.dim, use_bias=self.key_bias, name="linear_k")(x)
+        v_c = nn.Dense(self.dim, name="linear_v")(x)
+        pk_c = nn.Dense(self.dim, use_bias=False, name="linear_pos")(pos_emb)
+
+        init = nn.initializers.xavier_uniform()
+        pos_bias_u = self.param("pos_bias_u", init, (h, dk))
+        pos_bias_v = self.param("pos_bias_v", init, (h, dk))
+
+        keys = jnp.concatenate([ring_k.astype(k_c.dtype), k_c], axis=1)
+        vals = jnp.concatenate([ring_v.astype(v_c.dtype), v_c], axis=1)
+        pks = jnp.concatenate([ring_pk.astype(pk_c.dtype), pk_c], axis=1)
+        tk = keys.shape[1]
+
+        q = q.reshape(b, c, h, dk)
+        q_u = (q + pos_bias_u[None, None]).transpose(0, 2, 1, 3)
+        q_v = (q + pos_bias_v[None, None]).transpose(0, 2, 1, 3)
+        kt = keys.reshape(b, tk, h, dk).transpose(0, 2, 3, 1)
+        pt = pks.reshape(pks.shape[0], tk, h, dk).transpose(0, 2, 3, 1)
+        scores = (q_u @ kt + q_v @ pt) / jnp.sqrt(jnp.asarray(dk, x.dtype))
+        attn = masked_softmax(scores, mask)
+        out = attn @ vals.reshape(b, tk, h, dk).transpose(0, 2, 1, 3)
+        out = out.transpose(0, 2, 1, 3).reshape(b, c, self.dim)
+        return nn.Dense(self.dim, name="linear_out")(out), k_c, v_c, pk_c
+
+
+class ConformerLayerStep(nn.Module):
+    """ConformerEncoderLayer (encoder.py:118-149) over a chunk + KV ring.
+    cnn module unsupported in KV mode (production flow configs disable it)."""
+
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x, pos_emb, ring_k, ring_v, ring_pk, mask):
+        c = self.cfg
+        assert not c.use_cnn_module, "KV streaming: cnn module unsupported"
+        if c.macaron_style:
+            h = nn.LayerNorm(epsilon=1e-12, name="norm_ff_macaron")(x)
+            x = x + 0.5 * FeedForward(c.linear_units, c.activation,
+                                      c.dropout_rate, name="ff_macaron")(h)
+        h = nn.LayerNorm(epsilon=1e-12, name="norm_mha")(x)
+        a, k_c, v_c, pk_c = RelPosAttentionStep(
+            c.attention_heads, c.output_size, c.key_bias,
+            name="self_attn")(h, pos_emb, ring_k, ring_v, ring_pk, mask)
+        x = x + a
+        h = nn.LayerNorm(epsilon=1e-12, name="norm_ff")(x)
+        ff_scale = 0.5 if c.macaron_style else 1.0
+        x = x + ff_scale * FeedForward(c.linear_units, c.activation,
+                                       c.dropout_rate, name="feed_forward")(h)
+        return x, k_c, v_c, pk_c
+
+
+class PreLookaheadStep(nn.Module):
+    """PreLookaheadLayer (encoder.py:49-70): conv1 consumes the chunk +
+    lookahead context (kernel covers [t, t+la], no left state); conv2 is
+    causal k3 with a 2-frame cache."""
+
+    channels: int
+    pre_lookahead_len: int = 3
+
+    @nn.compact
+    def __call__(self, x, context, cache):
+        h = jnp.concatenate([x, context], axis=1)
+        h = Conv1d(self.channels, self.pre_lookahead_len + 1,
+                   name="conv1")(h)
+        h = jax.nn.leaky_relu(h, 0.01)
+        h = jnp.concatenate([cache.astype(h.dtype), h], axis=1)
+        new_cache = h[:, -2:]
+        h = Conv1d(self.channels, 3, name="conv2")(h)
+        return h + x, new_cache
+
+
+class Upsample1DStep(nn.Module):
+    """Upsample1D (encoder.py:152-163): nearest x`stride` + left-pad conv,
+    cache = last 2*stride post-repeat inputs."""
+
+    channels: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x, cache):
+        x = jnp.repeat(x, self.stride, axis=1)
+        xp = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+        new_cache = xp[:, -2 * self.stride:]
+        return Conv1d(self.channels, 2 * self.stride + 1,
+                      name="conv")(xp), new_cache
+
+
+class UpsampleConformerEncoderStep(nn.Module):
+    """One chunk through the UpsampleConformerEncoder with KV rings.
+
+    cache keys: pre (B, 2, D) conv2 state; k/v (Nb, B, Rt, D) and
+    pk (Nb, 1, Rt, D) token-rate rings; up_conv (B, 2*stride, D);
+    uk/uv (Nu, B, Rm, D), upk (Nu, 1, Rm, D) mel-rate rings."""
+
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray],
+                 cache: Dict[str, jnp.ndarray], n_tok: jnp.ndarray,
+                 pe_tok: jnp.ndarray, pe_mel: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        c = self.cfg
+        assert c.pos_enc_layer_type == "rel_pos", \
+            "KV streaming needs the key-indexed wenet rel_pos flavor"
+        b, ct, _ = x.shape
+        s = c.upsample_stride
+        la = c.pre_lookahead_len
+        embed = LinearEmbed(c.output_size, c.dropout_rate, name="embed")
+        x = embed(x)
+        if context is None:
+            ctx = jnp.zeros((b, la, c.output_size), x.dtype)
+        else:
+            ctx = embed(context)
+
+        pos = jax.lax.dynamic_slice(
+            pe_tok, (n_tok, 0), (ct, pe_tok.shape[1]))[None].astype(x.dtype)
+
+        x, new_pre = PreLookaheadStep(
+            c.output_size, la, name="pre_lookahead_layer")(
+                x, ctx, cache["pre"])
+
+        rt = cache["k"].shape[-2]
+        mask = _ring_mask(rt, ct, n_tok)
+        ks, vs, pks = [], [], []
+        for i in range(c.num_blocks):
+            x, k_c, v_c, pk_c = ConformerLayerStep(
+                c, name=f"encoders_{i}")(x, pos, cache["k"][i],
+                                         cache["v"][i], cache["pk"][i], mask)
+            ks.append(k_c)
+            vs.append(v_c)
+            pks.append(pk_c)
+        new_k = ring_write(cache["k"], jnp.stack(ks), n_tok)
+        new_v = ring_write(cache["v"], jnp.stack(vs), n_tok)
+        new_pk = ring_write(cache["pk"], jnp.stack(pks), n_tok)
+
+        x, new_up_conv = Upsample1DStep(c.output_size, s, name="up_layer")(
+            x, cache["up_conv"])
+
+        cm = ct * s
+        n_mel = n_tok * s
+        x = LinearEmbed(c.output_size, c.dropout_rate, name="up_embed")(x)
+        pos_up = jax.lax.dynamic_slice(
+            pe_mel, (n_mel, 0), (cm, pe_mel.shape[1]))[None].astype(x.dtype)
+        rm = cache["uk"].shape[-2]
+        mask_up = _ring_mask(rm, cm, n_mel)
+        uks, uvs, upks = [], [], []
+        for i in range(c.num_up_blocks):
+            x, k_c, v_c, pk_c = ConformerLayerStep(
+                c, name=f"up_encoders_{i}")(x, pos_up, cache["uk"][i],
+                                            cache["uv"][i], cache["upk"][i],
+                                            mask_up)
+            uks.append(k_c)
+            uvs.append(v_c)
+            upks.append(pk_c)
+        new_cache = {
+            "pre": new_pre.astype(cache["pre"].dtype),
+            "k": new_k, "v": new_v, "pk": new_pk,
+            "up_conv": new_up_conv.astype(cache["up_conv"].dtype),
+            "uk": ring_write(cache["uk"], jnp.stack(uks), n_mel),
+            "uv": ring_write(cache["uv"], jnp.stack(uvs), n_mel),
+            "upk": ring_write(cache["upk"], jnp.stack(upks), n_mel),
+        }
+        x = nn.LayerNorm(epsilon=1e-5, name="after_norm")(x)
+        return x, new_cache
+
+
+# --------------------------------------------------------------------------
+# estimator step modules (mirror estimator.py param names)
+# --------------------------------------------------------------------------
+
+class CausalBlock1DStep(nn.Module):
+    """CausalBlock1D (estimator.py:29-38) with an explicit conv cache."""
+
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, x, conv_cache):
+        h, new_cache = CausalConv1d(self.dim_out, 3, name="conv")(
+            x, conv_cache.astype(x.dtype))
+        h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)
+        return mish(h), new_cache
+
+
+class CausalResnetBlock1DStep(nn.Module):
+    """CausalResnetBlock1D (estimator.py:59-74), cached convs."""
+
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, x, t_emb, caches):
+        h, c1 = CausalBlock1DStep(self.dim_out, name="block1")(
+            x, caches["block1"])
+        h = h + nn.Dense(self.dim_out, name="mlp")(mish(t_emb))[:, None, :]
+        h, c2 = CausalBlock1DStep(self.dim_out, name="block2")(
+            h, caches["block2"])
+        res = Conv1d(self.dim_out, 1, name="res_conv")(x)
+        return h + res, {"block1": c1, "block2": c2}
+
+
+class UNetAttentionStep(nn.Module):
+    """UNetAttention (attention.py:89-129) over [KV ring ++ chunk].  No
+    positional term -> key slots are order-free, rings are circular."""
+
+    heads: int
+    head_dim: int
+
+    @nn.compact
+    def __call__(self, x, ring_k, ring_v, mask):
+        b, c, dim = x.shape
+        inner = self.heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
+        k_c = nn.Dense(inner, use_bias=False, name="to_k")(x)
+        v_c = nn.Dense(inner, use_bias=False, name="to_v")(x)
+        keys = jnp.concatenate([ring_k.astype(k_c.dtype), k_c], axis=1)
+        vals = jnp.concatenate([ring_v.astype(v_c.dtype), v_c], axis=1)
+        tk = keys.shape[1]
+        q = q.reshape(b, c, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+        kt = keys.reshape(b, tk, self.heads, self.head_dim
+                          ).transpose(0, 2, 3, 1)
+        scores = (q @ kt) * (self.head_dim ** -0.5)
+        attn = masked_softmax(scores, mask)
+        out = attn @ vals.reshape(b, tk, self.heads, self.head_dim
+                                  ).transpose(0, 2, 1, 3)
+        out = out.transpose(0, 2, 1, 3).reshape(b, c, inner)
+        return nn.Dense(dim, name="to_out")(out), k_c, v_c
+
+
+class TransformerBlockStep(nn.Module):
+    """BasicTransformerBlock (estimator.py:77-100) with a KV ring."""
+
+    dim: int
+    num_heads: int
+    head_dim: int
+    act_fn: str = "gelu"
+    ff_mult: int = 4
+
+    @nn.compact
+    def __call__(self, x, ring_k, ring_v, mask):
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        a, k_c, v_c = UNetAttentionStep(self.num_heads, self.head_dim,
+                                        name="attn1")(h, ring_k, ring_v,
+                                                      mask)
+        x = x + a
+        h = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
+        ff = nn.Dense(self.dim * self.ff_mult, name="ff_proj")(h)
+        ff = get_activation(self.act_fn)(ff)
+        x = x + nn.Dense(self.dim, name="ff_out")(ff)
+        return x, k_c, v_c
+
+
+def estimator_conv_cache_names(cfg: EstimatorConfig):
+    """Static walk order of the estimator's causal-conv caches."""
+    names = [("down_res_0", "block1"), ("down_res_0", "block2"),
+             ("down_conv_0", None)]
+    for i in range(cfg.num_mid_blocks):
+        names += [(f"mid_res_{i}", "block1"), (f"mid_res_{i}", "block2")]
+    names += [("up_res_0", "block1"), ("up_res_0", "block2"),
+              ("up_conv_0", None), ("final_block", None)]
+    return names
+
+
+class EstimatorStep(nn.Module):
+    """One chunk through CausalConditionalDecoder (estimator.py:123-245) —
+    single-level causal configs (the MOSS / CosyVoice2 production shapes).
+
+    rings: {"k": (L, B2, Rf, inner), "v": ...} with L attention layers in
+    walk order; convs: {name: (B2, 2, ch_in)} keyed by
+    ``estimator_conv_cache_names``.  Returns (out, chunk_k, chunk_v,
+    new_convs) — the CFM step owns the ring writes (vectorized over L)."""
+
+    cfg: EstimatorConfig
+
+    @nn.compact
+    def __call__(self, x, mu, t, spks, cond, rings, convs, n_done):
+        c = self.cfg
+        assert c.causal and len(c.channels) == 1, \
+            "KV streaming supports the single-level causal U-Net"
+        assert not c.use_flash_attention
+        ch = c.channels[0]
+        t_emb = SinusoidalPosEmb(c.in_channels, name="time_embeddings")(t)
+        t_emb = TimestepEmbedding(ch * 4, name="time_mlp")(
+            t_emb.astype(x.dtype))
+
+        spks_b = jnp.broadcast_to(spks[:, None, :],
+                                  (x.shape[0], x.shape[1], spks.shape[-1]))
+        h = jnp.concatenate([x, mu, spks_b, cond], axis=-1)
+        cf = h.shape[1]
+        rf = rings["k"].shape[-2]
+        mask = _ring_mask(rf, cf, n_done)
+
+        new_convs = {}
+        chunk_ks, chunk_vs = [], []
+        li = 0
+
+        def tf(h, name):
+            nonlocal li
+            h, k_c, v_c = TransformerBlockStep(
+                h.shape[-1], c.num_heads, c.attention_head_dim, c.act_fn,
+                name=name)(h, rings["k"][li], rings["v"][li], mask)
+            chunk_ks.append(k_c)
+            chunk_vs.append(v_c)
+            li += 1
+            return h
+
+        h, new_convs["down_res_0"] = CausalResnetBlock1DStep(
+            ch, name="down_res_0")(h, t_emb, convs["down_res_0"])
+        for j in range(c.n_blocks):
+            h = tf(h, f"down_tf_0_{j}")
+        skip = h
+        h, new_convs["down_conv_0"] = CausalConv1d(
+            ch, 3, name="down_conv_0")(
+                h, convs["down_conv_0"].astype(h.dtype))
+
+        for i in range(c.num_mid_blocks):
+            h, new_convs[f"mid_res_{i}"] = CausalResnetBlock1DStep(
+                ch, name=f"mid_res_{i}")(h, t_emb, convs[f"mid_res_{i}"])
+            for j in range(c.n_blocks):
+                h = tf(h, f"mid_tf_{i}_{j}")
+
+        h = jnp.concatenate([h, skip], axis=-1)
+        h, new_convs["up_res_0"] = CausalResnetBlock1DStep(
+            ch, name="up_res_0")(h, t_emb, convs["up_res_0"])
+        for j in range(c.n_blocks):
+            h = tf(h, f"up_tf_0_{j}")
+        h, new_convs["up_conv_0"] = CausalConv1d(
+            ch, 3, name="up_conv_0")(h, convs["up_conv_0"].astype(h.dtype))
+
+        h, new_convs["final_block"] = CausalBlock1DStep(
+            ch, name="final_block")(h, convs["final_block"])
+        out = Conv1d(c.out_channels, 1, name="final_proj")(h)
+        return out, jnp.stack(chunk_ks), jnp.stack(chunk_vs), new_convs
+
+
+class CausalConditionalCFMStep(nn.Module):
+    """CFM Euler solve for one chunk (cfm.py:43-98), per-ODE-step KV rings.
+
+    cache: {"k"/"v": (S, L, 2B, Rf, inner), "convs": {name: (S, 2B, 2, ch)}}
+    — leading axis S = n_timesteps, consumed/produced by the nn.scan."""
+
+    cfg: CFMConfig
+    estimator_cfg: EstimatorConfig
+
+    def setup(self):
+        self.estimator = EstimatorStep(self.estimator_cfg, name="estimator")
+
+    def __call__(self, mu, spks, cond, cache, n_done,
+                 temperature: float = 1.0):
+        c = self.cfg
+        b, cf, d = mu.shape
+        noise = jnp.asarray(_fixed_noise(c.max_noise_len, d))
+        z = jax.lax.dynamic_slice(noise, (0, n_done, 0), (1, cf, d))
+        z = jnp.broadcast_to(z, (b, cf, d)).astype(mu.dtype) * temperature
+
+        if c.t_scheduler == "cosine":
+            t_span = t_span_cosine(c.n_timesteps)
+        else:
+            t_span = np.linspace(0, 1, c.n_timesteps + 1, dtype=np.float32)
+        t_cur = jnp.asarray(t_span[:-1], mu.dtype)
+        dts = jnp.asarray(np.diff(t_span), mu.dtype)
+
+        mu_in = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)
+        spks_in = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
+        cond_in = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
+
+        def body(mdl, carry, xs):
+            t_i, dt_i, k_s, v_s, convs_s = xs
+            x_in = jnp.concatenate([carry, carry], axis=0)
+            t_in = jnp.full((2 * b,), t_i, carry.dtype)
+            dphi, ck, cv, new_convs = mdl.estimator(
+                x_in, mu_in, t_in, spks_in, cond_in,
+                {"k": k_s, "v": v_s}, convs_s, n_done)
+            rate = jnp.asarray(mdl.cfg.inference_cfg_rate, carry.dtype)
+            dphi = (1.0 + rate) * dphi[:b] - rate * dphi[b:]
+            new_k = ring_write(k_s, ck, n_done)
+            new_v = ring_write(v_s, cv, n_done)
+            new_convs = jax.tree.map(
+                lambda old, new: new.astype(old.dtype), convs_s, new_convs)
+            return carry + dt_i * dphi, (new_k, new_v, new_convs)
+
+        scan = nn.scan(body, variable_broadcast="params",
+                       split_rngs={"params": False})
+        x, (new_k, new_v, new_convs) = scan(
+            self, z, (t_cur, dts, cache["k"], cache["v"], cache["convs"]))
+        return x.astype(jnp.float32), {"k": new_k, "v": new_v,
+                                       "convs": new_convs}
+
+
+# --------------------------------------------------------------------------
+# flow-level step (mirrors flow.py param names)
+# --------------------------------------------------------------------------
+
+class KVFlowStep(nn.Module):
+    """One streaming chunk: tokens (+lookahead context) -> mel, carrying the
+    full KV cache.  Applied with the SAME params as CausalMaskedDiffWithXvec.
+
+    cache = {"enc": encoder cache, "est": estimator cache,
+             "n_tok": () i32 tokens consumed so far}."""
+
+    cfg: FlowConfig
+
+    def setup(self):
+        c = self.cfg
+        self.input_embedding = nn.Embed(c.vocab_size, c.input_size,
+                                        name="input_embedding")
+        self.spk_embed_affine_layer = nn.Dense(c.output_size,
+                                               name="spk_embed_affine_layer")
+        self.encoder = UpsampleConformerEncoderStep(c.encoder, name="encoder")
+        self.encoder_proj = nn.Dense(c.output_size, name="encoder_proj")
+        self.decoder = CausalConditionalCFMStep(c.cfm, c.estimator,
+                                                name="decoder")
+
+    def __call__(self, token_chunk: jnp.ndarray,
+                 context: Optional[jnp.ndarray],
+                 cond_chunk: jnp.ndarray, embedding: jnp.ndarray,
+                 cache, pe_tok: jnp.ndarray, pe_mel: jnp.ndarray,
+                 finalize: bool = False):
+        """token_chunk (B, Ct) i32; context (B, la) i32 lookahead tokens
+        (ignored when ``finalize``); cond_chunk (B, Ct*r, n_mel) — the
+        prompt mel during prefill, zeros after; embedding (B, spk_dim).
+
+        Returns (mel (B, Ct*r, n_mel) f32, new cache)."""
+        c = self.cfg
+        n_tok = cache["n_tok"]
+        x = self.input_embedding(jnp.maximum(token_chunk, 0))
+        ctx = None
+        if not finalize:
+            ctx = self.input_embedding(jnp.maximum(context, 0))
+        h, enc_cache = self.encoder(x, ctx, cache["enc"], n_tok,
+                                    pe_tok, pe_mel)
+        mu = self.encoder_proj(h)
+
+        norm = jnp.linalg.norm(embedding, axis=-1, keepdims=True)
+        spks = self.spk_embed_affine_layer(
+            embedding / jnp.maximum(norm, 1e-12))
+
+        r = c.token_mel_ratio
+        mel, est_cache = self.decoder(mu, spks, cond_chunk.astype(mu.dtype),
+                                      cache["est"], n_tok * r)
+        new_cache = {"enc": enc_cache, "est": est_cache,
+                     "n_tok": n_tok + token_chunk.shape[1]}
+        return mel, new_cache
+
+
+def init_kv_cache(cfg: FlowConfig, ring_tokens: int, batch: int = 1,
+                  dtype=jnp.float32):
+    """Zero KV cache pytree for a ``ring_tokens``-token left context."""
+    e = cfg.encoder
+    s = e.upsample_stride
+    d = e.output_size
+    rt = ring_tokens
+    rm = ring_tokens * s
+    enc = {
+        "pre": jnp.zeros((batch, 2, d), dtype),
+        "k": jnp.zeros((e.num_blocks, batch, rt, d), dtype),
+        "v": jnp.zeros((e.num_blocks, batch, rt, d), dtype),
+        "pk": jnp.zeros((e.num_blocks, 1, rt, d), dtype),
+        "up_conv": jnp.zeros((batch, 2 * s, d), dtype),
+        "uk": jnp.zeros((e.num_up_blocks, batch, rm, d), dtype),
+        "uv": jnp.zeros((e.num_up_blocks, batch, rm, d), dtype),
+        "upk": jnp.zeros((e.num_up_blocks, 1, rm, d), dtype),
+    }
+    est_cfg = cfg.estimator
+    ch = est_cfg.channels[0]
+    inner = est_cfg.num_heads * est_cfg.attention_head_dim
+    n_attn = est_cfg.n_blocks * (2 + est_cfg.num_mid_blocks)
+    steps = cfg.cfm.n_timesteps
+    b2 = 2 * batch
+    rf = ring_tokens * cfg.token_mel_ratio
+    convs = {}
+    for name, sub in estimator_conv_cache_names(est_cfg):
+        cin = ch
+        if name == "down_res_0" and sub == "block1":
+            cin = est_cfg.in_channels
+        elif name == "up_res_0" and sub == "block1":
+            cin = 2 * ch
+        arr = jnp.zeros((steps, b2, 2, cin), dtype)
+        if sub is None:
+            convs[name] = arr
+        else:
+            convs.setdefault(name, {})[sub] = arr
+    est = {
+        "k": jnp.zeros((steps, n_attn, b2, rf, inner), dtype),
+        "v": jnp.zeros((steps, n_attn, b2, rf, inner), dtype),
+        "convs": convs,
+    }
+    return {"enc": enc, "est": est, "n_tok": jnp.zeros((), jnp.int32)}
+
+
+def pe_tables(cfg: FlowConfig, max_tokens: int):
+    """(pe_tok (max_tokens, D), pe_mel (max_tokens*stride, D)) — uploaded
+    once per session and sliced on device (wenet 'rel_pos' tables)."""
+    d = cfg.encoder.output_size
+    s = cfg.encoder.upsample_stride
+    return (jnp.asarray(_abs_pe_table(d, max_tokens)),
+            jnp.asarray(_abs_pe_table(d, max_tokens * s)))

@@ -76,6 +76,38 @@ def chunk_attention_mask(valid: jnp.ndarray, static_chunk_size: int,
     return jnp.broadcast_to(key_ok, (b, t, t))
 
 
+def banded_chunk_mask(bounds, size: int, ring: int) -> jnp.ndarray:
+    """Banded chunk-causal mask for the KV-cached streaming flow path.
+
+    ``bounds`` are the (static python) chunk end positions, e.g.
+    ``[prompt, prompt+hop, ...]``; the final bound may be < ``size`` (the
+    tail belongs to the last chunk).  Query i in chunk c attends to keys in
+    ``[cstart(c) - ring, cend(c))`` — its own chunk plus the ``ring`` frames
+    immediately before it.  An incremental decode with a ``ring``-slot KV
+    cache is exactly equivalent to one forward with this mask (the KV-mode
+    deviation from the reference's windowed re-decode, see
+    models/flow/kv_stream.py).
+    """
+    import numpy as np
+    bounds = list(bounds)
+    if not bounds or bounds[-1] < size:
+        bounds = bounds + [size]
+    cstart = np.zeros(size, np.int64)
+    cend = np.zeros(size, np.int64)
+    lo = 0
+    for hi in bounds:
+        hi = min(hi, size)
+        cstart[lo:hi] = lo
+        cend[lo:hi] = hi
+        lo = hi
+        if lo >= size:
+            break
+    idx = np.arange(size)
+    allow = (idx[None, :] < cend[:, None]) & (
+        idx[None, :] >= cstart[:, None] - ring)
+    return jnp.asarray(allow)
+
+
 def mask_to_bias(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """bool attend-mask -> additive attention bias (0 where attend, -1e10 else).
 

@@ -188,6 +188,25 @@ class AudioDecoder:
             block_size or self.pipe_cfg.block_size,
             max_token_len or self.pipe_cfg.max_token_len, batch=batch)
 
+    def kv_stream_decoder(self, prompt_token=None, prompt_feat=None,
+                          embedding=None, block_size: Optional[int] = None,
+                          ring_tokens: Optional[int] = None,
+                          token_cap: int = 2048):
+        """Incremental KV-cached streaming decoder (pipeline/kv_session.py):
+        every token runs through the flow ONCE (vs the reference's 8x
+        windowed re-decode); ``ring_tokens`` sets the banded attention left
+        context (defaults to max_token_len - block_size, matching the
+        windowed session's context size)."""
+        from .kv_session import KVStreamDecoder
+        prompt_token, prompt_feat, embedding = self._defaults(
+            prompt_token, prompt_feat, embedding)
+        hop = block_size or self.pipe_cfg.block_size
+        if ring_tokens is None:
+            ring_tokens = self.pipe_cfg.max_token_len - hop
+        return KVStreamDecoder(self, prompt_token, prompt_feat, embedding,
+                               hop, ring_tokens=ring_tokens,
+                               token_cap=token_cap)
+
 
 class StreamSession:
     """Incremental token -> wav-chunk session.

@@ -1,0 +1,277 @@
+"""Device-resident KV-cached streaming decode.
+
+The windowed session (pipeline/device_session.py) reproduces the reference's
+streaming semantics — re-decoding a bounded 40-token window per 5-token hop
+(flow_inference.py:194-204), 8x redundant FLOPs.  This session removes the
+redundancy: every token is pushed through the flow exactly once, attending
+to circular KV rings (models/flow/kv_stream.py).  Per hop, two static-shape
+jitted programs run (flow chunk -> mel; hift with mel/source caches ->
+wav), with power-of-two lax.scan buckets batching consecutive steady hops
+into single dispatches.  Flow and vocoder stay separate XLA programs (the
+remote compiler wedges on the fused monolith — BENCH_NOTES.md).
+
+Cost model vs the windowed session (full MOSS size, bf16):
+- flow FLOPs per hop drop ~8x (20 new mel frames instead of 160+prompt);
+- the price is the KV cache resident in HBM:
+  n_timesteps x layers x 2(K,V) x 2(CFG) x ring x inner
+  = 10 x 56 x 2 x 2 x 140 x 512 x 2B  ~ 0.3 GB (bf16) per stream — fine
+  for single-stream low-latency serving; use the windowed session for
+  large multi-stream batches.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ..models.flow.kv_stream import KVFlowStep, init_kv_cache, pe_tables
+from .device_session import _parallel_fetch, _pcm16_device
+
+
+@flax.struct.dataclass
+class KVVocState:
+    mel_cache: jnp.ndarray        # (1, mel_cache_len, n_mel)
+    source_cache: jnp.ndarray     # (1, scl, 1)
+    speech_cache: jnp.ndarray     # (1, scl)
+
+
+class KVStreamDecoder:
+    """Incremental streaming decoder bound to an AudioDecoder's params."""
+
+    def __init__(self, dec, prompt_token: np.ndarray,
+                 prompt_feat: np.ndarray, embedding: np.ndarray,
+                 block_size: int, ring_tokens: int = 35,
+                 token_cap: int = 2048):
+        self.dec = dec
+        self.hop = block_size
+        self.ring_tokens = ring_tokens
+        self.la = dec.lookahead
+        self.ratio = dec.ratio
+        self.p = int(prompt_token.shape[1])
+        cfg = dec.flow_cfg
+        self.n_mel = cfg.output_size
+        self.mel_cache_len = dec.pipe_cfg.mel_cache_len
+        self.scl = dec.source_cache_len
+        dt = dec.compute_dtype or jnp.float32
+        self.dt = dt
+
+        self._prompt_tok = jnp.asarray(prompt_token, jnp.int32)
+        self._prompt_feat = jnp.asarray(prompt_feat).astype(dt)
+        self._emb = jnp.asarray(embedding).astype(dt)
+        pe_tok, pe_mel = pe_tables(cfg, token_cap + self.p + 16)
+        self._pe_tok = pe_tok
+        self._pe_mel = pe_mel
+        win = np.hamming(2 * self.scl).astype(np.float32)
+        self._fade_in = jnp.asarray(win[: self.scl])
+        self._fade_out = jnp.asarray(win[self.scl:])
+
+        self._kv = KVFlowStep(cfg)
+        self._prefill = jax.jit(self._prefill_impl)
+        self._hop = jax.jit(self._hop_impl,
+                            static_argnames=("emit_tokens", "finalize"))
+        self._hop_scan = jax.jit(self._hop_scan_impl,
+                                 static_argnames=("n_hops", "emit_tokens"))
+        self._voc = jax.jit(self._voc_impl,
+                            static_argnames=("first", "finalize"))
+        self._voc_scan = jax.jit(self._voc_scan_impl)
+
+    # ------------------------------------------------------------------
+    def init_state(self) -> Tuple[dict, KVVocState]:
+        cache = init_kv_cache(self.dec.flow_cfg, self.ring_tokens,
+                              batch=1, dtype=self.dt)
+        voc = KVVocState(
+            mel_cache=jnp.zeros((1, self.mel_cache_len, self.n_mel)),
+            source_cache=jnp.zeros((1, self.scl, 1)),
+            speech_cache=jnp.zeros((1, self.scl)),
+        )
+        return cache, voc
+
+    def _prefill_impl(self, flow_params, token_buf, cache):
+        """Prompt prefill: one chunk of p tokens with the first `la` stream
+        tokens as lookahead context; warms every ring, emits nothing."""
+        ctx = jax.lax.dynamic_slice(token_buf, (0, 0), (1, self.la))
+        _, cache = self._kv.apply(flow_params, self._prompt_tok, ctx,
+                                  self._prompt_feat, self._emb, cache,
+                                  self._pe_tok, self._pe_mel,
+                                  finalize=False)
+        return cache
+
+    def _hop_impl(self, flow_params, token_buf, cache,
+                  emit_tokens: int, finalize: bool):
+        """One flow hop: slice the next chunk (+context) from the device
+        token buffer at the cache's own position and run the KV step."""
+        off = cache["n_tok"] - self.p
+        chunk = jax.lax.dynamic_slice(token_buf, (0, off), (1, emit_tokens))
+        if finalize:
+            ctx = jnp.zeros((1, self.la), jnp.int32)
+        else:
+            ctx = jax.lax.dynamic_slice(token_buf, (0, off + emit_tokens),
+                                        (1, self.la))
+        cond = jnp.zeros((1, emit_tokens * self.ratio, self.n_mel), self.dt)
+        mel, cache = self._kv.apply(flow_params, chunk, ctx, cond,
+                                    self._emb, cache, self._pe_tok,
+                                    self._pe_mel, finalize=finalize)
+        return mel, cache
+
+    def _hop_scan_impl(self, flow_params, token_buf, cache,
+                       n_hops: int, emit_tokens: int):
+        """n_hops steady flow hops in one lax.scan dispatch."""
+
+        def body(c, _):
+            mel, c = self._hop_impl(flow_params, token_buf, c,
+                                    emit_tokens=emit_tokens, finalize=False)
+            return c, mel
+
+        cache, mels = jax.lax.scan(body, cache, None, length=n_hops)
+        return mels, cache                    # (n_hops, 1, emit*r, n_mel)
+
+    def _voc_impl(self, hift_params, emit_mel, voc: KVVocState,
+                  first: bool, finalize: bool):
+        """HiFT with mel/source caches + Hamming cross-fade
+        (same contract as device_session._voc_step_impl)."""
+        d = self.dec
+        dt = self.dt
+        if first:
+            mel_in = emit_mel
+            cache_source = jnp.zeros((emit_mel.shape[0], 0, 1), dt)
+        else:
+            mel_in = jnp.concatenate(
+                [voc.mel_cache.astype(emit_mel.dtype), emit_mel], axis=1)
+            cache_source = voc.source_cache.astype(dt)
+        wav, source = d.hift.apply(hift_params, mel_in.astype(dt),
+                                   cache_source, jax.random.PRNGKey(0))
+        if not first:
+            head = (wav[:, : self.scl] * self._fade_in
+                    + voc.speech_cache * self._fade_out)
+            wav = jnp.concatenate([head, wav[:, self.scl:]], axis=1)
+        if finalize:
+            return wav, voc
+        emit = wav[:, : wav.shape[1] - self.scl]
+        new_voc = KVVocState(
+            mel_cache=mel_in[:, mel_in.shape[1] - self.mel_cache_len:]
+            .astype(jnp.float32),
+            source_cache=source[:, source.shape[1] - self.scl:]
+            .astype(jnp.float32),
+            speech_cache=wav[:, wav.shape[1] - self.scl:]
+            .astype(jnp.float32),
+        )
+        return emit, new_voc
+
+    def _voc_scan_impl(self, hift_params, mels, voc: KVVocState):
+        def body(st, mel):
+            seg, st = self._voc_impl(hift_params, mel, st,
+                                     first=False, finalize=False)
+            return st, seg
+
+        voc, segs = jax.lax.scan(body, voc, mels)
+        segs = segs.transpose(1, 0, 2).reshape(segs.shape[1], -1)
+        return segs, voc
+
+    # ------------------------------------------------------------------
+    def schedule(self, n_tokens: int) -> List[Tuple[int, bool]]:
+        """[(emit_tokens, finalize), ...]: steady hops while a full hop +
+        lookahead is available, then one finalize tail."""
+        plan = []
+        off = 0
+        while n_tokens - off >= self.hop + self.la:
+            plan.append((self.hop, False))
+            off += self.hop
+        if n_tokens - off > 0:
+            plan.append((n_tokens - off, True))
+        return plan
+
+    def stream_decode(self, tokens: np.ndarray,
+                      output: str = "float32") -> np.ndarray:
+        """Full-stream decode: one upload, incremental KV hops (bucketed
+        into lax.scan dispatches), one parallel fetch."""
+        tokens = np.asarray(tokens)
+        assert tokens.shape[0] == 1
+        n = int(tokens.shape[1])
+        cap = n + self.hop + self.la + 1
+        buf = np.zeros((1, cap), np.int32)
+        buf[:, :n] = tokens
+        token_buf = jnp.asarray(buf)
+        cache, voc = self.init_state()
+        if self.p:
+            cache = self._prefill(self.dec.flow_params, token_buf, cache)
+        segs = []
+        plan = self.schedule(n)
+        i = 0
+        first = True
+        while i < len(plan):
+            emit_tokens, finalize = plan[i]
+            if not first and not finalize:
+                run = 0
+                while (i + run < len(plan)
+                       and plan[i + run] == (emit_tokens, False)):
+                    run += 1
+                if run > 1:
+                    for bucket in (32, 8, 2):
+                        while run >= bucket:
+                            mels, cache = self._hop_scan(
+                                self.dec.flow_params, token_buf, cache,
+                                n_hops=bucket, emit_tokens=emit_tokens)
+                            seg, voc = self._voc_scan(
+                                self.dec.hift_params, mels, voc)
+                            segs.append(seg)
+                            run -= bucket
+                            i += bucket
+                    continue
+            mel, cache = self._hop(self.dec.flow_params, token_buf, cache,
+                                   emit_tokens=emit_tokens,
+                                   finalize=finalize)
+            seg, voc = self._voc(self.dec.hift_params, mel, voc,
+                                 first=first, finalize=finalize)
+            segs.append(seg)
+            first = False
+            i += 1
+        wav = jnp.concatenate(segs, axis=1)
+        if output == "int16":
+            return _parallel_fetch(_pcm16_device(wav))
+        return _parallel_fetch(wav).astype(np.float32)
+
+    def stream_chunks(self, tokens: np.ndarray):
+        """Yield per-hop float32 wav chunks (pipelined fetches)."""
+        import queue
+        import threading
+
+        tokens = np.asarray(tokens)
+        n = int(tokens.shape[1])
+        cap = n + self.hop + self.la + 1
+        buf = np.zeros((1, cap), np.int32)
+        buf[:, :n] = tokens
+        token_buf = jnp.asarray(buf)
+        cache, voc = self.init_state()
+        if self.p:
+            cache = self._prefill(self.dec.flow_params, token_buf, cache)
+        segs = []
+        first = True
+        for emit_tokens, finalize in self.schedule(n):
+            mel, cache = self._hop(self.dec.flow_params, token_buf, cache,
+                                   emit_tokens=emit_tokens,
+                                   finalize=finalize)
+            seg, voc = self._voc(self.dec.hift_params, mel, voc,
+                                 first=first, finalize=finalize)
+            segs.append(seg)
+            first = False
+
+        q: "queue.Queue" = queue.Queue(maxsize=8)
+
+        def fetcher():
+            for s in segs:
+                q.put(np.asarray(s, dtype=np.float32))
+            q.put(None)
+
+        threading.Thread(target=fetcher, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+
+    def warmup(self, n_tokens: int):
+        self.stream_decode(np.zeros((1, n_tokens), np.int32))

@@ -158,3 +158,232 @@ def greedy_decode(decoder: WhisperVQDecoder, params, enc: jnp.ndarray,
              jnp.zeros((b,), bool))
     (tokens, n, _), _ = jax.lax.scan(body, carry, None, length=max_len - 1)
     return tokens, n
+
+
+def sample_decode(decoder: WhisperVQDecoder, params, enc: jnp.ndarray,
+                  enc_valid: jnp.ndarray, bos_id: int, eos_id: int,
+                  rng: jax.Array, temperature: float = 0.0,
+                  max_len: int = 64):
+    """Greedy (temperature == 0) or temperature sampling, tracking the sum
+    of chosen-token log-probs — the statistic the long-form fallback needs
+    (generation_whisper.py:1731-1748 _retrieve_avg_logprobs).
+
+    Returns (tokens (B, L) i32, lengths (B,) incl. bos, sum_logprob (B,))."""
+    b = enc.shape[0]
+
+    def body(carry, step_rng):
+        tokens, n, done, lp = carry
+        token_valid = jnp.arange(max_len)[None, :] < jnp.maximum(n, 1)[:, None]
+        logits = decoder.apply(params, tokens, token_valid, enc, enc_valid)
+        idx = jnp.maximum(n - 1, 0)
+        last = jnp.take_along_axis(
+            logits, idx[:, None, None].repeat(1, axis=1), axis=1)[:, 0]
+        logp = jax.nn.log_softmax(last, axis=-1)
+        if temperature > 0:
+            nxt = jax.random.categorical(step_rng, last / temperature,
+                                         axis=-1).astype(jnp.int32)
+        else:
+            nxt = jnp.argmax(last, axis=-1).astype(jnp.int32)
+        step_lp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+        nxt = jnp.where(done, eos_id, nxt)
+        lp = lp + jnp.where(done, 0.0, step_lp)
+        tokens = jax.vmap(lambda t, i, v: t.at[i].set(v))(
+            tokens, jnp.minimum(n, max_len - 1), nxt)
+        done = done | (nxt == eos_id)
+        n = jnp.where(done, n, n + 1)
+        return (tokens, n, done, lp), ()
+
+    tokens0 = jnp.full((b, max_len), eos_id, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(bos_id)
+    carry = (tokens0, jnp.ones((b,), jnp.int32), jnp.zeros((b,), bool),
+             jnp.zeros((b,), jnp.float32))
+    (tokens, n, _, lp), _ = jax.lax.scan(
+        body, carry, jax.random.split(rng, max_len - 1))
+    return tokens, n, lp
+
+
+def beam_decode(decoder: WhisperVQDecoder, params, enc: jnp.ndarray,
+                enc_valid: jnp.ndarray, bos_id: int, eos_id: int,
+                beam_size: int = 4, max_len: int = 64,
+                length_penalty: float = 1.0):
+    """Beam search over the whisper decoder (the reference reaches this via
+    HF ``generate(num_beams=...)``, generation_whisper.py:277 ->
+    transformers beam search).  TPU-native: fixed beam width inside one
+    lax.scan, full-prefix recompute per step (whisper targets are short).
+
+    Returns (best tokens (B, L), lengths (B,), best score (B,)) where score
+    is sum-logprob / length**length_penalty."""
+    b = enc.shape[0]
+    k = beam_size
+
+    enc_k = jnp.repeat(enc, k, axis=0)
+    enc_valid_k = jnp.repeat(enc_valid, k, axis=0)
+
+    def body(carry, _):
+        tokens, scores, n, done, ln = carry
+        flat = tokens.reshape(b * k, max_len)
+        token_valid = jnp.arange(max_len)[None, :] < jnp.maximum(n, 1)
+        token_valid = jnp.broadcast_to(token_valid, flat.shape)
+        logits = decoder.apply(params, flat, token_valid, enc_k, enc_valid_k)
+        last = jax.lax.dynamic_slice_in_dim(
+            logits, jnp.maximum(n - 1, 0), 1, axis=1)[:, 0]
+        nv = last.shape[-1]
+        logp = jax.nn.log_softmax(last, axis=-1).reshape(b, k, nv)
+        # finished beams may only extend with eos at zero cost
+        eos_row = jnp.full((nv,), -1e9, logp.dtype).at[eos_id].set(0.0)
+        logp = jnp.where(done[..., None], eos_row[None, None], logp)
+        cand = scores[..., None] + logp                       # (B, K, V)
+        top_s, top_i = jax.lax.top_k(cand.reshape(b, k * nv), k)
+        beam_idx = top_i // nv                                # (B, K)
+        tok = (top_i % nv).astype(jnp.int32)
+        gather = jax.vmap(lambda t, i: t[i])
+        tokens = gather(tokens, beam_idx)
+        done_g = gather(done, beam_idx)
+        ln_g = gather(ln, beam_idx)
+        tokens = jax.vmap(jax.vmap(lambda t, p, x: t.at[p].set(x),
+                                   in_axes=(0, None, 0)),
+                          in_axes=(0, None, 0))(
+            tokens, jnp.minimum(n, max_len - 1), tok)
+        new_done = done_g | (tok == eos_id)
+        ln_new = jnp.where(done_g, ln_g, ln_g + 1)
+        return (tokens, top_s, n + 1, new_done, ln_new), ()
+
+    tokens0 = jnp.full((b, k, max_len), eos_id, jnp.int32)
+    tokens0 = tokens0.at[:, :, 0].set(bos_id)
+    scores0 = jnp.zeros((b, k), jnp.float32).at[:, 1:].set(-1e9)
+    carry = (tokens0, scores0, jnp.ones((), jnp.int32),
+             jnp.zeros((b, k), bool), jnp.ones((b, k), jnp.int32))
+    (tokens, scores, n, done, ln), _ = jax.lax.scan(
+        body, carry, None, length=max_len - 1)
+    final = scores / (ln.astype(scores.dtype) ** length_penalty)
+    best = jnp.argmax(final, axis=1)
+    pick = jax.vmap(lambda t, i: t[i])
+    return (pick(tokens, best), pick(ln, best),
+            pick(final, best))
+
+
+def compression_ratio(token_ids) -> float:
+    """zlib compression ratio of the token byte stream — the repetition
+    detector of the long-form fallback (generation_whisper.py:1722-1729)."""
+    import zlib
+    import numpy as np
+    raw = np.asarray(token_ids, np.int32).tobytes()
+    if not raw:
+        return 0.0
+    return len(raw) / len(zlib.compress(raw))
+
+
+class WhisperASR:
+    """Long-form transcription over discrete speech tokens.
+
+    TPU-native equivalent of the reference's chunked long-form generation
+    (generation_whisper.py:277-775): the 30 s seek loop becomes per-segment
+    decoding over the codec's exact 30 s token segmentation, and
+    ``generate_with_fallback`` (:775-925) becomes a host-side temperature
+    ladder gated on compression ratio and avg log-prob (:1027-1070).
+
+    The ASR operates on tokens directly: the post-VQ encoder consumes
+    ``codebook[ids] + embed_positions2`` (modeling_whisper.py:1466), so a
+    transcript never needs the pre-VQ acoustic states.
+    """
+
+    def __init__(self, cfg, post_params, dec_params, codebook,
+                 bos_id: int = 1, eos_id: int = 2, max_len: int = 64,
+                 segment_tokens: int = 375):
+        self.cfg = cfg
+        self.post = PostVQEncoder(cfg)
+        self.dec = WhisperVQDecoder(cfg)
+        self.post_params = post_params
+        self.dec_params = dec_params
+        self.codebook = jnp.asarray(codebook)
+        self.bos_id = bos_id
+        self.eos_id = eos_id
+        self.max_len = max_len
+        self.segment_tokens = segment_tokens
+        self._enc_fn = jax.jit(self._enc_impl)
+        self._greedy = jax.jit(
+            lambda e, v, r: sample_decode(self.dec, self.dec_params, e, v,
+                                          self.bos_id, self.eos_id, r,
+                                          temperature=0.0,
+                                          max_len=self.max_len))
+        self._sample = {}
+        self._beam = jax.jit(
+            lambda e, v: beam_decode(self.dec, self.dec_params, e, v,
+                                     self.bos_id, self.eos_id,
+                                     max_len=self.max_len))
+
+    def _enc_impl(self, ids, valid):
+        q = self.codebook[jnp.maximum(ids, 0)]
+        q = q * valid[..., None].astype(q.dtype)
+        return self.post.apply(self.post_params, q, valid)
+
+    def _segment_states(self, ids: jnp.ndarray):
+        st = self.segment_tokens
+        t = ids.shape[1]
+        pad = (-t) % st
+        ids_p = jnp.pad(ids, ((0, 0), (0, pad)))
+        valid = jnp.arange(t + pad)[None, :] < t
+        segs = ids_p.reshape(-1, st)
+        vsegs = valid.reshape(-1, st)
+        return self._enc_fn(segs, vsegs), vsegs
+
+    def transcribe(self, ids, beam_size: int = 0,
+                   temperatures=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+                   compression_ratio_threshold: float = 2.4,
+                   logprob_threshold: float = -1.0,
+                   rng: jax.Array = None):
+        """ids (1, T) int32 speech tokens -> list of per-segment transcript
+        token arrays (eos/bos stripped), long-form stitched in order.
+
+        beam_size > 1 decodes each segment with beam search (no temperature
+        ladder, like the reference where num_beams disables sampling
+        fallback); otherwise the greedy->sampling fallback ladder runs."""
+        import numpy as np
+        ids = jnp.asarray(np.asarray(ids, np.int32).reshape(1, -1))
+        enc, vsegs = self._segment_states(ids)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        out = []
+        for s in range(enc.shape[0]):
+            e = enc[s:s + 1]
+            v = vsegs[s:s + 1]
+            if beam_size > 1:
+                toks, n, _ = self._beam(e, v)
+                toks, n = np.asarray(toks), int(np.asarray(n)[0])
+            else:
+                toks, n = self._fallback_decode(
+                    e, v, temperatures, compression_ratio_threshold,
+                    logprob_threshold, rng)
+                rng, _ = jax.random.split(rng)
+            seq = toks[0, 1:n]                      # strip bos
+            seq = seq[seq != self.eos_id]
+            out.append(np.asarray(seq, np.int32))
+        return out
+
+    def _fallback_decode(self, e, v, temperatures, cr_threshold,
+                         lp_threshold, rng):
+        """Temperature ladder: retry with higher temperature while the
+        output looks degenerate (generation_whisper.py:775,1027-1070)."""
+        import numpy as np
+        best = None
+        for temp in temperatures:
+            if temp == 0.0:
+                toks, n, lp = self._greedy(e, v, rng)
+            else:
+                key = round(float(temp), 3)
+                if key not in self._sample:
+                    self._sample[key] = jax.jit(
+                        lambda ee, vv, rr, _t=temp: sample_decode(
+                            self.dec, self.dec_params, ee, vv, self.bos_id,
+                            self.eos_id, rr, temperature=_t,
+                            max_len=self.max_len))
+                toks, n, lp = self._sample[key](e, v, rng)
+            toks = np.asarray(toks)
+            n_i = int(np.asarray(n)[0])
+            avg_lp = float(np.asarray(lp)[0]) / max(n_i, 1)
+            cr = compression_ratio(toks[0, 1:n_i])
+            best = (toks, n_i)
+            needs_fallback = (cr > cr_threshold) or (avg_lp < lp_threshold)
+            if not needs_fallback:
+                break
+            rng, _ = jax.random.split(rng)
+        return best

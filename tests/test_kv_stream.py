@@ -1,0 +1,207 @@
+"""KV-cached incremental streaming flow: exact equivalence with the banded
+chunk-causal full forward, and quantified deviation vs the reference's
+windowed re-decode semantics (flow_inference.py:194-204)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from moss_speech_decoder_cosy_tpu.utils.config import tiny_flow_config
+from moss_speech_decoder_cosy_tpu.models.flow import CausalMaskedDiffWithXvec
+from moss_speech_decoder_cosy_tpu.models.flow.kv_stream import (
+    KVFlowStep, init_kv_cache, pe_tables)
+from moss_speech_decoder_cosy_tpu.ops.masks import banded_chunk_mask
+
+
+def _setup(seed=0, p=6, n=23):
+    cfg = tiny_flow_config()
+    flow = CausalMaskedDiffWithXvec(cfg)
+    rng = np.random.RandomState(seed)
+    r = cfg.token_mel_ratio
+    tokens = rng.randint(0, cfg.vocab_size, (1, p + n)).astype(np.int32)
+    prompt_feat = rng.randn(1, p * r, cfg.output_size).astype(np.float32)
+    emb = rng.randn(1, cfg.spk_embed_dim).astype(np.float32)
+    valid = np.ones((1, p + n), bool)
+    params = flow.init(jax.random.PRNGKey(1), jnp.asarray(tokens),
+                       jnp.asarray(valid), jnp.asarray(prompt_feat),
+                       jnp.asarray(emb))
+    return cfg, flow, params, tokens, prompt_feat, emb, valid
+
+
+def _schedule(p, n, hop, la):
+    """Chunk end positions (token units): prompt, steady hops, tail."""
+    bounds = [p]
+    off = 0
+    while n - off >= hop + la:
+        off += hop
+        bounds.append(p + off)
+    return bounds, off
+
+
+def _run_incremental(cfg, params, tokens, prompt_feat, emb, p, hop,
+                     ring_tokens):
+    la = cfg.pre_lookahead_len
+    r = cfg.token_mel_ratio
+    n = tokens.shape[1] - p
+    step = KVFlowStep(cfg)
+    apply = jax.jit(step.apply, static_argnames=("finalize",))
+    cache = init_kv_cache(cfg, ring_tokens)
+    pe_tok, pe_mel = pe_tables(cfg, 64)
+    stream = tokens[:, p:]
+    zeros_ctx = np.zeros((1, la), np.int32)
+
+    _, cache = apply(params, tokens[:, :p], stream[:, :la],
+                     prompt_feat, emb, cache, pe_tok, pe_mel,
+                     finalize=False)
+    mels = []
+    off = 0
+    while n - off >= hop + la:
+        chunk = stream[:, off:off + hop]
+        ctx = stream[:, off + hop:off + hop + la]
+        cond = np.zeros((1, hop * r, cfg.output_size), np.float32)
+        mel, cache = apply(params, chunk, ctx, cond, emb, cache,
+                           pe_tok, pe_mel, finalize=False)
+        mels.append(mel)
+        off += hop
+    tail = stream[:, off:]
+    cond = np.zeros((1, tail.shape[1] * r, cfg.output_size), np.float32)
+    mel, cache = apply(params, tail, zeros_ctx, cond, emb, cache,
+                       pe_tok, pe_mel, finalize=True)
+    mels.append(mel)
+    return np.concatenate([np.asarray(m) for m in mels], axis=1)
+
+
+def test_kv_incremental_matches_banded_forward():
+    """Prefill + per-hop KV steps == ONE forward with the banded mask,
+    token for token (the defining property of the KV streaming path)."""
+    p, n, hop, ring_t = 6, 23, 4, 8
+    cfg, flow, params, tokens, prompt_feat, emb, valid = _setup(p=p, n=n)
+    la = cfg.pre_lookahead_len
+    r = cfg.token_mel_ratio
+    t = p + n
+
+    bounds, _ = _schedule(p, n, hop, la)
+    m_tok = banded_chunk_mask(bounds, t, ring_t)
+    m_mel = banded_chunk_mask([b * r for b in bounds], t * r, ring_t * r)
+    full = flow.apply(params, jnp.asarray(tokens), jnp.asarray(valid),
+                      jnp.asarray(prompt_feat), jnp.asarray(emb),
+                      streaming=False, finalize=True,
+                      kv_masks=(m_tok, m_mel, m_mel))
+    inc = _run_incremental(cfg, params, tokens, prompt_feat, emb, p, hop,
+                           ring_t)
+    ref = np.asarray(full)[:, p * r:]
+    assert inc.shape == ref.shape
+    np.testing.assert_allclose(inc, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_kv_incremental_no_prompt():
+    """Zero-length prompt: prefill degenerates away; first hop starts the
+    rings from empty."""
+    p, n, hop, ring_t = 0, 15, 4, 8
+    cfg, flow, params, tokens, prompt_feat, emb, valid = _setup(p=p, n=n)
+    la = cfg.pre_lookahead_len
+    r = cfg.token_mel_ratio
+    bounds, _ = _schedule(p, n, hop, la)
+    bounds = [b for b in bounds if b > 0]
+    m_tok = banded_chunk_mask(bounds, n, ring_t)
+    m_mel = banded_chunk_mask([b * r for b in bounds], n * r, ring_t * r)
+    full = flow.apply(params, jnp.asarray(tokens), jnp.asarray(valid),
+                      jnp.asarray(prompt_feat), jnp.asarray(emb),
+                      streaming=False, finalize=True,
+                      kv_masks=(m_tok, m_mel, m_mel))
+
+    # incremental without prefill
+    step = KVFlowStep(cfg)
+    apply = jax.jit(step.apply, static_argnames=("finalize",))
+    cache = init_kv_cache(cfg, ring_t)
+    pe_tok, pe_mel = pe_tables(cfg, 64)
+    mels = []
+    off = 0
+    while n - off >= hop + la:
+        chunk = tokens[:, off:off + hop]
+        ctx = tokens[:, off + hop:off + hop + la]
+        cond = np.zeros((1, hop * r, cfg.output_size), np.float32)
+        mel, cache = apply(params, chunk, ctx, cond, emb, cache,
+                           pe_tok, pe_mel, finalize=False)
+        mels.append(mel)
+        off += hop
+    tail = tokens[:, off:]
+    cond = np.zeros((1, tail.shape[1] * r, cfg.output_size), np.float32)
+    mel, cache = apply(params, tail, np.zeros((1, la), np.int32), cond,
+                       emb, cache, pe_tok, pe_mel, finalize=True)
+    mels.append(mel)
+    inc = np.concatenate([np.asarray(m) for m in mels], axis=1)
+    np.testing.assert_allclose(inc, np.asarray(full), atol=5e-4, rtol=1e-3)
+
+
+def test_kv_session_matches_banded_composition():
+    """KVStreamDecoder.stream_decode (device session: prefill + scan-bucket
+    hops + cached vocoder) == banded full-forward mel fed through the same
+    per-hop vocoder chain."""
+    from moss_speech_decoder_cosy_tpu.utils.config import (
+        tiny_hift_config, PipelineConfig)
+    from moss_speech_decoder_cosy_tpu.models.hift import HiFTGenerator
+    from moss_speech_decoder_cosy_tpu.pipeline import AudioDecoder
+
+    p, n, hop, ring_t = 2, 30, 3, 6
+    cfg, flow, params, tokens, prompt_feat, emb, valid = _setup(p=p, n=n)
+    hcfg = tiny_hift_config()
+    hift = HiFTGenerator(hcfg)
+    r = cfg.token_mel_ratio
+    la = cfg.pre_lookahead_len
+    mel0 = jnp.zeros((1, 8, hcfg.in_channels))
+    hift_params = hift.init(jax.random.PRNGKey(2), mel0)
+    pipe = PipelineConfig(block_size=hop, mel_cache_len=2, max_token_len=9)
+    dec = AudioDecoder(cfg, hcfg, params, hift_params, pipe)
+
+    kv = dec.kv_stream_decoder(tokens[:, :p], prompt_feat, emb,
+                               block_size=hop, ring_tokens=ring_t,
+                               token_cap=64)
+    got = kv.stream_decode(tokens[:, p:])
+
+    # reference: banded full forward -> same per-hop vocoder chain
+    bounds, _ = _schedule(p, n, hop, la)
+    t = p + n
+    m_tok = banded_chunk_mask(bounds, t, ring_t)
+    m_mel = banded_chunk_mask([b * r for b in bounds], t * r, ring_t * r)
+    full = flow.apply(params, jnp.asarray(tokens), jnp.asarray(valid),
+                      jnp.asarray(prompt_feat), jnp.asarray(emb),
+                      streaming=False, finalize=True,
+                      kv_masks=(m_tok, m_mel, m_mel))
+    mel = np.asarray(full)[:, p * r:]
+    _, voc = kv.init_state()
+    segs = []
+    off = 0
+    first = True
+    for emit_tokens, finalize in kv.schedule(n):
+        emit = jnp.asarray(mel[:, off * r:(off + emit_tokens) * r])
+        seg, voc = kv._voc(hift_params, emit, voc,
+                           first=first, finalize=finalize)
+        segs.append(np.asarray(seg))
+        off += emit_tokens
+        first = False
+    want = np.concatenate(segs, axis=1)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_kv_vs_windowed_deviation_quantified():
+    """The KV path deviates from the reference's windowed re-decode by
+    design (each frame is computed once under a banded mask instead of
+    being recomputed under a shifted window).  Quantify: outputs must be
+    finite, same shape, and in the same value range — not wildly apart."""
+    p, n, hop, ring_t = 6, 23, 4, 8
+    cfg, flow, params, tokens, prompt_feat, emb, valid = _setup(p=p, n=n)
+    r = cfg.token_mel_ratio
+    inc = _run_incremental(cfg, params, tokens, prompt_feat, emb, p, hop,
+                           ring_t)
+    # windowed reference semantics: one streaming finalize forward
+    win = flow.apply(params, jnp.asarray(tokens), jnp.asarray(valid),
+                     jnp.asarray(prompt_feat), jnp.asarray(emb),
+                     streaming=True, finalize=True)
+    win = np.asarray(win)[:, p * r:]
+    assert np.all(np.isfinite(inc)) and inc.shape == win.shape
+    mae = float(np.mean(np.abs(inc - win)))
+    scale = float(np.mean(np.abs(win))) + 1e-9
+    # same distribution ballpark; exact agreement is not expected
+    assert mae / scale < 1.5, (mae, scale)

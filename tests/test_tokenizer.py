@@ -150,3 +150,73 @@ def test_asr_greedy_decode():
     # everything at/after length is eos
     for b in range(2):
         assert (toks[b, n[b]:] == 2).all() or n[b] == 8
+
+
+def test_asr_beam_decode_matches_greedy_and_improves_score():
+    """beam_size=1 == greedy token-for-token; wider beams never score
+    worse (sum-logprob with length_penalty=0 is monotone in beam width)."""
+    from moss_speech_decoder_cosy_tpu.tokenizer.asr_decoder import (
+        WhisperVQDecoder, greedy_decode, beam_decode, sample_decode)
+    cfg = tiny_tokenizer_config()
+    dec = WhisperVQDecoder(cfg)
+    rng = np.random.RandomState(3)
+    enc = jnp.asarray(rng.randn(2, 6, cfg.d_model).astype(np.float32))
+    enc_valid = jnp.ones((2, 6), bool)
+    text0 = jnp.zeros((2, 8), jnp.int32)
+    params = dec.init(jax.random.PRNGKey(0), text0, jnp.ones((2, 8), bool),
+                      enc, enc_valid)
+    g_toks, g_n = greedy_decode(dec, params, enc, enc_valid,
+                                bos_id=1, eos_id=2, max_len=8)
+    b1_toks, b1_n, b1_s = beam_decode(dec, params, enc, enc_valid,
+                                      bos_id=1, eos_id=2, beam_size=1,
+                                      max_len=8, length_penalty=0.0)
+    np.testing.assert_array_equal(np.asarray(g_toks), np.asarray(b1_toks))
+    np.testing.assert_array_equal(np.asarray(g_n), np.asarray(b1_n))
+    _, _, b4_s = beam_decode(dec, params, enc, enc_valid, bos_id=1,
+                             eos_id=2, beam_size=4, max_len=8,
+                             length_penalty=0.0)
+    assert (np.asarray(b4_s) >= np.asarray(b1_s) - 1e-5).all()
+    # sample_decode at temperature 0 == greedy, and reports logprobs
+    s_toks, s_n, s_lp = sample_decode(dec, params, enc, enc_valid,
+                                      bos_id=1, eos_id=2,
+                                      rng=jax.random.PRNGKey(0),
+                                      temperature=0.0, max_len=8)
+    np.testing.assert_array_equal(np.asarray(g_toks), np.asarray(s_toks))
+    assert np.all(np.asarray(s_lp) <= 0.0)
+
+
+def test_asr_longform_transcribe_stitches_segments():
+    """WhisperASR: multi-segment long-form tokens decode per 30s-equivalent
+    segment and stitch in order; the fallback ladder accepts the greedy
+    pass on ordinary inputs (generation_whisper.py:775 semantics)."""
+    from moss_speech_decoder_cosy_tpu.tokenizer.asr_decoder import (
+        PostVQEncoder, WhisperVQDecoder, WhisperASR, compression_ratio)
+    cfg = tiny_tokenizer_config()
+    rng = np.random.RandomState(5)
+    codebook = rng.randn(cfg.quantize_vocab_size, cfg.d_model).astype(np.float32)
+
+    seg_t = 6
+    post = PostVQEncoder(cfg)
+    q0 = jnp.zeros((1, seg_t, cfg.d_model))
+    tv0 = jnp.ones((1, seg_t), bool)
+    post_params = post.init(jax.random.PRNGKey(0), q0, tv0)
+    dec = WhisperVQDecoder(cfg)
+    text0 = jnp.zeros((1, 8), jnp.int32)
+    enc0 = jnp.zeros((1, seg_t, cfg.d_model))
+    dec_params = dec.init(jax.random.PRNGKey(1), text0,
+                          jnp.ones((1, 8), bool), enc0, tv0)
+
+    asr = WhisperASR(cfg, post_params, dec_params, codebook,
+                     bos_id=1, eos_id=2, max_len=8, segment_tokens=seg_t)
+    ids = rng.randint(0, cfg.quantize_vocab_size, (1, 14)).astype(np.int32)
+    segs = asr.transcribe(ids)
+    assert len(segs) == 3                       # ceil(14 / 6)
+    for s in segs:
+        assert s.dtype == np.int32 and s.ndim == 1
+        assert 1 not in s.tolist() and 2 not in s.tolist()
+    # beam path runs too and yields the same segment count
+    segs_b = asr.transcribe(ids, beam_size=3)
+    assert len(segs_b) == 3
+    # repetition detector: degenerate repeats compress far better
+    assert compression_ratio(np.zeros(64, np.int32)) > \
+        compression_ratio(np.arange(64, dtype=np.int32))
