@@ -29,11 +29,23 @@ faulthandler.enable()
 
 def parse_args():
     p = argparse.ArgumentParser()
-    p.add_argument("--model", choices=["flow", "hifigan"], default="flow")
+    p.add_argument("--model", choices=["flow", "hifigan", "lm", "lm_dpo"],
+                   default="flow")
     p.add_argument("--config", default="moss",
                    choices=["moss", "cosyvoice2", "tiny"])
     p.add_argument("--train_data", required=True,
                    help="file listing parquet shard paths")
+    p.add_argument("--cv_data", default=None,
+                   help="cross-validation shard list; CV loss runs at every "
+                        "save (executor.py:273-377 role)")
+    p.add_argument("--cv_batches", type=int, default=8)
+    p.add_argument("--sample_at_save", action="store_true",
+                   help="synthesize a mel sample from the first CV batch at "
+                        "every save (the executor's in-training generation)")
+    p.add_argument("--dpo_beta", type=float, default=0.01)
+    p.add_argument("--ref_checkpoint", default=None,
+                   help="frozen reference policy for DPO (defaults to the "
+                        "initial/resumed params)")
     p.add_argument("--model_dir", required=True)
     p.add_argument("--checkpoint", default=None,
                    help="resume checkpoint (shape-filtered load)")
@@ -111,6 +123,8 @@ def main():
 
     if args.model == "hifigan":
         return train_hifigan(args, flow_cfg, logger)
+    if args.model in ("lm", "lm_dpo"):
+        return train_lm(args, logger, dpo=args.model == "lm_dpo")
 
     optimizer = make_optimizer(args.peak_lr, args.warmup_steps)
     model, state, _ = create_flow_train_state(
@@ -164,12 +178,165 @@ def main():
                     os.path.join(args.model_dir, f"step_{step}"),
                     jax.device_get(state.params),
                     metadata={"step": step, "epoch": epoch})
+                if args.cv_data:
+                    run_cv(args, model, flow_cfg, state, step, logger)
             if 0 < args.max_steps <= step:
                 break
         ckpt.save_checkpoint(
             os.path.join(args.model_dir, f"epoch_{epoch}"),
             jax.device_get(state.params),
             metadata={"step": step, "epoch": epoch})
+
+
+def _pad_lm_batch(rows, dpo=False):
+    """Collate text/speech token rows into static right-padded arrays."""
+    def pad(key, bucket=8):
+        arrs = [np.asarray(r[key], np.int32).reshape(-1) for r in rows]
+        n = max(len(a) for a in arrs)
+        n = ((n + bucket - 1) // bucket) * bucket
+        out = np.zeros((len(arrs), n), np.int32)
+        for i, a in enumerate(arrs):
+            out[i, :len(a)] = a
+        return out, np.asarray([len(a) for a in arrs], np.int32)
+
+    text, text_len = pad("text_token")
+    batch = {"text_token": text, "text_token_len": text_len}
+    if dpo:
+        for which in ("chosen", "rejected"):
+            tok, tl = pad(f"{which}_token")
+            batch[f"{which}_token"] = tok
+            batch[f"{which}_token_len"] = tl
+    else:
+        tok, tl = pad("speech_token")
+        batch["speech_token"] = tok
+        batch["speech_token_len"] = tl
+    return batch
+
+
+def make_lm_dataloader(args, dpo=False):
+    from ..data import DataList, build_pipeline, processor
+    shards = [line.strip() for line in open(args.train_data)
+              if line.strip()]
+    dl = DataList(shards)
+    opener = (processor.jsonl_opener if shards[0].endswith(".jsonl")
+              else processor.parquet_opener)
+    procs = [
+        opener,
+        functools.partial(processor.shuffle, shuffle_size=500),
+        functools.partial(processor.static_batch,
+                          batch_size=args.batch_size),
+        lambda data: (_pad_lm_batch(rows, dpo=dpo) for rows in data),
+    ]
+    return dl, build_pipeline(dl, procs)
+
+
+def train_lm(args, logger, dpo=False):
+    """Speech-LM training: teacher-forced CE (llm.py:263-427) or DPO over
+    chosen/rejected completions (utils/losses.py:24-60), wired through
+    training/lm.py."""
+    import optax
+    import jax.numpy as jnp
+    from ..models.llm.speech_lm import (Qwen2SpeechLM, SpeechLMConfig,
+                                        tiny_speech_lm_config)
+    from ..training import lm as lm_mod
+    from ..training.train_step import make_optimizer
+    from ..utils import checkpoint as ckpt
+
+    cfg = (tiny_speech_lm_config() if args.config == "tiny"
+           else SpeechLMConfig())
+    model = Qwen2SpeechLM(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32),
+                        jnp.zeros((1, 0), jnp.int32), jax.random.PRNGKey(1),
+                        max_len=4)
+    if args.checkpoint:
+        loaded = ckpt.load_checkpoint(args.checkpoint, like=params)
+        params, skipped = ckpt.shape_filtered_merge(params, loaded)
+        print(f"resumed {args.checkpoint}; skipped {len(skipped)} keys")
+    optimizer = make_optimizer(args.peak_lr, args.warmup_steps)
+    opt_state = optimizer.init(params)
+
+    if dpo:
+        if args.ref_checkpoint:
+            ref_params = ckpt.load_checkpoint(args.ref_checkpoint,
+                                              like=params)
+        else:
+            ref_params = jax.tree.map(lambda x: x, params)
+        step_fn = lm_mod.make_dpo_train_step(model, optimizer,
+                                             beta=args.dpo_beta)
+    else:
+        step_fn = lm_mod.make_lm_train_step(model, optimizer)
+
+    step = 0
+    for epoch in range(args.epochs):
+        dl, pipeline = make_lm_dataloader(args, dpo=dpo)
+        dl.set_epoch(epoch)
+        for batch in pipeline:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if dpo:
+                params, opt_state, metrics = step_fn(params, ref_params,
+                                                     opt_state, batch)
+            else:
+                params, opt_state, metrics = step_fn(params, opt_state,
+                                                     batch)
+            step += 1
+            if step % 10 == 0:
+                logger.log(step, metrics)
+                print(f"epoch {epoch} step {step}: "
+                      f"loss={float(metrics['loss']):.4f}")
+            if step % args.save_per_step == 0 or (
+                    0 < args.max_steps <= step):
+                ckpt.save_checkpoint(
+                    os.path.join(args.model_dir, f"lm_step_{step}"),
+                    jax.device_get(params),
+                    metadata={"step": step, "epoch": epoch})
+            if 0 < args.max_steps <= step:
+                return
+
+
+def run_cv(args, model, flow_cfg, state, step, logger):
+    """Cross-validation pass + optional sample generation at save cadence
+    (reference executor.py:273-377: cv() at every save, plus in-training
+    synthesis)."""
+    import jax.numpy as jnp
+    cv_args = argparse.Namespace(**vars(args))
+    cv_args.train_data = args.cv_data
+    _, pipeline = make_dataloader(cv_args, flow_cfg)
+    loss_fn = jax.jit(
+        lambda p, tok, tv, feat, fv, emb, k: model.apply(
+            p, tok, tv, feat, fv, emb, k, method=model.loss))
+    losses = []
+    first = None
+    for i, batch in enumerate(pipeline):
+        if i >= args.cv_batches:
+            break
+        if first is None:
+            first = batch
+        emb = batch.get("embedding",
+                        np.zeros((batch["speech_token"].shape[0],
+                                  flow_cfg.spk_embed_dim), np.float32))
+        losses.append(float(loss_fn(
+            state.params, jnp.asarray(batch["speech_token"]),
+            jnp.asarray(batch["token_valid"]),
+            jnp.asarray(batch["speech_feat"]),
+            jnp.asarray(batch["feat_valid"]), jnp.asarray(emb),
+            jax.random.PRNGKey(0))))
+    if losses:
+        cv_loss = float(np.mean(losses))
+        logger.log(step, {"cv_loss": cv_loss})
+        print(f"step {step}: cv_loss={cv_loss:.4f} ({len(losses)} batches)")
+    if args.sample_at_save and first is not None:
+        emb = first.get("embedding",
+                        np.zeros((first["speech_token"].shape[0],
+                                  flow_cfg.spk_embed_dim), np.float32))
+        mel = model.apply(state.params,
+                          jnp.asarray(first["speech_token"][:1]),
+                          jnp.asarray(first["token_valid"][:1]),
+                          jnp.zeros((1, 0, flow_cfg.output_size)),
+                          jnp.asarray(emb[:1]),
+                          streaming=False, finalize=True)
+        out = os.path.join(args.model_dir, f"sample_step_{step}.npy")
+        np.save(out, np.asarray(mel))
+        print(f"step {step}: wrote {out}")
 
 
 def train_hifigan(args, flow_cfg, logger):

@@ -45,6 +45,79 @@ def jsonl_opener(data: Iterable[dict]) -> Iterator[dict]:
                 yield row
 
 
+def cosy_jsonl_opener(data: Iterable[dict], jsonl_suffix: str = ".jsonl",
+                      tar_suffix: str = ".tar",
+                      token_key: str = "cosy_token") -> Iterator[dict]:
+    """jsonl shards of pre-tokenized rows + an mmap tar of their wavs.
+
+    One parameterized opener replaces the reference's five copy-paste
+    variants (cosy_jsonl_opener / _vq0918_nopool / _pool2 / _pool4 /
+    _pool8, cosyvoice1/dataset/processor.py:158-311): each jsonl line has
+    ``{token_key: [...], 'filename': member}``; the wav bytes come from
+    ``src.replace(jsonl_suffix, tar_suffix)`` via data/tar.py.  Rows that
+    fail to decode are skipped with a warning, like the reference."""
+    import json
+    import logging
+    from .tar import IndexedTar
+    for sample in data:
+        src = sample["src"]
+        tar_path = src[: -len(jsonl_suffix)] + tar_suffix \
+            if src.endswith(jsonl_suffix) else src + tar_suffix
+        try:
+            tar = IndexedTar(tar_path)
+            with open(src) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    item = json.loads(line)
+                    wav, sr = tar.read_wav(item["filename"])
+                    row = {k: v for k, v in sample.items() if k != "src"}
+                    row.update(item)
+                    row["speech_token"] = np.asarray(item[token_key],
+                                                     np.int32)
+                    row["speech"] = wav
+                    row["sample_rate"] = sr
+                    yield row
+            tar.close()
+        except Exception as ex:           # noqa: BLE001 — skip bad shards
+            logging.warning("Failed to open %s: %s", src, ex)
+
+
+def sft_npy_opener(data: Iterable[dict], npy_suffix: str = ".npy",
+                   token_rate: float = 12.5,
+                   split_token: int = 0) -> Iterator[dict]:
+    """SFT shards: ``<wav>.vqXXXX.npy`` token files next to their wavs
+    (cosyvoice1/dataset/processor.py:312-433 process_sft_* family).
+
+    ``split_token > 0`` expands each utterance into growing-prefix samples
+    every ``split_token`` tokens with the wav cut at the matching
+    ``ceil(end/token_rate*sr)`` sample — the streaming-TTS curriculum of
+    process_sft_vq0918_pool4_split (:332-371)."""
+    import logging
+    from ..eval.audio_io import read_wav
+    for sample in data:
+        src = sample["src"]
+        wav_path = src[: -len(npy_suffix)] if src.endswith(npy_suffix) \
+            else src
+        try:
+            token = np.load(src).reshape(-1).astype(np.int32)
+            wav, sr = read_wav(wav_path)
+            base = {k: v for k, v in sample.items() if k != "src"}
+            base["sample_rate"] = sr
+            if split_token <= 0:
+                yield {**base, "speech_token": token, "speech": wav}
+                continue
+            n_splits = (len(token) + split_token - 1) // split_token
+            for i in range(n_splits):
+                end_tok = min((i + 1) * split_token, len(token))
+                end_sample = int(np.ceil(end_tok / token_rate * sr))
+                yield {**base, "speech_token": token[:end_tok],
+                       "speech": wav[:end_sample]}
+        except Exception as ex:           # noqa: BLE001
+            logging.warning("Failed to open %s: %s", src, ex)
+
+
 def wav_loader(data, sample_rate_key: str = "sample_rate"):
     """Load 'wav' path rows into float32 'speech' (for jsonl datasets)."""
     from ..eval.audio_io import read_wav

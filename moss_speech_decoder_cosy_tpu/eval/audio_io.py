@@ -8,7 +8,7 @@ from typing import Tuple
 import numpy as np
 
 
-def read_wav(path: str) -> Tuple[np.ndarray, int]:
+def read_wav(path) -> Tuple[np.ndarray, int]:
     """Returns (mono float32 samples in [-1, 1], sample_rate)."""
     from scipy.io import wavfile
     sr, data = wavfile.read(path)
@@ -23,6 +23,11 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     if x.ndim == 2:
         x = x.mean(axis=1)
     return x, int(sr)
+
+
+def read_wav_bytes(fileobj) -> Tuple[np.ndarray, int]:
+    """read_wav over an in-memory file-like (tar members, network blobs)."""
+    return read_wav(fileobj)
 
 
 def write_wav(path: str, samples: np.ndarray, sample_rate: int):

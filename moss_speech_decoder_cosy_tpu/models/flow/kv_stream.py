@@ -73,14 +73,33 @@ def ring_write(ring: jnp.ndarray, chunk: jnp.ndarray,
 
 def _ring_mask(ring_len: int, chunk_len: int,
                n_done: jnp.ndarray) -> jnp.ndarray:
-    """(1, 1, chunk, ring+chunk) bool attend-mask: ring slots are valid
-    while fewer than ``ring_len`` frames have been seen only where already
-    written; the current chunk is fully visible (chunk-causal semantics)."""
-    ring_ok = jnp.arange(ring_len) < n_done
+    """(B|1, 1, chunk, ring+chunk) bool attend-mask: ring slots are valid
+    only where already written (fewer than ``ring_len`` frames seen so
+    far); the current chunk is fully visible (chunk-causal semantics).
+    ``n_done`` may be a scalar or a per-sample (B,) vector (wavefront
+    batching, where every sample sits at a different stream position)."""
+    n_done = jnp.asarray(n_done)
+    if n_done.ndim == 0:
+        n_done = n_done[None]
+    b = n_done.shape[0]
+    ring_ok = jnp.arange(ring_len)[None, :] < n_done[:, None]   # (B, R)
     key_ok = jnp.concatenate(
-        [ring_ok, jnp.ones((chunk_len,), bool)])
-    return jnp.broadcast_to(key_ok[None, None, None, :],
-                            (1, 1, chunk_len, ring_len + chunk_len))
+        [ring_ok, jnp.ones((b, chunk_len), bool)], axis=1)
+    return jnp.broadcast_to(key_ok[:, None, None, :],
+                            (b, 1, chunk_len, ring_len + chunk_len))
+
+
+def ring_write_batched(ring: jnp.ndarray, chunk: jnp.ndarray,
+                       n_done: jnp.ndarray) -> jnp.ndarray:
+    """ring (L, B, R, d), chunk (L, B, C, d), n_done (B,): write each
+    sample's chunk at its own circular position (wavefront batching)."""
+    r = ring.shape[-2]
+    c = chunk.shape[-2]
+    m = min(c, r)
+    tail = chunk[..., c - m:, :].astype(ring.dtype)
+    b = ring.shape[1]
+    idx = (n_done[:, None] + (c - m) + jnp.arange(m)[None, :]) % r  # (B, m)
+    return ring.at[:, jnp.arange(b)[:, None], idx, :].set(tail)
 
 
 # --------------------------------------------------------------------------
@@ -548,6 +567,169 @@ class KVFlowStep(nn.Module):
         new_cache = {"enc": enc_cache, "est": est_cache,
                      "n_tok": n_tok + token_chunk.shape[1]}
         return mel, new_cache
+
+
+class KVFlowEncodeStep(nn.Module):
+    """Encoder half of a KV hop: tokens (+context) -> mu chunk.  Same param
+    names as CausalMaskedDiffWithXvec (flow.py) — used by the wavefront
+    session, which runs the encoder per hop but pipelines the ODE."""
+
+    cfg: FlowConfig
+
+    def setup(self):
+        c = self.cfg
+        self.input_embedding = nn.Embed(c.vocab_size, c.input_size,
+                                        name="input_embedding")
+        self.spk_embed_affine_layer = nn.Dense(c.output_size,
+                                               name="spk_embed_affine_layer")
+        self.encoder = UpsampleConformerEncoderStep(c.encoder, name="encoder")
+        self.encoder_proj = nn.Dense(c.output_size, name="encoder_proj")
+
+    def spk(self, embedding: jnp.ndarray) -> jnp.ndarray:
+        norm = jnp.linalg.norm(embedding, axis=-1, keepdims=True)
+        return self.spk_embed_affine_layer(
+            embedding / jnp.maximum(norm, 1e-12))
+
+    def __call__(self, token_chunk, context, enc_cache, n_tok,
+                 pe_tok, pe_mel, finalize: bool = False):
+        x = self.input_embedding(jnp.maximum(token_chunk, 0))
+        ctx = None
+        if not finalize:
+            ctx = self.input_embedding(jnp.maximum(context, 0))
+        h, enc_cache = self.encoder(x, ctx, enc_cache, n_tok,
+                                    pe_tok, pe_mel)
+        return self.encoder_proj(h), enc_cache
+
+
+class CausalConditionalCFMWave(nn.Module):
+    """ONE wavefront iteration of the pipelined ODE.
+
+    The per-hop KV step (CausalConditionalCFMStep) runs the 10 Euler steps
+    sequentially on a 20-frame chunk — thousands of tiny ops, overhead-
+    bound on TPU (~10 ms/hop measured).  The wavefront keeps S chunks in
+    flight, chunk h at ODE step s with h+s = iteration index, so ALL steps
+    batch into one estimator forward (batch = S x CFG): identical math,
+    ~S x fewer op dispatches, MXU-sized matmuls.
+
+    Correctness invariant: chunk h at step s+1 needs ring[s+1] to contain
+    chunks <= h-1 at step s+1; chunk h-1 wrote that at the previous
+    iteration (h-1 + (s+1) = h+s).  Slots outside the valid range (ramp-up
+    / drain) compute garbage but their ring/conv writes are masked out.
+
+    est cache layout matches CausalConditionalCFMStep exactly, so prefill
+    and the finalize tail can run through the sequential step with the
+    same state."""
+
+    cfg: CFMConfig
+    estimator_cfg: EstimatorConfig
+
+    def setup(self):
+        self.estimator = EstimatorStep(self.estimator_cfg, name="estimator")
+
+    def __call__(self, x_wave, mu_wave, mu_new, spks, est_cache, w,
+                 k_total, base_frames):
+        """x_wave/mu_wave: (S, B, Cf, n_mel) — slot s holds the chunk that
+        has completed s Euler steps; mu_new (B, Cf, n_mel): the encoder
+        output of chunk w, entering slot 0 this iteration; spks (B, n_mel);
+        est_cache as in init_kv_cache; w: () iteration index; k_total: ()
+        number of steady chunks this stream; base_frames: () frames before
+        chunk 0.
+
+        Returns (exit_mel (B, Cf, n_mel) f32 — valid when
+        S-1 <= w < S-1+k_total —, x_shifted, mu_shifted, new est cache)."""
+        c = self.cfg
+        s_steps, b, cf, d = x_wave.shape
+        mu_wave = jnp.concatenate(
+            [mu_new[None].astype(mu_wave.dtype), mu_wave[:-1]], axis=0)
+        if c.t_scheduler == "cosine":
+            t_span = t_span_cosine(c.n_timesteps)
+        else:
+            t_span = np.linspace(0, 1, c.n_timesteps + 1, dtype=np.float32)
+        t_cur = jnp.asarray(t_span[:-1], x_wave.dtype)       # (S,)
+        dts = jnp.asarray(np.diff(t_span), x_wave.dtype)
+
+        h_idx = w - jnp.arange(s_steps)                      # chunk per slot
+        valid = (h_idx >= 0) & (h_idx < k_total)             # (S,)
+        n_dones = base_frames + jnp.maximum(h_idx, 0) * cf   # (S,)
+
+        # CFG doubling per slot -> flat batch (S*2b)
+        def flat(a):                                         # (S,B,C,D)
+            a2 = jnp.stack([a, jnp.zeros_like(a)], axis=1)   # (S,2,B,C,D)
+            return a2.reshape(s_steps * 2 * b, cf, d)
+
+        mu_in = flat(mu_wave)
+        cond_in = jnp.zeros_like(mu_in)
+        x_in = jnp.stack([x_wave, x_wave], axis=1).reshape(
+            s_steps * 2 * b, cf, d)
+        spks_in = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
+        spks_in = jnp.tile(spks_in, (s_steps, 1))
+        t_in = jnp.repeat(t_cur, 2 * b)
+        nd_in = jnp.repeat(n_dones, 2 * b)
+
+        rings = est_cache["k"], est_cache["v"]
+        l = rings[0].shape[1]
+        flat_rings = {
+            "k": rings[0].swapaxes(0, 1).reshape(l, s_steps * 2 * b,
+                                                 *rings[0].shape[3:]),
+            "v": rings[1].swapaxes(0, 1).reshape(l, s_steps * 2 * b,
+                                                 *rings[1].shape[3:]),
+        }
+        flat_convs = jax.tree.map(
+            lambda a: a.reshape((s_steps * a.shape[1],) + a.shape[2:]),
+            est_cache["convs"])
+
+        dphi, ck, cv, new_convs = self.estimator(
+            x_in, mu_in, t_in, spks_in, cond_in, flat_rings, flat_convs,
+            nd_in)
+
+        rate = jnp.asarray(c.inference_cfg_rate, x_wave.dtype)
+        dphi = dphi.reshape(s_steps, 2, b, cf, d)
+        dphi = (1.0 + rate) * dphi[:, 0] - rate * dphi[:, 1]
+        x_next = x_wave + dts[:, None, None, None] * dphi    # (S,B,C,D)
+
+        # masked ring/conv writes (per-sample circular positions)
+        new_k = ring_write_batched(flat_rings["k"], ck, nd_in)
+        new_v = ring_write_batched(flat_rings["v"], cv, nd_in)
+        en = jnp.repeat(valid, 2 * b)
+        new_k = jnp.where(en[None, :, None, None], new_k, flat_rings["k"])
+        new_v = jnp.where(en[None, :, None, None], new_v, flat_rings["v"])
+        new_k = new_k.reshape(l, s_steps, 2 * b,
+                              *new_k.shape[2:]).swapaxes(0, 1)
+        new_v = new_v.reshape(l, s_steps, 2 * b,
+                              *new_v.shape[2:]).swapaxes(0, 1)
+        new_convs = jax.tree.map(
+            lambda old, new: jnp.where(
+                en[:, None, None], new.astype(old.dtype),
+                old.reshape(new.shape)).reshape(old.shape),
+            est_cache["convs"], new_convs)
+
+        # slot shift: exiting chunk leaves slot S-1; a fresh chunk enters
+        # slot 0 with its deterministic noise
+        exit_mel = x_next[-1].astype(jnp.float32)
+        n_enter = base_frames + jnp.clip(w + 1, 0, None) * cf
+        noise = jnp.asarray(_fixed_noise(c.max_noise_len, d))
+        z = jax.lax.dynamic_slice(
+            noise, (0, jnp.minimum(n_enter, noise.shape[1] - cf), 0),
+            (1, cf, d))
+        z = jnp.broadcast_to(z, (b, cf, d)).astype(x_wave.dtype)
+        x_shift = jnp.concatenate([z[None], x_next[:-1]], axis=0)
+        return exit_mel, x_shift, mu_wave, {"k": new_k, "v": new_v,
+                                            "convs": new_convs}
+
+
+class KVFlowWaveStep(nn.Module):
+    """Param-tree wrapper so CausalConditionalCFMWave sits under
+    ``decoder/estimator`` like the full flow module."""
+
+    cfg: FlowConfig
+
+    def setup(self):
+        self.decoder = CausalConditionalCFMWave(self.cfg.cfm,
+                                                self.cfg.estimator,
+                                                name="decoder")
+
+    def __call__(self, *args, **kwargs):
+        return self.decoder(*args, **kwargs)
 
 
 def init_kv_cache(cfg: FlowConfig, ring_tokens: int, batch: int = 1,

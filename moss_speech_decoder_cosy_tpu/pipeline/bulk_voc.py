@@ -1,0 +1,115 @@
+"""Batched bulk vocoding: the whole hop chain in one HiFT forward.
+
+The per-hop vocoder chain (device_session._voc_step_impl /
+kv_session._voc_impl) is sequential only through three caches:
+
+- mel cache      = the previous 8 GLOBAL mel frames — pure data, known
+                   upfront once the full mel is available;
+- source cache   = the previous hop's last ``scl`` excitation samples; the
+                   head replacement (generator.py:578-580) is POINTWISE, and
+                   ``2*scl <= hop wav length``, so every hop's source TAIL is
+                   independent of its own head fix — a shifted gather
+                   resolves the whole chain after ONE batched source pass;
+- speech cache   = the previous hop's last ``scl`` wav samples for the
+                   Hamming cross-fade; the fade only rewrites the HEAD, so
+                   tails are again fix-independent and the fades vectorize.
+
+Hence bulk mode: stack all steady hops on the batch axis, run source and
+decode once each, then do two shifted head-fix gathers — bit-identical to
+the sequential chain (tests/test_kv_stream.py) at a fraction of the
+per-hop dispatch/op overhead (each hop is ~100 tiny convs; batching turns
+them MXU-bound).  Live streaming keeps the per-hop path; bulk mode serves
+offline decode and faster-than-realtime catch-up.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class BulkVocoder:
+    """Vocodes a full mel sequence with the session hop semantics
+    (hop emit_frames per chunk, mel_cache_len context, cross-fades)."""
+
+    def __init__(self, dec, emit_frames: int):
+        self.dec = dec
+        self.F = emit_frames                       # mel frames per hop
+        self.C = dec.pipe_cfg.mel_cache_len
+        self.scl = dec.source_cache_len
+        self.u = dec.hift_cfg.total_upsample
+        assert 2 * self.C <= self.F + self.C, \
+            "hop too small for independent head fixes"
+        win = np.hamming(2 * self.scl).astype(np.float32)
+        self._fade_in = jnp.asarray(win[: self.scl])
+        self._fade_out = jnp.asarray(win[self.scl:])
+        self._fn = jax.jit(self._impl,
+                           static_argnames=("n_steady", "tail_frames"))
+
+    def _hift_source(self, params, mel):
+        return self.dec.hift.apply(params, mel, jax.random.PRNGKey(0),
+                                   method=self.dec.hift.source)
+
+    def _hift_decode(self, params, mel, s):
+        return self.dec.hift.apply(params, mel, s,
+                                   method=self.dec.hift.decode)
+
+    def _impl(self, hift_params, mel: jnp.ndarray, n_steady: int,
+              tail_frames: int) -> jnp.ndarray:
+        """mel (1, Tm, D) f32, hop plan = [F] + [F]*n_steady + [tail].
+        Returns wav (1, F*u*(1+n_steady) + tail*u)."""
+        d = self.dec
+        dt = d.compute_dtype or jnp.float32
+        f, c, scl, u = self.F, self.C, self.scl, self.u
+
+        mel0 = mel[:, :f].astype(dt)
+        s0 = self._hift_source(hift_params, mel0)          # (1, F*u, 1)
+        w0 = self._hift_decode(hift_params, mel0, s0)      # (1, F*u)
+
+        outs = [w0[:, : f * u - scl]]
+        last_s_tail = s0[:, -scl:]
+        last_w_tail = w0[:, -scl:]
+
+        if n_steady > 0:
+            starts = (1 + jnp.arange(n_steady)) * f - c
+            idx = starts[:, None] + jnp.arange(f + c)[None, :]
+            wins = mel[0][idx].astype(dt)                  # (n, F+C, D)
+            ss = self._hift_source(hift_params, wins)      # (n, (F+C)u, 1)
+            prev_s = jnp.concatenate([last_s_tail, ss[:-1, -scl:]], axis=0)
+            ss = jnp.concatenate([prev_s.astype(ss.dtype), ss[:, scl:]],
+                                 axis=1)
+            ws = self._hift_decode(hift_params, wins, ss)  # (n, (F+C)u)
+            prev_w = jnp.concatenate([last_w_tail, ws[:-1, -scl:]], axis=0)
+            heads = (ws[:, :scl] * self._fade_in
+                     + prev_w * self._fade_out)
+            ws_fixed = jnp.concatenate([heads, ws[:, scl:]], axis=1)
+            emit = ws_fixed[:, : (f + c) * u - scl]        # F*u per hop
+            outs.append(emit.reshape(1, -1))
+            last_s_tail = ss[-1:, -scl:]
+            last_w_tail = ws[-1:, -scl:]
+
+        if tail_frames > 0:
+            t0 = (1 + n_steady) * f
+            mel_t = mel[:, t0 - c: t0 + tail_frames].astype(dt)
+            s_t = self._hift_source(hift_params, mel_t)
+            s_t = jnp.concatenate(
+                [last_s_tail.astype(s_t.dtype), s_t[:, scl:]], axis=1)
+            w_t = self._hift_decode(hift_params, mel_t, s_t)
+            head = (w_t[:, :scl] * self._fade_in
+                    + last_w_tail * self._fade_out)
+            outs.append(jnp.concatenate([head, w_t[:, scl:]], axis=1))
+
+        return jnp.concatenate([o.astype(jnp.float32) for o in outs],
+                               axis=1)
+
+    def vocode(self, hift_params, mel: jnp.ndarray,
+               plan: Tuple[int, ...]) -> jnp.ndarray:
+        """plan: per-hop emit mel-frame counts, [F, F, ..., F, tail]."""
+        assert all(p == self.F for p in plan[:-1]), plan
+        n_steady = max(len(plan) - 2, 0)
+        tail = plan[-1] if len(plan) > 1 else 0
+        return self._fn(hift_params, mel, n_steady=n_steady,
+                        tail_frames=tail)

@@ -28,7 +28,9 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-from ..models.flow.kv_stream import KVFlowStep, init_kv_cache, pe_tables
+from ..models.flow.kv_stream import (KVFlowStep, KVFlowEncodeStep,
+                                     KVFlowWaveStep, init_kv_cache,
+                                     pe_tables)
 from .device_session import _parallel_fetch, _pcm16_device
 
 
@@ -78,6 +80,28 @@ class KVStreamDecoder:
         self._voc = jax.jit(self._voc_impl,
                             static_argnames=("first", "finalize"))
         self._voc_scan = jax.jit(self._voc_scan_impl)
+        self._bulk = None
+        # wavefront (pipelined-ODE) mode: encoder per hop, all ODE steps
+        # batched into one estimator forward per iteration
+        self._enc_model = KVFlowEncodeStep(cfg)
+        self._wave_model = KVFlowWaveStep(cfg)
+        self._enc_hop = jax.jit(self._enc_hop_impl,
+                                static_argnames=("emit_tokens",))
+        self._wave = jax.jit(self._wave_model.apply)
+        self._spk = jax.jit(
+            lambda p, e: self._enc_model.apply(p, e,
+                                               method=self._enc_model.spk))
+
+    def _enc_hop_impl(self, flow_params, token_buf, enc_cache, n_tok,
+                      emit_tokens: int):
+        """Encoder-only hop for the wavefront loop (steady chunks)."""
+        off = n_tok - self.p
+        chunk = jax.lax.dynamic_slice(token_buf, (0, off), (1, emit_tokens))
+        ctx = jax.lax.dynamic_slice(token_buf, (0, off + emit_tokens),
+                                    (1, self.la))
+        return self._enc_model.apply(flow_params, chunk, ctx, enc_cache,
+                                     n_tok, self._pe_tok, self._pe_mel,
+                                     finalize=False)
 
     # ------------------------------------------------------------------
     def init_state(self) -> Tuple[dict, KVVocState]:
@@ -184,10 +208,104 @@ class KVStreamDecoder:
             plan.append((n_tokens - off, True))
         return plan
 
+    def _flow_mels(self, token_buf, cache, plan):
+        """Run the flow side of the whole plan (scan-bucketed), returning
+        the concatenated stream mel (1, total_frames, n_mel) f32."""
+        mels = []
+        i = 0
+        while i < len(plan):
+            emit_tokens, finalize = plan[i]
+            if not finalize:
+                run = 0
+                while (i + run < len(plan)
+                       and plan[i + run] == (emit_tokens, False)):
+                    run += 1
+                done = 0
+                for bucket in (32, 8, 2):
+                    while run - done >= bucket:
+                        ms, cache = self._hop_scan(
+                            self.dec.flow_params, token_buf, cache,
+                            n_hops=bucket, emit_tokens=emit_tokens)
+                        mels.append(ms.transpose(1, 0, 2, 3).reshape(
+                            1, -1, ms.shape[-1]))
+                        done += bucket
+                for _ in range(run - done):
+                    mel, cache = self._hop(self.dec.flow_params, token_buf,
+                                           cache, emit_tokens=emit_tokens,
+                                           finalize=False)
+                    mels.append(mel)
+                i += run
+                continue
+            mel, cache = self._hop(self.dec.flow_params, token_buf, cache,
+                                   emit_tokens=emit_tokens, finalize=True)
+            mels.append(mel)
+            i += 1
+        return jnp.concatenate(mels, axis=1), cache
+
+    def _flow_mels_wave(self, token_buf, cache, plan):
+        """Wavefront flow: encoder per hop, pipelined ODE (one batched
+        estimator forward per iteration; models/flow/kv_stream.py
+        CausalConditionalCFMWave).  Exact same math as the sequential
+        per-hop KV path.  Returns (mel (1, T, n_mel) f32, cache)."""
+        from ..models.flow.cfm import _fixed_noise
+        d = self.dec
+        cfg = d.flow_cfg
+        s_steps = cfg.cfm.n_timesteps
+        cf = self.hop * self.ratio
+        steady = [pl for pl in plan if not pl[1]]
+        k = len(steady)
+        dt = self.dt
+        n_mel = self.n_mel
+        base_frames = self.p * self.ratio
+
+        spks = self._spk(d.flow_params, self._emb)
+        enc_cache = cache["enc"]
+        est = cache["est"]
+        noise = _fixed_noise(cfg.cfm.max_noise_len, n_mel)
+        x_wave = np.zeros((s_steps, 1, cf, n_mel), np.float32)
+        x_wave[0] = noise[:, base_frames: base_frames + cf]
+        x_wave = jnp.asarray(x_wave, dt)
+        mu_wave = jnp.zeros((s_steps, 1, cf, n_mel), dt)
+        mu_zero = jnp.zeros((1, cf, n_mel), dt)
+
+        n_tok = self.p
+        mels = []
+        for w in range(k + s_steps - 1):
+            if w < k:
+                mu_new, enc_cache = self._enc_hop(
+                    d.flow_params, token_buf, enc_cache,
+                    jnp.asarray(n_tok, jnp.int32), emit_tokens=self.hop)
+                n_tok += self.hop
+            else:
+                mu_new = mu_zero
+            exit_mel, x_wave, mu_wave, est = self._wave(
+                d.flow_params, x_wave, mu_wave, mu_new, spks, est,
+                jnp.asarray(w, jnp.int32), jnp.asarray(k, jnp.int32),
+                jnp.asarray(base_frames, jnp.int32))
+            if w >= s_steps - 1:
+                mels.append(exit_mel[None])          # (1, 1, cf, n_mel)
+
+        cache = {"enc": enc_cache, "est": est,
+                 "n_tok": jnp.asarray(n_tok, jnp.int32)}
+        if plan and plan[-1][1]:
+            tail, _ = plan[-1]
+            mel, cache = self._hop(d.flow_params, token_buf, cache,
+                                   emit_tokens=tail, finalize=True)
+            mels.append(mel[None])
+        mel_full = jnp.concatenate(
+            [m.reshape(1, -1, n_mel) for m in mels], axis=1)
+        return mel_full, cache
+
     def stream_decode(self, tokens: np.ndarray,
-                      output: str = "float32") -> np.ndarray:
+                      output: str = "float32",
+                      bulk_voc: bool = True,
+                      wavefront: bool = True) -> np.ndarray:
         """Full-stream decode: one upload, incremental KV hops (bucketed
-        into lax.scan dispatches), one parallel fetch."""
+        into lax.scan dispatches), one parallel fetch.
+
+        ``bulk_voc`` vocodes the whole hop chain in one batched HiFT pass
+        (pipeline/bulk_voc.py) — identical output, far less per-hop op
+        overhead; disable to exercise the per-hop path."""
         tokens = np.asarray(tokens)
         assert tokens.shape[0] == 1
         n = int(tokens.shape[1])
@@ -198,8 +316,22 @@ class KVStreamDecoder:
         cache, voc = self.init_state()
         if self.p:
             cache = self._prefill(self.dec.flow_params, token_buf, cache)
-        segs = []
         plan = self.schedule(n)
+        if bulk_voc and len(plan) >= 2:
+            n_steady = sum(1 for pl in plan if not pl[1])
+            if wavefront and n_steady >= 2:
+                mel_full, _ = self._flow_mels_wave(token_buf, cache, plan)
+            else:
+                mel_full, _ = self._flow_mels(token_buf, cache, plan)
+            if self._bulk is None:
+                from .bulk_voc import BulkVocoder
+                self._bulk = BulkVocoder(self.dec, self.hop * self.ratio)
+            frames = tuple(e * self.ratio for e, _ in plan)
+            wav = self._bulk.vocode(self.dec.hift_params, mel_full, frames)
+            if output == "int16":
+                return _parallel_fetch(_pcm16_device(wav))
+            return _parallel_fetch(wav).astype(np.float32)
+        segs = []
         i = 0
         first = True
         while i < len(plan):

@@ -149,6 +149,47 @@ def dpo_loss(policy_chosen: jnp.ndarray, policy_rejected: jnp.ndarray,
     return jnp.mean(losses), chosen_rw, rejected_rw
 
 
+def make_dpo_train_step(model: Qwen2SpeechLM,
+                        optimizer: optax.GradientTransformation,
+                        beta: float = 0.01, ipo: bool = False,
+                        label_smoothing: float = 0.0):
+    """DPO training step over chosen/rejected speech-token completions.
+
+    batch keys: text_token/text_token_len and
+    {chosen,rejected}_token/{chosen,rejected}_token_len.
+    ``ref_params`` is the frozen reference policy (the pre-DPO checkpoint,
+    reference utils/losses.py:24-60 consumers)."""
+
+    def _lp(params, batch, which):
+        return sequence_logp(model, params, {
+            "text_token": batch["text_token"],
+            "text_token_len": batch["text_token_len"],
+            "speech_token": batch[f"{which}_token"],
+            "speech_token_len": batch[f"{which}_token_len"]})
+
+    def loss_fn(params, ref_params, batch):
+        pc = _lp(params, batch, "chosen")
+        pr = _lp(params, batch, "rejected")
+        rc = jax.lax.stop_gradient(_lp(ref_params, batch, "chosen"))
+        rr = jax.lax.stop_gradient(_lp(ref_params, batch, "rejected"))
+        loss, crw, rrw = dpo_loss(pc, pr, rc, rr, beta=beta,
+                                  label_smoothing=label_smoothing, ipo=ipo)
+        metrics = {"loss": loss,
+                   "reward_margin": jnp.mean(crw - rrw),
+                   "reward_acc": jnp.mean((crw > rrw).astype(jnp.float32))}
+        return loss, metrics
+
+    @jax.jit
+    def step(params, ref_params, opt_state, batch):
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, ref_params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return step
+
+
 def make_lm_train_step(model: Qwen2SpeechLM,
                        optimizer: optax.GradientTransformation,
                        smoothing: float = 0.0):

@@ -116,3 +116,92 @@ def test_prefetcher():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         list(it)
+
+
+def test_indexed_tar_roundtrip(tmp_path):
+    """data/tar.py: mmap member reads == tarfile reads; index sidecar is
+    built on demand and reused (cosyvoice1/dataset/processor.py:126-156)."""
+    import tarfile
+    import pickle
+    from moss_speech_decoder_cosy_tpu.data.tar import (
+        IndexedTar, build_index)
+    files = {f"f{i}.bin": bytes(range(i, i + 64)) for i in range(5)}
+    tp = tmp_path / "shard.tar"
+    with tarfile.open(tp, "w") as tf:
+        for name, payload in files.items():
+            import io as _io
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tf.addfile(info, _io.BytesIO(payload))
+    t = IndexedTar(str(tp))
+    assert sorted(t.names()) == sorted(files)
+    for name, payload in files.items():
+        assert t.read(name) == payload
+    t.close()
+    idx = tmp_path / "shard.index"
+    assert idx.exists()
+    entries = pickle.loads(idx.read_bytes())
+    assert len(entries) == 5 and all(len(e) == 3 for e in entries)
+    # explicit rebuild matches
+    assert build_index(str(tp)) == str(idx)
+
+
+def test_cosy_jsonl_opener(tmp_path):
+    import io as _io
+    import json
+    import tarfile
+    from moss_speech_decoder_cosy_tpu.data.processor import cosy_jsonl_opener
+    from moss_speech_decoder_cosy_tpu.eval.audio_io import write_wav
+    sr = 16000
+    wavs = {}
+    tp = tmp_path / "shard.tar"
+    with tarfile.open(tp, "w") as tf:
+        for i in range(3):
+            name = f"utt{i}.wav"
+            x = np.sin(np.arange(400) * 0.01 * (i + 1)).astype(np.float32)
+            buf = _io.BytesIO()
+            from scipy.io import wavfile
+            wavfile.write(buf, sr, (x * 32767).astype(np.int16))
+            payload = buf.getvalue()
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tf.addfile(info, _io.BytesIO(payload))
+            wavs[name] = x
+    jp = tmp_path / "shard.vq.jsonl"
+    with open(jp, "w") as f:
+        for i in range(3):
+            f.write(json.dumps({"filename": f"utt{i}.wav",
+                                "cosy_token": list(range(i + 2))}) + "\n")
+    rows = list(cosy_jsonl_opener(iter([{"src": str(jp)}]),
+                                  jsonl_suffix=".vq.jsonl"))
+    assert len(rows) == 3
+    for i, r in enumerate(rows):
+        assert r["sample_rate"] == sr
+        assert r["speech_token"].tolist() == list(range(i + 2))
+        np.testing.assert_allclose(r["speech"], wavs[f"utt{i}.wav"],
+                                   atol=1e-3)
+
+
+def test_sft_npy_opener_split(tmp_path):
+    from moss_speech_decoder_cosy_tpu.data.processor import sft_npy_opener
+    from moss_speech_decoder_cosy_tpu.eval.audio_io import write_wav
+    sr = 16000
+    token_rate = 12.5
+    wav = np.random.RandomState(0).randn(int(sr * 2)).astype(np.float32) * .1
+    wp = tmp_path / "utt.wav"
+    write_wav(str(wp), wav, sr)
+    tokens = np.arange(25, dtype=np.int32)         # 2 s at 12.5 Hz
+    npy = tmp_path / "utt.wav.vq0918-pool4.npy"
+    np.save(npy, tokens)
+    # whole-utterance mode
+    rows = list(sft_npy_opener(iter([{"src": str(npy)}]),
+                               npy_suffix=".vq0918-pool4.npy"))
+    assert len(rows) == 1 and rows[0]["speech_token"].shape == (25,)
+    # growing-prefix split every 10 tokens -> 3 samples, wav cut aligned
+    rows = list(sft_npy_opener(iter([{"src": str(npy)}]),
+                               npy_suffix=".vq0918-pool4.npy",
+                               token_rate=token_rate, split_token=10))
+    assert [len(r["speech_token"]) for r in rows] == [10, 20, 25]
+    for r in rows:
+        want = int(np.ceil(len(r["speech_token"]) / token_rate * sr))
+        assert len(r["speech"]) == min(want, len(wav))

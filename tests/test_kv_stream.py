@@ -185,6 +185,56 @@ def test_kv_session_matches_banded_composition():
     np.testing.assert_allclose(got, want, atol=5e-4)
 
 
+def test_bulk_vocode_matches_per_hop_chain():
+    """stream_decode(bulk_voc=True): one batched HiFT pass + shifted head
+    fixes == the sequential per-hop vocoder chain, sample for sample."""
+    from moss_speech_decoder_cosy_tpu.utils.config import (
+        tiny_hift_config, PipelineConfig)
+    from moss_speech_decoder_cosy_tpu.models.hift import HiFTGenerator
+    from moss_speech_decoder_cosy_tpu.pipeline import AudioDecoder
+
+    p, n, hop, ring_t = 2, 34, 3, 6
+    cfg, flow, params, tokens, prompt_feat, emb, valid = _setup(p=p, n=n)
+    hcfg = tiny_hift_config()
+    hift = HiFTGenerator(hcfg)
+    mel0 = jnp.zeros((1, 8, hcfg.in_channels))
+    hift_params = hift.init(jax.random.PRNGKey(2), mel0)
+    pipe = PipelineConfig(block_size=hop, mel_cache_len=2, max_token_len=9)
+    dec = AudioDecoder(cfg, hcfg, params, hift_params, pipe)
+    kv = dec.kv_stream_decoder(tokens[:, :p], prompt_feat, emb,
+                               block_size=hop, ring_tokens=ring_t,
+                               token_cap=64)
+    seq = kv.stream_decode(tokens[:, p:], bulk_voc=False)
+    bulk = kv.stream_decode(tokens[:, p:], bulk_voc=True)
+    assert bulk.shape == seq.shape
+    np.testing.assert_allclose(bulk, seq, atol=1e-5)
+
+
+def test_wavefront_matches_sequential_kv():
+    """Pipelined-ODE wavefront (all ODE steps in one batched estimator
+    forward per iteration) == the sequential per-hop KV path, exactly."""
+    from moss_speech_decoder_cosy_tpu.utils.config import (
+        tiny_hift_config, PipelineConfig)
+    from moss_speech_decoder_cosy_tpu.models.hift import HiFTGenerator
+    from moss_speech_decoder_cosy_tpu.pipeline import AudioDecoder
+
+    p, n, hop, ring_t = 2, 34, 3, 6
+    cfg, flow, params, tokens, prompt_feat, emb, valid = _setup(p=p, n=n)
+    hcfg = tiny_hift_config()
+    hift = HiFTGenerator(hcfg)
+    hift_params = hift.init(jax.random.PRNGKey(2),
+                            jnp.zeros((1, 8, hcfg.in_channels)))
+    pipe = PipelineConfig(block_size=hop, mel_cache_len=2, max_token_len=9)
+    dec = AudioDecoder(cfg, hcfg, params, hift_params, pipe)
+    kv = dec.kv_stream_decoder(tokens[:, :p], prompt_feat, emb,
+                               block_size=hop, ring_tokens=ring_t,
+                               token_cap=64)
+    seq = kv.stream_decode(tokens[:, p:], bulk_voc=True, wavefront=False)
+    wave = kv.stream_decode(tokens[:, p:], bulk_voc=True, wavefront=True)
+    assert wave.shape == seq.shape
+    np.testing.assert_allclose(wave, seq, atol=1e-4)
+
+
 def test_kv_vs_windowed_deviation_quantified():
     """The KV path deviates from the reference's windowed re-decode by
     design (each frame is computed once under a banded mask instead of

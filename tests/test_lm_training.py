@@ -101,3 +101,60 @@ def test_sequence_logp_shapes():
     lp = lm_mod.sequence_logp(m, params, batch)
     assert lp.shape == (2,)
     assert (np.asarray(lp) <= 0).all()
+
+
+def test_dpo_train_step_improves_margin():
+    """make_dpo_train_step: the chosen/rejected reward margin grows after
+    a few steps on a fixed pair (policy moves toward chosen)."""
+    cfg, m, params = _setup()
+    rng = np.random.RandomState(2)
+    batch = {
+        "text_token": jnp.asarray(rng.randint(0, 100, (2, 4)), jnp.int32),
+        "text_token_len": jnp.asarray([4, 3]),
+        "chosen_token": jnp.asarray(
+            rng.randint(0, cfg.speech_token_size, (2, 5)), jnp.int32),
+        "chosen_token_len": jnp.asarray([5, 4]),
+        "rejected_token": jnp.asarray(
+            rng.randint(0, cfg.speech_token_size, (2, 5)), jnp.int32),
+        "rejected_token_len": jnp.asarray([5, 4]),
+    }
+    tx = optax.adam(5e-3)
+    step = lm_mod.make_dpo_train_step(m, tx, beta=0.5)
+    ref = jax.tree.map(lambda x: x, params)
+    opt_state = tx.init(params)
+    margins = []
+    for _ in range(5):
+        params, opt_state, metrics = step(params, ref, opt_state, batch)
+        margins.append(float(metrics["reward_margin"]))
+    assert np.isfinite(margins).all()
+    assert margins[-1] > margins[0]
+    assert float(metrics["reward_acc"]) >= 0.5
+
+
+def test_train_lm_dpo_entry_smoke(tmp_path):
+    """bin/train.py --model lm_dpo end to end on a tiny jsonl dataset."""
+    import argparse
+    import json as _json
+    from moss_speech_decoder_cosy_tpu.bin import train as train_mod
+    rng = np.random.RandomState(3)
+    rows = [{"text_token": rng.randint(0, 100, 4).tolist(),
+             "chosen_token": rng.randint(0, 32, 6).tolist(),
+             "rejected_token": rng.randint(0, 32, 6).tolist()}
+            for _ in range(4)]
+    jp = tmp_path / "dpo.jsonl"
+    with open(jp, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    lst = tmp_path / "shards.txt"
+    lst.write_text(str(jp) + "\n")
+    args = argparse.Namespace(
+        model="lm_dpo", config="tiny", train_data=str(lst),
+        model_dir=str(tmp_path / "out"), checkpoint=None,
+        ref_checkpoint=None, epochs=1, accum_grad=1, batch_size=2,
+        peak_lr=1e-3, warmup_steps=2, save_per_step=2, max_steps=2,
+        use_mesh=False, cv_data=None, cv_batches=1, sample_at_save=False,
+        dpo_beta=0.1)
+    logger = train_mod.MetricLogger(str(tmp_path / "logs"))
+    train_mod.train_lm(args, logger, dpo=True)
+    import os
+    assert os.path.isdir(tmp_path / "out" / "lm_step_2")
