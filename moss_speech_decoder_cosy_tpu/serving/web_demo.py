@@ -29,7 +29,14 @@ button{padding:.6em 1.2em;margin-right:1em}</style></head>
 and the processed audio plays back as chunks arrive.</p>
 <input type="file" id="file" accept=".wav"/>
 <button id="send">Stream</button>
+<button id="mic">Mic</button>
 <span id="status"></span>
+<h3>Streaming vs offline A/B</h3>
+<p>Runs the SAME input through the offline decode and the streaming
+session (the reference's side-by-side comparison demo,
+gradio_voice_converter_unstreaming_streaming.py:469-524).</p>
+<button id="ab">Compare</button>
+<div id="abres"></div>
 <script>
 const SR = %(sr)d, FRAME = %(frame)d;
 function pcm16(f32){const o=new Int16Array(f32.length);
@@ -70,6 +77,70 @@ document.getElementById('send').onclick = async () => {
     }
   };
 };
+// microphone capture -> 80 ms pcm16 frames over the same websocket (the
+// reference's WebRTC mic client role, client.py:12-121, browser-native)
+let micStop = null;
+document.getElementById('mic').onclick = async () => {
+  if (micStop) { micStop(); micStop = null;
+    document.getElementById('mic').textContent = 'Mic'; return; }
+  const media = await navigator.mediaDevices.getUserMedia({audio: true});
+  const ctx = new AudioContext({sampleRate: SR});
+  const srcNode = ctx.createMediaStreamSource(media);
+  const proc = ctx.createScriptProcessor(4096, 1, 1);
+  const ws = new WebSocket(`ws://${location.host}/api/chat`);
+  ws.binaryType = 'arraybuffer';
+  let buf = new Float32Array(0), playT = ctx.currentTime, ready = false;
+  ws.onmessage = (ev) => {
+    const d = new Uint8Array(ev.data);
+    if (d[0] === 0) { ready = true;
+      document.getElementById('status').textContent = 'mic live'; }
+    else if (d[0] === 1) {
+      const i16 = new Int16Array(ev.data.slice(1));
+      const f32 = Float32Array.from(i16, v => v / 32768);
+      const b = ctx.createBuffer(1, f32.length, SR);
+      b.copyToChannel(f32, 0);
+      const node = ctx.createBufferSource();
+      node.buffer = b; node.connect(ctx.destination);
+      playT = Math.max(playT, ctx.currentTime);
+      node.start(playT); playT += f32.length / SR;
+    }
+  };
+  proc.onaudioprocess = (e) => {
+    if (!ready) return;
+    const x = e.inputBuffer.getChannelData(0);
+    const merged = new Float32Array(buf.length + x.length);
+    merged.set(buf); merged.set(x, buf.length); buf = merged;
+    while (buf.length >= FRAME) {
+      const seg = pcm16(buf.subarray(0, FRAME));
+      const msg = new Uint8Array(1 + seg.byteLength);
+      msg[0] = 1; msg.set(new Uint8Array(seg.buffer), 1);
+      ws.send(msg);
+      buf = buf.slice(FRAME);
+    }
+  };
+  srcNode.connect(proc); proc.connect(ctx.destination);
+  document.getElementById('mic').textContent = 'Stop';
+  micStop = () => { proc.disconnect(); srcNode.disconnect();
+    media.getTracks().forEach(t => t.stop()); ws.close(); };
+};
+// streaming-vs-offline A/B: POST the wav, play both results side by side
+document.getElementById('ab').onclick = async () => {
+  const f = document.getElementById('file').files[0];
+  if (!f) { alert('pick a wav'); return; }
+  document.getElementById('abres').textContent = 'running...';
+  const r = await fetch('/api/compare', {method: 'POST', body: await
+    f.arrayBuffer()});
+  const j = await r.json();
+  const el = document.getElementById('abres');
+  el.innerHTML = '';
+  for (const k of ['offline', 'streaming']) {
+    const d = document.createElement('div');
+    d.innerHTML = `<b>${k}</b> (proc ${j[k].seconds.toFixed(3)} s,
+      RTF ${j[k].rtf.toFixed(4)}) <audio controls
+      src="data:audio/wav;base64,${j[k].wav}"></audio>`;
+    el.appendChild(d);
+  }
+};
 </script></body></html>
 """
 
@@ -96,13 +167,67 @@ def make_vc_handler(codec, prompt):
     return handler
 
 
+def make_compare_handler(codec, prompt):
+    """Offline-vs-streaming A/B over the same input (the reference's
+    side-by-side VC demo, gradio_voice_converter_unstreaming_streaming.py:
+    469-524): returns {'offline': {...}, 'streaming': {...}} with wall
+    seconds, RTF, and the wavs."""
+    import time
+    from ..eval.audio_io import resample
+
+    def handler(wav_24k: np.ndarray) -> dict:
+        wav16 = resample(wav_24k, SAMPLE_RATE, 16000)
+        out = {}
+        for mode, streaming in (("offline", False), ("streaming", True)):
+            t0 = time.perf_counter()
+            wav = codec.convert_voice(wav16, prompt, streaming=streaming)
+            dt = time.perf_counter() - t0
+            dur = wav.shape[-1] / SAMPLE_RATE
+            out[mode] = {"wav": np.asarray(wav, np.float32).reshape(-1),
+                         "seconds": dt,
+                         "rtf": dt / max(dur, 1e-9)}
+        return out
+
+    return handler
+
+
+def _wav_b64(x: np.ndarray, sr: int) -> str:
+    import base64
+    import io
+    from scipy.io import wavfile
+    buf = io.BytesIO()
+    wavfile.write(buf, sr, (np.clip(x, -1, 1) * 32767).astype(np.int16))
+    return base64.b64encode(buf.getvalue()).decode()
+
+
 class WebDemo:
-    def __init__(self, handler=None, host="0.0.0.0", port=8888):
+    def __init__(self, handler=None, compare_handler=None,
+                 host="0.0.0.0", port=8888):
         assert web is not None
         self.ws = AudioWsServer(handler=handler, host=host, port=port,
                                 log=False)
-        self.ws.app.add_routes([web.get("/", self.index)])
+        self.compare_handler = compare_handler
+        routes = [web.get("/", self.index)]
+        if compare_handler is not None:
+            routes.append(web.post("/api/compare", self.compare))
+        self.ws.app.add_routes(routes)
         self.host, self.port = host, port
+
+    async def compare(self, request):
+        body = await request.read()
+        import io
+        from ..eval.audio_io import read_wav
+        wav, sr = read_wav(io.BytesIO(body))
+        if sr != SAMPLE_RATE:
+            from ..eval.audio_io import resample
+            wav = resample(wav, sr, SAMPLE_RATE)
+        res = self.compare_handler(wav)
+        payload = {k: {"wav": _wav_b64(v["wav"], SAMPLE_RATE),
+                       "seconds": v["seconds"], "rtf": v["rtf"]}
+                   for k, v in res.items()}
+        import json
+        return web.Response(text=json.dumps(payload),
+                            content_type="application/json")
 
     async def index(self, request):
         page = _PAGE % {"sr": SAMPLE_RATE, "frame": 1920}

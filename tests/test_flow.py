@@ -180,3 +180,78 @@ def test_dit_estimator_and_cfm():
     mel = cfm.apply(cparams, mu, valid, spks, cond)
     assert mel.shape == (b, t, d)
     assert np.isfinite(np.asarray(mel)).all()
+
+
+def test_vdiffusion_sampler_matches_reference_loop():
+    """VDiffusion nn.scan sampler == a step-by-step python re-evaluation of
+    the reference v-diffusion update rule (stable/sampling.py:48-88),
+    eta=0 deterministic."""
+    import numpy as np
+    from moss_speech_decoder_cosy_tpu.models.flow.vdiff import (
+        VDiffusion, get_alphas_sigmas, sobol_times)
+    from moss_speech_decoder_cosy_tpu.models.flow.dit import tiny_dit_config
+    from moss_speech_decoder_cosy_tpu.models.flow.cfm import _fixed_noise
+
+    dit = tiny_dit_config()
+    m = VDiffusion(dit)
+    rng = np.random.RandomState(0)
+    b, t, d = 2, 12, dit.io_channels
+    mu = jnp.asarray(rng.randn(b, t, d).astype(np.float32))
+    spks = jnp.asarray(rng.randn(b, d).astype(np.float32))
+    cond = jnp.zeros((b, t, d))
+    valid = jnp.ones((b, t), bool)
+    params = m.init(jax.random.PRNGKey(0), mu, valid, spks, cond,
+                    n_timesteps=2)
+    steps = 4
+    got = m.apply(params, mu, valid, spks, cond, n_timesteps=steps)
+
+    # reference loop (sampling.py:48-88, eta=0)
+    x = np.broadcast_to(_fixed_noise(16384, d)[:, :t], (b, t, d)).copy()
+    ts = np.linspace(1.0, 0.0, steps + 1, dtype=np.float32)[:-1]
+    alphas, sigmas = get_alphas_sigmas(ts)
+    for i in range(steps):
+        v = np.asarray(m.apply(
+            params, jnp.asarray(x.astype(np.float32)), valid, mu,
+            jnp.full((b,), ts[i]), spks, cond, method=m._v))
+        pred = x * alphas[i] - v * sigmas[i]
+        eps = x * sigmas[i] + v * alphas[i]
+        if i < steps - 1:
+            x = pred * alphas[i + 1] + eps * sigmas[i + 1]
+    np.testing.assert_allclose(np.asarray(got), pred, atol=2e-4)
+
+    s = sobol_times(16)
+    assert s.shape == (16,) and (s >= 0).all() and (s < 1).all()
+
+
+def test_gradtts_flow_variant():
+    """GradTTSDiffWithXvec (flow_gradtts.py role): finite v-objective loss
+    with grads, inference emits the post-prompt mel region at the
+    22.05 kHz/256-hop length rule."""
+    from moss_speech_decoder_cosy_tpu.models.flow.vdiff import (
+        GradTTSDiffWithXvec)
+    from moss_speech_decoder_cosy_tpu.models.flow.dit import tiny_dit_config
+    cfg = tiny_flow_config()
+    dit = tiny_dit_config()
+    m = GradTTSDiffWithXvec(cfg, dit)
+    rng = np.random.RandomState(1)
+    tok = jnp.asarray(rng.randint(0, cfg.vocab_size, (1, 10)), jnp.int32)
+    valid = jnp.ones((1, 10), bool)
+    feat = jnp.asarray(rng.randn(1, 24, cfg.output_size).astype(np.float32))
+    fvalid = jnp.ones((1, 24), bool)
+    emb = jnp.asarray(rng.randn(1, cfg.spk_embed_dim).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), tok, valid, feat, fvalid, emb,
+                    jax.random.PRNGKey(1), method=m.loss)
+
+    loss, grads = jax.value_and_grad(
+        lambda p: m.apply(p, tok, valid, feat, fvalid, emb,
+                          jax.random.PRNGKey(2), method=m.loss))(params)
+    assert np.isfinite(float(loss))
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))), grads, 0.0)
+    assert gnorm > 0
+
+    assert m.mel_len(50) == int(50 / cfg.input_frame_rate * 22050 / 256)
+    pf = jnp.asarray(rng.randn(1, 6, cfg.output_size).astype(np.float32))
+    mel = m.apply(params, tok, valid, pf, emb, 20, 2, method=m.inference)
+    assert mel.shape == (1, 14, cfg.output_size)
+    assert np.isfinite(np.asarray(mel)).all()

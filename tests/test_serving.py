@@ -178,3 +178,32 @@ def test_native_audio_kernels():
     got = native.crossfade(head, tail, win[:n], win[n:])
     want = head * win[:n] + tail * win[n:]
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_compare_handler_and_demo_page():
+    """Streaming-vs-offline A/B surface (web_demo make_compare_handler):
+    both modes run over the same input with timing + RTF, and the demo
+    page exposes the mic client and compare UI."""
+    import asyncio
+    import numpy as np
+    from moss_speech_decoder_cosy_tpu.serving import web_demo as wd
+
+    class FakeCodec:
+        def convert_voice(self, wav16, prompt, streaming=False):
+            return (wav16[None, :] * (0.5 if streaming else 1.0))[
+                :, : 24000]
+
+    h = wd.make_compare_handler(FakeCodec(), prompt=None)
+    wav = np.random.RandomState(0).randn(24000).astype(np.float32) * 0.1
+    res = h(wav)
+    assert set(res) == {"offline", "streaming"}
+    for v in res.values():
+        assert v["seconds"] >= 0 and v["rtf"] >= 0
+        assert v["wav"].ndim == 1
+    b64 = wd._wav_b64(res["offline"]["wav"], 24000)
+    assert isinstance(b64, str) and len(b64) > 100
+
+    page = wd._PAGE % {"sr": 24000, "frame": 1920}
+    for needle in ("getUserMedia", "api/compare", "id=\"mic\"",
+                   "id=\"ab\""):
+        assert needle in page, needle
