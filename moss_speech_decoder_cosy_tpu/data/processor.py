@@ -226,6 +226,12 @@ def compute_f0(data, sample_rate: int = 24000, hop_size: int = 480,
             peak = int(np.argmax(window)) + lo
             if ac[peak] < 0.3:                           # unvoiced
                 continue
+            # octave-error guard (pyworld stonemask's role): the
+            # autocorrelation also peaks at period multiples; if half the
+            # lag scores nearly as high, the true pitch is an octave up
+            half = peak // 2
+            if half >= lo and ac[half] > 0.9 * ac[peak]:
+                peak = half
             # parabolic interpolation around the peak
             if 1 <= peak < len(ac) - 1:
                 a, b, c2 = ac[peak - 1], ac[peak], ac[peak + 1]
@@ -234,12 +240,25 @@ def compute_f0(data, sample_rate: int = 24000, hop_size: int = 480,
             else:
                 shift = 0.0
             f0[i] = sample_rate / (peak + shift)
+        f0 = _median3_voiced(f0)
         t = len(s.get("speech_feat", f0))
         if t != n_frames:
             idx = np.linspace(0, n_frames - 1, t)
             f0 = np.interp(idx, np.arange(n_frames), f0).astype(np.float32)
         s["pitch_feat"] = f0
         yield s
+
+
+def _median3_voiced(f0: np.ndarray) -> np.ndarray:
+    """3-tap median over voiced runs — removes isolated octave jumps (the
+    trajectory-smoothing role of pyworld harvest's candidate selection)
+    without smearing voiced/unvoiced boundaries."""
+    out = f0.copy()
+    for i in range(1, len(f0) - 1):
+        a, b, c = f0[i - 1], f0[i], f0[i + 1]
+        if a > 0 and b > 0 and c > 0:
+            out[i] = np.median([a, b, c])
+    return out
 
 
 def parse_embedding(data, normalize: bool = True):

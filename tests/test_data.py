@@ -205,3 +205,47 @@ def test_sft_npy_opener_split(tmp_path):
     for r in rows:
         want = int(np.ceil(len(r["speech_token"]) / token_rate * sr))
         assert len(r["speech"]) == min(want, len(wav))
+
+
+def test_compute_f0_quality_suite():
+    """f0 tracker validation beyond a pure tone (the pyworld
+    harvest/stonemask replacement): harmonic-rich signals without octave
+    errors, vibrato tracking, unvoiced rejection."""
+    from moss_speech_decoder_cosy_tpu.data.processor import compute_f0
+    sr, hop = 24000, 480
+    rng = np.random.RandomState(0)
+
+    def track(wav):
+        rows = list(compute_f0(iter([{"speech": wav}]),
+                               sample_rate=sr, hop_size=hop))
+        return rows[0]["pitch_feat"]
+
+    t = np.arange(sr) / sr                       # 1 s
+    # harmonic-rich: strong 2nd/3rd harmonics (octave-error bait)
+    f_true = 180.0
+    wav = (0.4 * np.sin(2 * np.pi * f_true * t)
+           + 0.8 * np.sin(2 * np.pi * 2 * f_true * t)
+           + 0.5 * np.sin(2 * np.pi * 3 * f_true * t)).astype(np.float32)
+    f0 = track(wav)
+    voiced = f0[5:-5][f0[5:-5] > 0]
+    assert len(voiced) > 30
+    err = np.abs(voiced - f_true) / f_true
+    assert np.median(err) < 0.05, (np.median(err), np.median(voiced))
+
+    # vibrato: 150 -> 250 Hz linear glide tracked within 8%
+    f_inst = 150.0 + 100.0 * t
+    phase = 2 * np.pi * np.cumsum(f_inst) / sr
+    wav = np.sin(phase).astype(np.float32)
+    f0 = track(wav)
+    n = len(f0)
+    centers = (np.arange(n) * hop) / sr
+    want = 150.0 + 100.0 * centers
+    sel = (f0 > 0) & (centers > 0.05) & (centers < 0.9)
+    assert sel.sum() > 20
+    rel = np.abs(f0[sel] - want[sel]) / want[sel]
+    assert np.median(rel) < 0.08, np.median(rel)
+
+    # white noise -> mostly unvoiced; silence -> all zero
+    f0 = track((rng.randn(sr) * 0.1).astype(np.float32))
+    assert (f0 > 0).mean() < 0.4
+    assert (track(np.zeros(sr, np.float32)) == 0).all()
