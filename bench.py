@@ -115,9 +115,14 @@ def main():
         print(f"# kv warmup done in {kv_compile:.1f}s", file=sys.stderr,
               flush=True)
         # kv first-chunk latency: first flow hop + voc, compute+sync
+        # (warm the per-hop programs first — the bulk path doesn't use them)
         cache, voc = kv.init_state()
         kbuf = jnp.asarray(np.pad(tokens, ((0, 0), (0, kv.hop + kv.la + 1))))
-        _jax.block_until_ready((kbuf, cache["n_tok"]))
+        mel, _ = kv._hop(dec.flow_params, kbuf, cache,
+                         emit_tokens=kv.hop, finalize=False)
+        seg, _ = kv._voc(dec.hift_params, mel, voc, first=True,
+                         finalize=False)
+        _jax.block_until_ready((kbuf, seg, cache["n_tok"]))
         t0 = time.perf_counter()
         mel, cache = kv._hop(dec.flow_params, kbuf, cache,
                              emit_tokens=kv.hop, finalize=False)

@@ -90,15 +90,22 @@ def _ring_mask(ring_len: int, chunk_len: int,
 
 
 def ring_write_batched(ring: jnp.ndarray, chunk: jnp.ndarray,
-                       n_done: jnp.ndarray) -> jnp.ndarray:
+                       n_done: jnp.ndarray, enable=None) -> jnp.ndarray:
     """ring (L, B, R, d), chunk (L, B, C, d), n_done (B,): write each
-    sample's chunk at its own circular position (wavefront batching)."""
+    sample's chunk at its own circular position (wavefront batching).
+
+    ``enable`` (B,) bool masks out writes for invalid wavefront slots by
+    re-writing the CURRENT ring values at those positions — an O(chunk)
+    gather+select instead of an O(ring) jnp.where over the whole cache."""
     r = ring.shape[-2]
     c = chunk.shape[-2]
     m = min(c, r)
     tail = chunk[..., c - m:, :].astype(ring.dtype)
     b = ring.shape[1]
     idx = (n_done[:, None] + (c - m) + jnp.arange(m)[None, :]) % r  # (B, m)
+    if enable is not None:
+        cur = ring[:, jnp.arange(b)[:, None], idx, :]       # (L, B, m, d)
+        tail = jnp.where(enable[None, :, None, None], tail, cur)
     return ring.at[:, jnp.arange(b)[:, None], idx, :].set(tail)
 
 
@@ -688,11 +695,9 @@ class CausalConditionalCFMWave(nn.Module):
         x_next = x_wave + dts[:, None, None, None] * dphi    # (S,B,C,D)
 
         # masked ring/conv writes (per-sample circular positions)
-        new_k = ring_write_batched(flat_rings["k"], ck, nd_in)
-        new_v = ring_write_batched(flat_rings["v"], cv, nd_in)
         en = jnp.repeat(valid, 2 * b)
-        new_k = jnp.where(en[None, :, None, None], new_k, flat_rings["k"])
-        new_v = jnp.where(en[None, :, None, None], new_v, flat_rings["v"])
+        new_k = ring_write_batched(flat_rings["k"], ck, nd_in, enable=en)
+        new_v = ring_write_batched(flat_rings["v"], cv, nd_in, enable=en)
         new_k = new_k.reshape(l, s_steps, 2 * b,
                               *new_k.shape[2:]).swapaxes(0, 1)
         new_v = new_v.reshape(l, s_steps, 2 * b,

@@ -88,6 +88,8 @@ class KVStreamDecoder:
         self._enc_hop = jax.jit(self._enc_hop_impl,
                                 static_argnames=("emit_tokens",))
         self._wave = jax.jit(self._wave_model.apply)
+        self._wave_scan = jax.jit(self._wave_scan_impl,
+                                  static_argnames=("n_iters",))
         self._spk = jax.jit(
             lambda p, e: self._enc_model.apply(p, e,
                                                method=self._enc_model.spk))
@@ -242,6 +244,56 @@ class KVStreamDecoder:
             i += 1
         return jnp.concatenate(mels, axis=1), cache
 
+    def _wave_scan_impl(self, flow_params, token_buf, x_wave, mu_wave,
+                        spks, est, enc_cache, n_iters: int, k_total,
+                        base_frames):
+        """The ENTIRE wavefront loop as one lax.scan dispatch: encoder hop
+        under lax.cond while chunks remain, then the batched pipelined-ODE
+        iteration.  No per-iteration host traffic — the round-trip relay in
+        this environment makes per-hop dispatches the bottleneck
+        (BENCH_NOTES.md).  Extra iterations beyond k+S-1 are dead (masked
+        writes, garbage exits) so n_iters can be bucketed."""
+        hop = self.hop
+        cf = hop * self.ratio
+        n_mel = self.n_mel
+
+        def body(carry, w):
+            x, mu_w, est_c, enc_c, n_tok = carry
+
+            def run_enc(args):
+                enc_c, n_tok = args
+                mu, enc2 = self._enc_model.apply(
+                    flow_params, *self._slices(token_buf, n_tok, hop),
+                    enc_c, n_tok, self._pe_tok, self._pe_mel,
+                    finalize=False)
+                return mu, enc2, n_tok + hop
+
+            def skip_enc(args):
+                enc_c, n_tok = args
+                return (jnp.zeros((1, cf, n_mel), self.dt), enc_c, n_tok)
+
+            mu_new, enc_c, n_tok = jax.lax.cond(
+                w < k_total, run_enc, skip_enc, (enc_c, n_tok))
+            exit_mel, x, mu_w, est_c = self._wave_model.apply(
+                flow_params, x, mu_w, mu_new, spks, est_c, w, k_total,
+                base_frames)
+            return (x, mu_w, est_c, enc_c, n_tok), exit_mel
+
+        s_steps = self.dec.flow_cfg.cfm.n_timesteps
+        carry0 = (x_wave, mu_wave, est, enc_cache,
+                  jnp.asarray(self.p, jnp.int32))
+        (x, mu_w, est, enc_cache, n_tok), mels = jax.lax.scan(
+            body, carry0, jnp.arange(n_iters, dtype=jnp.int32))
+        del x, mu_w, s_steps
+        return mels, est, enc_cache, n_tok
+
+    def _slices(self, token_buf, n_tok, emit_tokens):
+        off = n_tok - self.p
+        chunk = jax.lax.dynamic_slice(token_buf, (0, off), (1, emit_tokens))
+        ctx = jax.lax.dynamic_slice(token_buf, (0, off + emit_tokens),
+                                    (1, self.la))
+        return chunk, ctx
+
     def _flow_mels_wave(self, token_buf, cache, plan):
         """Wavefront flow: encoder per hop, pipelined ODE (one batched
         estimator forward per iteration; models/flow/kv_stream.py
@@ -259,41 +311,29 @@ class KVStreamDecoder:
         base_frames = self.p * self.ratio
 
         spks = self._spk(d.flow_params, self._emb)
-        enc_cache = cache["enc"]
-        est = cache["est"]
         noise = _fixed_noise(cfg.cfm.max_noise_len, n_mel)
         x_wave = np.zeros((s_steps, 1, cf, n_mel), np.float32)
         x_wave[0] = noise[:, base_frames: base_frames + cf]
         x_wave = jnp.asarray(x_wave, dt)
         mu_wave = jnp.zeros((s_steps, 1, cf, n_mel), dt)
-        mu_zero = jnp.zeros((1, cf, n_mel), dt)
 
-        n_tok = self.p
-        mels = []
-        for w in range(k + s_steps - 1):
-            if w < k:
-                mu_new, enc_cache = self._enc_hop(
-                    d.flow_params, token_buf, enc_cache,
-                    jnp.asarray(n_tok, jnp.int32), emit_tokens=self.hop)
-                n_tok += self.hop
-            else:
-                mu_new = mu_zero
-            exit_mel, x_wave, mu_wave, est = self._wave(
-                d.flow_params, x_wave, mu_wave, mu_new, spks, est,
-                jnp.asarray(w, jnp.int32), jnp.asarray(k, jnp.int32),
-                jnp.asarray(base_frames, jnp.int32))
-            if w >= s_steps - 1:
-                mels.append(exit_mel[None])          # (1, 1, cf, n_mel)
+        need = k + s_steps - 1
+        n_iters = max(16, ((need + 15) // 16) * 16)  # bucketed program count
+        mels_all, est, enc_cache, n_tok = self._wave_scan(
+            d.flow_params, token_buf, x_wave, mu_wave, spks, cache["est"],
+            cache["enc"], n_iters=n_iters,
+            k_total=jnp.asarray(k, jnp.int32),
+            base_frames=jnp.asarray(base_frames, jnp.int32))
+        mels = [mels_all[s_steps - 1: s_steps - 1 + k]
+                .transpose(1, 0, 2, 3).reshape(1, -1, n_mel)]
 
-        cache = {"enc": enc_cache, "est": est,
-                 "n_tok": jnp.asarray(n_tok, jnp.int32)}
+        cache = {"enc": enc_cache, "est": est, "n_tok": n_tok}
         if plan and plan[-1][1]:
             tail, _ = plan[-1]
             mel, cache = self._hop(d.flow_params, token_buf, cache,
                                    emit_tokens=tail, finalize=True)
-            mels.append(mel[None])
-        mel_full = jnp.concatenate(
-            [m.reshape(1, -1, n_mel) for m in mels], axis=1)
+            mels.append(mel)
+        mel_full = jnp.concatenate(mels, axis=1)
         return mel_full, cache
 
     def stream_decode(self, tokens: np.ndarray,
