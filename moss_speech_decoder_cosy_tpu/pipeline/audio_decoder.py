@@ -287,7 +287,10 @@ class StreamSession:
             yield speech
 
     def finish(self):
-        """Flush remaining tokens with finalize=True."""
+        """Flush remaining tokens with finalize=True.  A session that never
+        received tokens yields nothing (empty-stream close)."""
+        if not self.tokens:
+            return
         if self.max_token_len is not None:
             start = max(0, len(self.tokens) - self.max_token_len)
         else:

@@ -516,6 +516,75 @@ def load_checkpoint(path: str, like=None):
     return ckpt.restore(os.path.abspath(path), like)
 
 
+class AsyncCheckpointManager:
+    """Non-blocking checkpointing with a keep-latest retention policy for
+    long runs: saves overlap the next train steps (orbax async), older
+    step directories beyond ``keep`` are deleted once the newer save
+    commits.  The training loop calls ``save(step, params)`` at cadence
+    and ``wait()`` before exit."""
+
+    def __init__(self, root: str, keep: int = 3, prefix: str = "step_"):
+        import orbax.checkpoint as ocp
+        self.root = os.path.abspath(root)
+        self.keep = keep
+        self.prefix = prefix
+        os.makedirs(self.root, exist_ok=True)
+        self._ckpt = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        self._pending_meta = []
+
+    def _dir(self, step: int) -> str:
+        return os.path.join(self.root, f"{self.prefix}{step}")
+
+    def save(self, step: int, params, metadata: dict | None = None):
+        self._ckpt.save(self._dir(step), args=_std_save_args(params),
+                        force=True)
+        self._pending_meta.append((step, metadata))
+
+    def _flush_meta(self):
+        for step, metadata in self._pending_meta:
+            if metadata:
+                with open(os.path.join(self._dir(step),
+                                       "metadata.json"), "w") as f:
+                    json.dump({"step": step, **metadata}, f, indent=2)
+        self._pending_meta = []
+
+    def steps(self):
+        out = []
+        for name in os.listdir(self.root):
+            if name.startswith(self.prefix):
+                try:
+                    out.append(int(name[len(self.prefix):]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def gc(self):
+        """Delete all but the newest ``keep`` committed checkpoints."""
+        import shutil
+        for step in self.steps()[: -self.keep or None]:
+            shutil.rmtree(self._dir(step), ignore_errors=True)
+
+    def wait(self):
+        self._ckpt.wait_until_finished()
+        self._flush_meta()
+        self.gc()
+
+    def latest(self):
+        steps = self.steps()
+        return steps[-1] if steps else None
+
+    def restore_latest(self, like=None):
+        step = self.latest()
+        if step is None:
+            return None, None
+        return load_checkpoint(self._dir(step), like), step
+
+
+def _std_save_args(params):
+    import orbax.checkpoint as ocp
+    return ocp.args.StandardSave(params)
+
+
 def shape_filtered_merge(params, loaded):
     """Partial restore that skips shape-mismatched leaves, reporting them —
     the reference's shape-filtered checkpoint load (bin/train.py:149-169)."""

@@ -289,3 +289,28 @@ def test_onnx_initializer_reader():
     assert set(init) == {"weight", "ids"}
     np.testing.assert_array_equal(init["weight"], w)
     np.testing.assert_array_equal(init["ids"], ids)
+
+
+def test_async_checkpoint_manager_keep_latest(tmp_path):
+    """AsyncCheckpointManager: non-blocking saves commit on wait(), keep-N
+    retention deletes older steps, restore_latest round-trips."""
+    import numpy as np
+    import jax.numpy as jnp
+    from moss_speech_decoder_cosy_tpu.utils.checkpoint import (
+        AsyncCheckpointManager)
+    mgr = AsyncCheckpointManager(str(tmp_path / "ckpts"), keep=2)
+    like = None
+    for step in (10, 20, 30):
+        params = {"w": jnp.full((4,), float(step)),
+                  "b": jnp.zeros((2, 3))}
+        like = params
+        mgr.save(step, params, metadata={"epoch": step // 10})
+    mgr.wait()
+    assert mgr.steps() == [20, 30]          # keep=2 dropped step 10
+    loaded, step = mgr.restore_latest(like=like)
+    assert step == 30
+    np.testing.assert_array_equal(np.asarray(loaded["w"]),
+                                  np.full((4,), 30.0))
+    import os, json
+    meta = json.load(open(tmp_path / "ckpts" / "step_30" / "metadata.json"))
+    assert meta == {"step": 30, "epoch": 3}

@@ -207,3 +207,58 @@ def test_compare_handler_and_demo_page():
     for needle in ("getUserMedia", "api/compare", "id=\"mic\"",
                    "id=\"ab\""):
         assert needle in page, needle
+
+
+def test_multi_stream_manager_matches_standalone_sessions():
+    """MultiStreamManager: per-stream knobs (block size/window/prompt),
+    lifecycle isolation, output identical to a standalone StreamSession."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from moss_speech_decoder_cosy_tpu.utils.config import (
+        tiny_flow_config, tiny_hift_config, PipelineConfig)
+    from moss_speech_decoder_cosy_tpu.models.flow import (
+        CausalMaskedDiffWithXvec)
+    from moss_speech_decoder_cosy_tpu.models.hift import HiFTGenerator
+    from moss_speech_decoder_cosy_tpu.pipeline import AudioDecoder
+    from moss_speech_decoder_cosy_tpu.serving.session_manager import (
+        MultiStreamManager)
+
+    cfg, hcfg = tiny_flow_config(), tiny_hift_config()
+    flow, hift = CausalMaskedDiffWithXvec(cfg), HiFTGenerator(hcfg)
+    rng = np.random.RandomState(0)
+    tokens = rng.randint(0, cfg.vocab_size, (1, 20)).astype(np.int32)
+    valid = np.ones((1, 20), bool)
+    fp = flow.init(jax.random.PRNGKey(0), jnp.asarray(tokens),
+                   jnp.asarray(valid),
+                   jnp.zeros((1, 0, cfg.output_size)),
+                   jnp.zeros((1, cfg.spk_embed_dim)))
+    hp = hift.init(jax.random.PRNGKey(1),
+                   jnp.zeros((1, 8, hcfg.in_channels)))
+    dec = AudioDecoder(cfg, hcfg, fp, hp,
+                       PipelineConfig(block_size=3, mel_cache_len=2,
+                                      max_token_len=9))
+    mgr = MultiStreamManager(dec)
+    a = mgr.open("a", block_size=3)
+    b = mgr.open("b", block_size=4, max_token_len=12)   # different knobs
+    assert a.session.hop == 3 and b.session.hop == 4
+    assert set(mgr.active) == {"a", "b"}
+
+    got = mgr.push("a", tokens[0, :12]) + mgr.push("a", tokens[0, 12:]) \
+        + mgr.finish("a")
+    ref_sess = dec.new_session(block_size=3)
+    want = list(ref_sess.push(tokens[0])) + list(ref_sess.finish())
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=1e-6)
+
+    assert mgr.finish("a") == []                  # idempotent
+    assert mgr.stats()["a"]["finished"]
+    assert mgr.active == ["b"]
+    mgr.finish("b")
+    mgr.close("a")
+    mgr.close("b")
+    assert mgr.stats() == {}
+    import pytest
+    with pytest.raises(KeyError):
+        mgr.push("a", tokens[0, :3])
