@@ -68,11 +68,11 @@ class OpusEncoder:
         self.channels = channels
         self._buf: List[float] = []
 
-    def encode(self, pcm) -> bytes:
-        """Accumulate samples; emit length-prefixed packets for every
-        complete frame."""
+    def encode_packets(self, pcm) -> List[bytes]:
+        """Accumulate samples; return one raw opus packet per complete
+        frame (no framing)."""
         self._buf.extend(float(x) for x in pcm)
-        out = bytearray()
+        pkts: List[bytes] = []
         while len(self._buf) >= self.frame:
             chunk, self._buf = (self._buf[: self.frame],
                                 self._buf[self.frame:])
@@ -80,8 +80,14 @@ class OpusEncoder:
             dst = ctypes.create_string_buffer(4000)
             n = _LIB.opus_encode_float(self.enc, arr, self.frame, dst, 4000)
             assert n > 0, f"opus_encode_float: {n}"
-            out += struct.pack(">H", n) + dst.raw[:n]
-        return bytes(out)
+            pkts.append(dst.raw[:n])
+        return pkts
+
+    def encode(self, pcm) -> bytes:
+        """Accumulate samples; emit length-prefixed packets for every
+        complete frame."""
+        return b"".join(struct.pack(">H", len(p)) + p
+                        for p in self.encode_packets(pcm))
 
 
 class OpusDecoder:
@@ -96,6 +102,14 @@ class OpusDecoder:
         self.channels = channels
         self._pending = b""
 
+    def decode_packet(self, pkt: bytes) -> List[float]:
+        """Decode ONE raw opus packet (no framing)."""
+        buf = (ctypes.c_float * (self.max_frame * self.channels))()
+        got = _LIB.opus_decode_float(self.dec, pkt, len(pkt), buf,
+                                     self.max_frame, 0)
+        assert got > 0, f"opus_decode_float: {got}"
+        return list(buf[: got * self.channels])
+
     def decode(self, data: bytes) -> List[float]:
         """Consume length-prefixed packets, return decoded samples."""
         self._pending += data
@@ -106,9 +120,5 @@ class OpusDecoder:
                 break
             pkt, self._pending = (self._pending[2: 2 + n],
                                   self._pending[2 + n:])
-            buf = (ctypes.c_float * (self.max_frame * self.channels))()
-            got = _LIB.opus_decode_float(self.dec, pkt, n, buf,
-                                         self.max_frame, 0)
-            assert got > 0, f"opus_decode_float: {got}"
-            out.extend(buf[: got * self.channels])
+            out.extend(self.decode_packet(pkt))
         return out

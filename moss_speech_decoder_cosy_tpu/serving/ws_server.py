@@ -1,8 +1,10 @@
 """Websocket audio server (aiohttp) — the reference ``server.py`` rebuilt.
 
 Protocol and framing follow server.py:9-108: a binary handshake (0x00),
-80 ms audio frames (0x01), text messages (0x02).  Audio payloads are either
-pcm16 or length-prefixed opus packets (serving/opus.py).
+80 ms audio frames (0x01), text messages (0x02).  Audio payloads are
+pcm16, length-prefixed opus packets (serving/opus.py), or standard Ogg
+Opus pages wire-compatible with the reference's sphn framing
+(serving/ogg.py, codec="ogg").
 
 A pluggable ``handler(samples) -> samples`` processes audio; the default is
 echo.  Device work (tokenize/decode) runs in a thread-pool executor so the
@@ -48,6 +50,12 @@ class AudioWsServer:
             from .opus import OpusEncoder, OpusDecoder
             return OpusEncoder(protocol.SAMPLE_RATE), \
                 OpusDecoder(protocol.SAMPLE_RATE)
+        if self.codec == "ogg":
+            # standard Ogg Opus container — wire-compatible with the
+            # reference's sphn client framing (serving/ogg.py)
+            from .ogg import OggOpusWriter, OggOpusReader
+            return OggOpusWriter(protocol.SAMPLE_RATE), \
+                OggOpusReader(protocol.SAMPLE_RATE)
         return None, None
 
     async def handle_chat(self, request):
@@ -104,6 +112,10 @@ async def stream_wav(url: str, samples: np.ndarray, codec: str = "pcm16",
         from .opus import OpusEncoder, OpusDecoder
         enc = OpusEncoder(protocol.SAMPLE_RATE)
         dec = OpusDecoder(protocol.SAMPLE_RATE)
+    elif codec == "ogg":
+        from .ogg import OggOpusWriter, OggOpusReader
+        enc = OggOpusWriter(protocol.SAMPLE_RATE)
+        dec = OggOpusReader(protocol.SAMPLE_RATE)
     else:
         enc = dec = None
     async with aiohttp.ClientSession() as session:

@@ -33,6 +33,91 @@ def test_opus_roundtrip():
     assert 0.1 < np.std(y[enc.frame:]) < 1.0
 
 
+def test_ogg_crc_known_vector():
+    # Ogg CRC (poly 0x04c11db7, init 0, no reflect, no xorout) is
+    # CRC-32/POSIX without the final complement: POSIX check("123456789")
+    # = 0x765E7680, so the raw register is its complement.
+    from moss_speech_decoder_cosy_tpu.serving.ogg import ogg_crc
+    assert ogg_crc(b"") == 0
+    assert ogg_crc(b"123456789") == 0x765E7680 ^ 0xFFFFFFFF
+
+
+def test_ogg_page_roundtrip_and_spanning():
+    from moss_speech_decoder_cosy_tpu.serving.ogg import (
+        OggPageWriter, OggPageReader)
+    rng = np.random.RandomState(0)
+    # sizes exercise: tiny, exactly 255 (needs empty terminal segment),
+    # multi-segment, and > 255*255 (must span pages with CONTINUED)
+    sizes = [1, 17, 255, 256, 1000, 255 * 255 + 123]
+    packets = [bytes(rng.randint(0, 256, s, dtype=np.uint8))
+               for s in sizes]
+    w = OggPageWriter()
+    data = w.page_out(packets[:3], granule=960)
+    data += w.page_out(packets[3:], granule=1920, eos=True)
+    assert data.startswith(b"OggS")
+
+    r = OggPageReader()
+    got = [p for p, _ in r.packets_in(data)]
+    assert got == packets and r.eos
+
+    # incremental byte-by-byte feeding yields the same packets
+    r2 = OggPageReader()
+    got2 = []
+    for i in range(0, len(data), 7):
+        got2.extend(p for p, _ in r2.packets_in(data[i: i + 7]))
+    assert got2 == packets and r2.eos
+
+    # corrupting one payload byte must trip the page CRC
+    bad = bytearray(data)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        OggPageReader().packets_in(bytes(bad))
+
+
+@pytest.mark.skipif(not opus_mod.available(), reason="libopus missing")
+def test_ogg_opus_stream_roundtrip():
+    from moss_speech_decoder_cosy_tpu.serving.ogg import (
+        OggOpusWriter, OggOpusReader)
+    sr = 24000
+    t = np.arange(sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    w = OggOpusWriter(sr)
+    data = w.encode(x) + w.flush()
+    # standard container shape: BOS page carries OpusHead
+    assert data.startswith(b"OggS") and b"OpusHead" in data[:64] \
+        and b"OpusTags" in data[:200]
+    r = OggOpusReader(sr)
+    y = np.asarray(r.decode(data), np.float32)
+    assert len(y) >= (len(x) // w.enc.frame) * w.enc.frame
+    assert 0.1 < np.std(y[w.enc.frame:]) < 1.0
+    assert r.pages.eos
+
+
+@pytest.mark.skipif(not opus_mod.available(), reason="libopus missing")
+def test_ws_server_ogg_codec_roundtrip():
+    from moss_speech_decoder_cosy_tpu.serving.ws_server import (
+        AudioWsServer, stream_wav)
+    from aiohttp.test_utils import TestServer
+
+    async def run():
+        srv = AudioWsServer(handler=lambda s: s, codec="ogg", log=False)
+        server = TestServer(srv.app)
+        await server.start_server()
+        url = str(server.make_url("/api/chat")).replace("http", "ws")
+        # 440 Hz: opus VOIP mode high-pass filters very low frequencies
+        n = protocol.FRAME_SAMPLES * 3
+        t = np.arange(n) / protocol.SAMPLE_RATE
+        x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        out = await stream_wav(url, x, codec="ogg", settle_s=0.5)
+        await server.close()
+        return x, out
+
+    x, out = asyncio.run(run())
+    # lossy codec + one-frame codec buffering: check duration and energy
+    assert len(out) >= len(x) - 2 * 480
+    assert 0.1 < np.std(out[960:]) < 1.0
+
+
 def test_ws_server_echo_roundtrip():
     from moss_speech_decoder_cosy_tpu.serving.ws_server import (
         AudioWsServer, stream_wav)
