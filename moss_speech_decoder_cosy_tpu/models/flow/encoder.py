@@ -72,14 +72,21 @@ class PreLookaheadLayer(nn.Module):
 
 class ConvolutionModule(nn.Module):
     """Conformer conv module (transformer/convolution.py:24-145); layer-norm
-    variant, optional causal left padding.  (The reference also supports a
-    batch_norm variant; the production flow configs disable the conv module
-    entirely — add running-stats BN here if a checkpoint needs it.)"""
+    or batch-norm, optional causal left padding.
+
+    ``norm="batch_norm"`` matches torch ``nn.BatchNorm1d`` in eval mode:
+    per-channel running statistics stored as parameters
+    (``running_mean``/``running_var``, filled by the checkpoint converter
+    from the torch buffers).  The reference applies BN over the
+    zero-masked sequence without excluding padding (convolution.py:105) —
+    inference uses the stored stats so the distinction only matters in
+    training, where the production flow configs disable the conv module."""
 
     channels: int
     kernel_size: int = 15
     activation: str = "swish"
     causal: bool = False
+    norm: str = "layer_norm"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pad_mask: jnp.ndarray) -> jnp.ndarray:
@@ -95,7 +102,20 @@ class ConvolutionModule(nn.Module):
             pad = (self.kernel_size - 1) // 2
         h = Conv1d(self.channels, self.kernel_size, padding=pad,
                    groups=self.channels, name="depthwise_conv")(h)
-        h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)
+        if self.norm == "batch_norm":
+            mean = self.param("running_mean", nn.initializers.zeros,
+                              (self.channels,), jnp.float32)
+            var = self.param("running_var", nn.initializers.ones,
+                             (self.channels,), jnp.float32)
+            scale = self.param("scale", nn.initializers.ones,
+                               (self.channels,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.channels,), jnp.float32)
+            inv = jax.lax.rsqrt(var + 1e-5)
+            h = ((h - mean.astype(h.dtype)) * inv.astype(h.dtype)
+                 * scale.astype(h.dtype) + bias.astype(h.dtype))
+        else:
+            h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)
         h = act(h)
         h = Conv1d(self.channels, 1, name="pointwise_conv2")(h)
         return h * pad_mask[..., None]
@@ -138,6 +158,7 @@ class ConformerEncoderLayer(nn.Module):
             h = nn.LayerNorm(epsilon=1e-12, name="norm_conv")(x)
             x = x + ConvolutionModule(c.output_size, c.cnn_module_kernel,
                                       c.activation, c.cnn_causal,
+                                      c.cnn_module_norm,
                                       name="conv_module")(h, pad_mask)
         h = nn.LayerNorm(epsilon=1e-12, name="norm_ff")(x)
         ff_scale = 0.5 if c.macaron_style else 1.0

@@ -90,6 +90,12 @@ class _Mapper:
             return True
         return False
 
+    def ignore(self, src: str):
+        """Mark a torch-only bookkeeping key (e.g. BatchNorm
+        num_batches_tracked) as consumed without emitting a param."""
+        if src in self.sd:
+            self.used.add(src)
+
     def linear(self, dst: str, src: str, bias: bool = True):
         self.put(f"{dst}/kernel", f"{src}.weight", _t)
         if bias:
@@ -225,7 +231,15 @@ def _map_conformer_layer(m: _Mapper, dst: str, src: str, cfg):
         m.conv(f"{cd}/pointwise_conv1", f"{cm}.pointwise_conv1")
         m.conv(f"{cd}/depthwise_conv", f"{cm}.depthwise_conv")
         m.conv(f"{cd}/pointwise_conv2", f"{cm}.pointwise_conv2")
-        m.norm(f"{cd}/norm", f"{cm}.norm")
+        if cfg.encoder.cnn_module_norm == "batch_norm":
+            # torch nn.BatchNorm1d eval stats (convolution.py:84-90)
+            m.put(f"{cd}/scale", f"{cm}.norm.weight")
+            m.put(f"{cd}/bias", f"{cm}.norm.bias")
+            m.put(f"{cd}/running_mean", f"{cm}.norm.running_mean")
+            m.put(f"{cd}/running_var", f"{cm}.norm.running_var")
+            m.ignore(f"{cm}.norm.num_batches_tracked")
+        else:
+            m.norm(f"{cd}/norm", f"{cm}.norm")
 
 
 def _convert_flow(m: "_Mapper", cfg: FlowConfig):

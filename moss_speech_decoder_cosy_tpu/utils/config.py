@@ -33,6 +33,10 @@ class EncoderConfig:
     use_cnn_module: bool = False
     cnn_module_kernel: int = 15
     cnn_causal: bool = False
+    # conv-module norm: 'layer_norm' or 'batch_norm' (wenet
+    # transformer/convolution.py:24-145 supports both; checkpoints trained
+    # with the wenet default use batch_norm running stats)
+    cnn_module_norm: str = "layer_norm"
     key_bias: bool = True
     activation: str = "swish"
     pre_lookahead_len: int = 3

@@ -320,7 +320,7 @@ def test_tokenizer_streaming_tokens_golden(tokenizer_pair):
 # Flow stack: CausalMaskedDiffWithXvec (cosyvoice/flow/flow.py:151-283)
 # through UpsampleConformerEncoder + CausalConditionalDecoder + CFM
 # =====================================================================
-def _make_flow_pair(channels, macaron, use_cnn):
+def _make_flow_pair(channels, macaron, use_cnn, cnn_norm="layer_norm"):
     """Build matched (torch flow, flax flow, converted params, cfg)."""
     from omegaconf import DictConfig
     from cosyvoice.flow.flow import CausalMaskedDiffWithXvec as TorchFlow
@@ -343,8 +343,17 @@ def _make_flow_pair(channels, macaron, use_cnn):
         positional_dropout_rate=0.0, attention_dropout_rate=0.0,
         input_layer="linear", macaron_style=macaron,
         use_cnn_module=use_cnn, cnn_module_kernel=7,
-        cnn_module_norm="layer_norm", static_chunk_size=25,
+        cnn_module_norm=cnn_norm, static_chunk_size=25,
         upsample_stride=4)
+    if use_cnn and cnn_norm == "batch_norm":
+        # fresh BN stats are (0, 1) — randomize so parity exercises the
+        # running-stat math, as a trained checkpoint would
+        g = torch.Generator().manual_seed(5)
+        for name, buf in t_enc.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(torch.randn(buf.shape, generator=g) * 0.3)
+            elif name.endswith("running_var"):
+                buf.copy_(torch.rand(buf.shape, generator=g) + 0.5)
     t_est = TorchEstimator(
         in_channels=320, out_channels=80, channels=list(channels),
         dropout=0.0, attention_head_dim=16, n_blocks=1,
@@ -369,7 +378,7 @@ def _make_flow_pair(channels, macaron, use_cnn):
             linear_units=128, num_blocks=2, num_up_blocks=4,
             static_chunk_size=25, upsample_stride=4, dropout_rate=0.0,
             macaron_style=macaron, use_cnn_module=use_cnn,
-            cnn_module_kernel=7),
+            cnn_module_kernel=7, cnn_module_norm=cnn_norm),
         estimator=EstimatorConfig(
             in_channels=320, out_channels=80, channels=tuple(channels),
             attention_head_dim=16, n_blocks=1, num_mid_blocks=1,
@@ -472,6 +481,18 @@ def test_flow_inference_golden_macaron_cnn(monkeypatch):
     """macaron FFN + conformer conv module (layer_norm variant) parity."""
     ref, mine, params, cfg, unused = _make_flow_pair(
         channels=(64,), macaron=True, use_cnn=True)
+    assert unused == [], unused
+    want, got = _run_flow_pair(ref, mine, params, cfg, monkeypatch,
+                               streaming=False, finalize=True)
+    assert _max_abs(want, got) < 2e-3
+
+
+def test_flow_inference_golden_cnn_batch_norm(monkeypatch):
+    """conv module with torch BatchNorm1d eval stats (wenet default norm;
+    convolution.py:84-90) — running mean/var converted as parameters."""
+    ref, mine, params, cfg, unused = _make_flow_pair(
+        channels=(64,), macaron=False, use_cnn=True,
+        cnn_norm="batch_norm")
     assert unused == [], unused
     want, got = _run_flow_pair(ref, mine, params, cfg, monkeypatch,
                                streaming=False, finalize=True)
