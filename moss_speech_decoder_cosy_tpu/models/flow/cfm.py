@@ -52,12 +52,18 @@ class CausalConditionalCFM(nn.Module):
                    dt: jnp.ndarray, mu_in: jnp.ndarray, valid_in: jnp.ndarray,
                    spks_in: jnp.ndarray, cond_in: jnp.ndarray,
                    streaming: bool, attn_mask=None) -> jnp.ndarray:
-        """One Euler step with the CFG batch-of-2 (flow_matching.py:98-125)."""
+        """One Euler step with the CFG batch-of-2 (flow_matching.py:98-125).
+
+        ``x``/``dt``/``t_cur`` are in the solver dtype (f32 island when
+        ``cfg.solver_dtype == "float32"``); the estimator runs in the
+        compute dtype of ``mu_in``."""
         b = x.shape[0]
-        x_in = jnp.concatenate([x, x], axis=0)
-        t_in = jnp.full((2 * b,), t_cur, x.dtype)
+        cd = mu_in.dtype
+        x_in = jnp.concatenate([x, x], axis=0).astype(cd)
+        t_in = jnp.full((2 * b,), t_cur, cd)
         dphi = self.estimator(x_in, valid_in, mu_in, t_in, spks_in, cond_in,
-                              streaming=streaming, attn_mask=attn_mask)
+                              streaming=streaming, attn_mask=attn_mask
+                              ).astype(x.dtype)
         rate = jnp.asarray(self.cfg.inference_cfg_rate, x.dtype)
         dphi = (1.0 + rate) * dphi[:b] - rate * dphi[b:]
         return x + dt * dphi
@@ -70,15 +76,16 @@ class CausalConditionalCFM(nn.Module):
         """mu (B, T, n_mel) -> mel (B, T, n_mel) by solving the flow ODE."""
         c = self.cfg
         b, t, d = mu.shape
+        sd = jnp.float32 if c.solver_dtype == "float32" else mu.dtype
         noise = jnp.asarray(_fixed_noise(c.max_noise_len, d)[:, :t])
-        z = jnp.broadcast_to(noise, (b, t, d)).astype(mu.dtype) * temperature
+        z = jnp.broadcast_to(noise, (b, t, d)).astype(sd) * temperature
 
         if c.t_scheduler == "cosine":
             t_span = t_span_cosine(c.n_timesteps)
         else:
             t_span = np.linspace(0, 1, c.n_timesteps + 1, dtype=np.float32)
-        t_cur = jnp.asarray(t_span[:-1], mu.dtype)
-        dts = jnp.asarray(np.diff(t_span), mu.dtype)
+        t_cur = jnp.asarray(t_span[:-1], sd)
+        dts = jnp.asarray(np.diff(t_span), sd)
 
         # CFG batch-of-2: [conditioned | unconditioned] stacked on batch.
         mu_in = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)

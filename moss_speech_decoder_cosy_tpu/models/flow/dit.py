@@ -155,27 +155,28 @@ class DiTConditionalCFM(nn.Module):
                  temperature: float = 1.0) -> jnp.ndarray:
         c = self.cfg
         b, t, d = mu.shape
+        sd = jnp.float32 if c.solver_dtype == "float32" else mu.dtype
         noise = jnp.asarray(_fixed_noise(c.max_noise_len, d)[:, :t])
-        z = jnp.broadcast_to(noise, (b, t, d)).astype(mu.dtype) * temperature
+        z = jnp.broadcast_to(noise, (b, t, d)).astype(sd) * temperature
         t_span = t_span_cosine(c.n_timesteps) if c.t_scheduler == "cosine" \
             else np.linspace(0, 1, c.n_timesteps + 1, dtype=np.float32)
         mu_in = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)
         spks_in = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
         cond_in = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
         valid_in = jnp.concatenate([valid, valid], axis=0)
-        rate = jnp.asarray(c.inference_cfg_rate, mu.dtype)
+        rate = jnp.asarray(c.inference_cfg_rate, sd)
 
         def body(mdl, x, ts):
             t_i, dt_i = ts
-            x_in = jnp.concatenate([x, x], axis=0)
+            x_in = jnp.concatenate([x, x], axis=0).astype(mu.dtype)
             t_in = jnp.full((2 * b,), t_i, mu.dtype)
             dphi = mdl.estimator(x_in, valid_in, mu_in, t_in, spks_in,
-                                 cond_in, streaming=streaming)
+                                 cond_in, streaming=streaming).astype(sd)
             dphi = (1.0 + rate) * dphi[:b] - rate * dphi[b:]
             return x + dt_i * dphi, ()
 
         scan = nn.scan(body, variable_broadcast="params",
                        split_rngs={"params": False})
-        x, _ = scan(self, z, (jnp.asarray(t_span[:-1], mu.dtype),
-                              jnp.asarray(np.diff(t_span), mu.dtype)))
+        x, _ = scan(self, z, (jnp.asarray(t_span[:-1], sd),
+                              jnp.asarray(np.diff(t_span), sd)))
         return x.astype(jnp.float32)

@@ -129,28 +129,29 @@ class ConditionalCFMWithCache(nn.Module):
         mu_cache = jnp.concatenate([mu[:, :prompt_len], mu[:, -34:]], axis=1)
         new_cache = jnp.stack([z_cache, mu_cache], axis=-1)
 
-        t_span = jnp.asarray(t_span_cosine(c.n_timesteps), mu.dtype) \
+        sd = jnp.float32 if c.solver_dtype == "float32" else mu.dtype
+        t_span = jnp.asarray(t_span_cosine(c.n_timesteps), sd) \
             if c.t_scheduler == "cosine" else \
             jnp.asarray(np.linspace(0, 1, c.n_timesteps + 1, np.float32),
-                        mu.dtype)
+                        sd)
         mu_in = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)
         spks_in = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
         cond_in = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
         valid_in = jnp.concatenate([valid, valid], axis=0)
-        rate = jnp.asarray(c.inference_cfg_rate, mu.dtype)
+        rate = jnp.asarray(c.inference_cfg_rate, sd)
 
         def body(mdl, x, ts):
             t_i, dt_i = ts
-            x_in = jnp.concatenate([x, x], axis=0)
+            x_in = jnp.concatenate([x, x], axis=0).astype(mu.dtype)
             t_in = jnp.full((2 * b,), t_i, mu.dtype)
             dphi = mdl.estimator(x_in, valid_in, mu_in, t_in, spks_in,
-                                 cond_in, streaming=False)
+                                 cond_in, streaming=False).astype(sd)
             dphi = (1.0 + rate) * dphi[:b] - rate * dphi[b:]
             return x + dt_i * dphi, ()
 
         scan = nn.scan(body, variable_broadcast="params",
                        split_rngs={"params": False})
-        x, _ = scan(self, z, (t_span[:-1], jnp.diff(t_span)))
+        x, _ = scan(self, z.astype(sd), (t_span[:-1], jnp.diff(t_span)))
         return x.astype(jnp.float32), new_cache
 
 

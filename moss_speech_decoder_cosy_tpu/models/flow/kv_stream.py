@@ -494,16 +494,17 @@ class CausalConditionalCFMStep(nn.Module):
                  temperature: float = 1.0):
         c = self.cfg
         b, cf, d = mu.shape
+        sd = jnp.float32 if c.solver_dtype == "float32" else mu.dtype
         noise = jnp.asarray(_fixed_noise(c.max_noise_len, d))
         z = jax.lax.dynamic_slice(noise, (0, n_done, 0), (1, cf, d))
-        z = jnp.broadcast_to(z, (b, cf, d)).astype(mu.dtype) * temperature
+        z = jnp.broadcast_to(z, (b, cf, d)).astype(sd) * temperature
 
         if c.t_scheduler == "cosine":
             t_span = t_span_cosine(c.n_timesteps)
         else:
             t_span = np.linspace(0, 1, c.n_timesteps + 1, dtype=np.float32)
-        t_cur = jnp.asarray(t_span[:-1], mu.dtype)
-        dts = jnp.asarray(np.diff(t_span), mu.dtype)
+        t_cur = jnp.asarray(t_span[:-1], sd)
+        dts = jnp.asarray(np.diff(t_span), sd)
 
         mu_in = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)
         spks_in = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
@@ -511,11 +512,13 @@ class CausalConditionalCFMStep(nn.Module):
 
         def body(mdl, carry, xs):
             t_i, dt_i, k_s, v_s, convs_s = xs
-            x_in = jnp.concatenate([carry, carry], axis=0)
-            t_in = jnp.full((2 * b,), t_i, carry.dtype)
+            cd = mu_in.dtype
+            x_in = jnp.concatenate([carry, carry], axis=0).astype(cd)
+            t_in = jnp.full((2 * b,), t_i, cd)
             dphi, ck, cv, new_convs = mdl.estimator(
                 x_in, mu_in, t_in, spks_in, cond_in,
                 {"k": k_s, "v": v_s}, convs_s, n_done)
+            dphi = dphi.astype(carry.dtype)
             rate = jnp.asarray(mdl.cfg.inference_cfg_rate, carry.dtype)
             dphi = (1.0 + rate) * dphi[:b] - rate * dphi[b:]
             new_k = ring_write(k_s, ck, n_done)
@@ -658,12 +661,14 @@ class CausalConditionalCFMWave(nn.Module):
         S-1 <= w < S-1+k_total —, x_shifted, mu_shifted, new est cache)."""
         c = self.cfg
         s_steps, b, cf, d = x_wave.shape
+        cd = mu_wave.dtype                    # estimator compute dtype
         mu_wave = jnp.concatenate(
-            [mu_new[None].astype(mu_wave.dtype), mu_wave[:-1]], axis=0)
+            [mu_new[None].astype(cd), mu_wave[:-1]], axis=0)
         if c.t_scheduler == "cosine":
             t_span = t_span_cosine(c.n_timesteps)
         else:
             t_span = np.linspace(0, 1, c.n_timesteps + 1, dtype=np.float32)
+        # solver-dtype island: x_wave may be f32 while the estimator runs cd
         t_cur = jnp.asarray(t_span[:-1], x_wave.dtype)       # (S,)
         dts = jnp.asarray(np.diff(t_span), x_wave.dtype)
 
@@ -679,10 +684,10 @@ class CausalConditionalCFMWave(nn.Module):
         mu_in = flat(mu_wave)
         cond_in = jnp.zeros_like(mu_in)
         x_in = jnp.stack([x_wave, x_wave], axis=1).reshape(
-            s_steps * 2 * b, cf, d)
+            s_steps * 2 * b, cf, d).astype(cd)
         spks_in = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
         spks_in = jnp.tile(spks_in, (s_steps, 1))
-        t_in = jnp.repeat(t_cur, 2 * b)
+        t_in = jnp.repeat(t_cur, 2 * b).astype(cd)
         nd_in = jnp.repeat(n_dones, 2 * b)
 
         rings = est_cache["k"], est_cache["v"]
@@ -702,7 +707,7 @@ class CausalConditionalCFMWave(nn.Module):
             nd_in)
 
         rate = jnp.asarray(c.inference_cfg_rate, x_wave.dtype)
-        dphi = dphi.reshape(s_steps, 2, b, cf, d)
+        dphi = dphi.reshape(s_steps, 2, b, cf, d).astype(x_wave.dtype)
         dphi = (1.0 + rate) * dphi[:, 0] - rate * dphi[:, 1]
         x_next = x_wave + dts[:, None, None, None] * dphi    # (S,B,C,D)
 

@@ -93,8 +93,11 @@ class VDiffusion(nn.Module):
         """DDIM-style v-diffusion sampler (sampling.py:48-88) as one
         nn.scan.  eta > 0 adds fresh noise per step (needs ``rng``)."""
         b, tt, d = mu.shape
+        # DDIM state carried in f32 (cf. CFMConfig.solver_dtype rationale);
+        # the estimator still runs in mu's compute dtype.
+        sd = jnp.float32
         noise = jnp.asarray(_fixed_noise(16384, d)[:, :tt])
-        x = jnp.broadcast_to(noise, (b, tt, d)).astype(mu.dtype)
+        x = jnp.broadcast_to(noise, (b, tt, d)).astype(sd)
 
         t = np.linspace(1.0, 0.0, n_timesteps + 1, dtype=np.float32)[:-1]
         alphas, sigmas = get_alphas_sigmas(t)
@@ -109,7 +112,7 @@ class VDiffusion(nn.Module):
         keys = (jax.random.split(rng, n_timesteps) if rng is not None
                 else jnp.zeros((n_timesteps, 2), jnp.uint32))
 
-        rate = jnp.asarray(self.inference_cfg_rate, mu.dtype)
+        rate = jnp.asarray(self.inference_cfg_rate, sd)
         use_cfg = self.inference_cfg_rate > 0
         if use_cfg:
             mu_in = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)
@@ -121,14 +124,17 @@ class VDiffusion(nn.Module):
 
         def body(mdl, x, xs):
             a_i, s_i, a_n, adj_i, ddim_i, is_last, t_i, key = xs
+            cd = mu_in.dtype
             if use_cfg:
-                x_in = jnp.concatenate([x, x], axis=0)
-                t_in = jnp.full((2 * b,), t_i, x.dtype)
-                v = mdl._v(x_in, valid_in, mu_in, t_in, spks_in, cond_in)
+                x_in = jnp.concatenate([x, x], axis=0).astype(cd)
+                t_in = jnp.full((2 * b,), t_i, cd)
+                v = mdl._v(x_in, valid_in, mu_in, t_in, spks_in, cond_in
+                           ).astype(x.dtype)
                 v = (1.0 + rate) * v[:b] - rate * v[b:]
             else:
-                v = mdl._v(x, valid_in, mu_in,
-                           jnp.full((b,), t_i, x.dtype), spks_in, cond_in)
+                v = mdl._v(x.astype(cd), valid_in, mu_in,
+                           jnp.full((b,), t_i, cd), spks_in, cond_in
+                           ).astype(x.dtype)
             pred = x * a_i - v * s_i
             eps = x * s_i + v * a_i
             x_next = pred * a_n + eps * adj_i

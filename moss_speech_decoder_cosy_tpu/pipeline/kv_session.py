@@ -314,7 +314,8 @@ class KVStreamDecoder:
         noise = _fixed_noise(cfg.cfm.max_noise_len, n_mel)
         x_wave = np.zeros((s_steps, 1, cf, n_mel), np.float32)
         x_wave[0] = noise[:, base_frames: base_frames + cf]
-        x_wave = jnp.asarray(x_wave, dt)
+        sd = jnp.float32 if cfg.cfm.solver_dtype == "float32" else dt
+        x_wave = jnp.asarray(x_wave, sd)
         mu_wave = jnp.zeros((s_steps, 1, cf, n_mel), dt)
 
         need = k + s_steps - 1

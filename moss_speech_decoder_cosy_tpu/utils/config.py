@@ -74,6 +74,13 @@ class CFMConfig:
     inference_cfg_rate: float = 0.7
     n_timesteps: int = 10
     max_noise_len: int = 15000           # rand_noise buffer (flow_matching.py:203)
+    # ODE solver state dtype: "float32" keeps the Euler carry, the CFG
+    # combine and the t/dt schedule in f32 while the estimator runs in the
+    # compute dtype (bf16 serving).  10 Euler steps accumulate O(2^-8)
+    # rounding per step in bf16; the f32 island costs only elementwise ops
+    # on (B, T, 80).  "compute" follows the input dtype (pre-ablation
+    # behavior, kept for the BENCH_NOTES dtype table).
+    solver_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)
