@@ -191,12 +191,14 @@ class AudioDecoder:
     def kv_stream_decoder(self, prompt_token=None, prompt_feat=None,
                           embedding=None, block_size: Optional[int] = None,
                           ring_tokens: Optional[int] = None,
-                          token_cap: int = 2048):
+                          token_cap: int = 2048, batch: int = 1):
         """Incremental KV-cached streaming decoder (pipeline/kv_session.py):
         every token runs through the flow ONCE (vs the reference's 8x
         windowed re-decode); ``ring_tokens`` sets the banded attention left
         context (defaults to max_token_len - block_size, matching the
-        windowed session's context size)."""
+        windowed session's context size).  ``batch > 1`` decodes that many
+        lockstep streams (per-stream prompts: pass arrays with leading dim
+        ``batch``; a leading dim of 1 is shared across streams)."""
         from .kv_session import KVStreamDecoder
         prompt_token, prompt_feat, embedding = self._defaults(
             prompt_token, prompt_feat, embedding)
@@ -205,7 +207,7 @@ class AudioDecoder:
             ring_tokens = self.pipe_cfg.max_token_len - hop
         return KVStreamDecoder(self, prompt_token, prompt_feat, embedding,
                                hop, ring_tokens=ring_tokens,
-                               token_cap=token_cap)
+                               token_cap=token_cap, batch=batch)
 
 
 class StreamSession:

@@ -48,6 +48,7 @@ class BulkVocoder:
         self._fade_out = jnp.asarray(win[self.scl:])
         self._fn = jax.jit(self._impl,
                            static_argnames=("n_steady", "tail_frames"))
+        self._vfn = None                   # lazy vmapped multi-stream form
 
     def _hift_source(self, params, mel):
         return self.dec.hift.apply(params, mel, jax.random.PRNGKey(0),
@@ -107,9 +108,18 @@ class BulkVocoder:
 
     def vocode(self, hift_params, mel: jnp.ndarray,
                plan: Tuple[int, ...]) -> jnp.ndarray:
-        """plan: per-hop emit mel-frame counts, [F, F, ..., F, tail]."""
+        """plan: per-hop emit mel-frame counts, [F, F, ..., F, tail].
+        mel (B, Tm, D): B > 1 vocodes B lockstep streams (vmapped —
+        identical per-stream semantics)."""
         assert all(p == self.F for p in plan[:-1]), plan
         n_steady = max(len(plan) - 2, 0)
         tail = plan[-1] if len(plan) > 1 else 0
+        if mel.shape[0] > 1:
+            if self._vfn is None:
+                self._vfn = jax.jit(jax.vmap(
+                    lambda p, m, n, t: self._impl(p, m[None], n, t)[0],
+                    in_axes=(None, 0, None, None)),
+                    static_argnums=(2, 3))
+            return self._vfn(hift_params, mel, n_steady, tail)
         return self._fn(hift_params, mel, n_steady=n_steady,
                         tail_frames=tail)

@@ -47,13 +47,14 @@ class KVStreamDecoder:
     def __init__(self, dec, prompt_token: np.ndarray,
                  prompt_feat: np.ndarray, embedding: np.ndarray,
                  block_size: int, ring_tokens: int = 35,
-                 token_cap: int = 2048):
+                 token_cap: int = 2048, batch: int = 1):
         self.dec = dec
         self.hop = block_size
         self.ring_tokens = ring_tokens
         self.la = dec.lookahead
         self.ratio = dec.ratio
         self.p = int(prompt_token.shape[1])
+        self.b = batch
         cfg = dec.flow_cfg
         self.n_mel = cfg.output_size
         self.mel_cache_len = dec.pipe_cfg.mel_cache_len
@@ -61,9 +62,12 @@ class KVStreamDecoder:
         dt = dec.compute_dtype or jnp.float32
         self.dt = dt
 
-        self._prompt_tok = jnp.asarray(prompt_token, jnp.int32)
-        self._prompt_feat = jnp.asarray(prompt_feat).astype(dt)
-        self._emb = jnp.asarray(embedding).astype(dt)
+        def _bcast(a):                 # share one prompt across B streams
+            return (jnp.broadcast_to(a, (batch,) + a.shape[1:])
+                    if a.shape[0] == 1 and batch > 1 else a)
+        self._prompt_tok = _bcast(jnp.asarray(prompt_token, jnp.int32))
+        self._prompt_feat = _bcast(jnp.asarray(prompt_feat).astype(dt))
+        self._emb = _bcast(jnp.asarray(embedding).astype(dt))
         pe_tok, pe_mel = pe_tables(cfg, token_cap + self.p + 16)
         self._pe_tok = pe_tok
         self._pe_mel = pe_mel
@@ -87,7 +91,6 @@ class KVStreamDecoder:
         self._wave_model = KVFlowWaveStep(cfg)
         self._enc_hop = jax.jit(self._enc_hop_impl,
                                 static_argnames=("emit_tokens",))
-        self._wave = jax.jit(self._wave_model.apply)
         self._wave_scan = jax.jit(self._wave_scan_impl,
                                   static_argnames=("n_iters",))
         self._spk = jax.jit(
@@ -98,9 +101,10 @@ class KVStreamDecoder:
                       emit_tokens: int):
         """Encoder-only hop for the wavefront loop (steady chunks)."""
         off = n_tok - self.p
-        chunk = jax.lax.dynamic_slice(token_buf, (0, off), (1, emit_tokens))
+        chunk = jax.lax.dynamic_slice(token_buf, (0, off),
+                                      (self.b, emit_tokens))
         ctx = jax.lax.dynamic_slice(token_buf, (0, off + emit_tokens),
-                                    (1, self.la))
+                                    (self.b, self.la))
         return self._enc_model.apply(flow_params, chunk, ctx, enc_cache,
                                      n_tok, self._pe_tok, self._pe_mel,
                                      finalize=False)
@@ -108,18 +112,18 @@ class KVStreamDecoder:
     # ------------------------------------------------------------------
     def init_state(self) -> Tuple[dict, KVVocState]:
         cache = init_kv_cache(self.dec.flow_cfg, self.ring_tokens,
-                              batch=1, dtype=self.dt)
+                              batch=self.b, dtype=self.dt)
         voc = KVVocState(
-            mel_cache=jnp.zeros((1, self.mel_cache_len, self.n_mel)),
-            source_cache=jnp.zeros((1, self.scl, 1)),
-            speech_cache=jnp.zeros((1, self.scl)),
+            mel_cache=jnp.zeros((self.b, self.mel_cache_len, self.n_mel)),
+            source_cache=jnp.zeros((self.b, self.scl, 1)),
+            speech_cache=jnp.zeros((self.b, self.scl)),
         )
         return cache, voc
 
     def _prefill_impl(self, flow_params, token_buf, cache):
         """Prompt prefill: one chunk of p tokens with the first `la` stream
         tokens as lookahead context; warms every ring, emits nothing."""
-        ctx = jax.lax.dynamic_slice(token_buf, (0, 0), (1, self.la))
+        ctx = jax.lax.dynamic_slice(token_buf, (0, 0), (self.b, self.la))
         _, cache = self._kv.apply(flow_params, self._prompt_tok, ctx,
                                   self._prompt_feat, self._emb, cache,
                                   self._pe_tok, self._pe_mel,
@@ -131,13 +135,15 @@ class KVStreamDecoder:
         """One flow hop: slice the next chunk (+context) from the device
         token buffer at the cache's own position and run the KV step."""
         off = cache["n_tok"] - self.p
-        chunk = jax.lax.dynamic_slice(token_buf, (0, off), (1, emit_tokens))
+        chunk = jax.lax.dynamic_slice(token_buf, (0, off),
+                                      (self.b, emit_tokens))
         if finalize:
-            ctx = jnp.zeros((1, self.la), jnp.int32)
+            ctx = jnp.zeros((self.b, self.la), jnp.int32)
         else:
             ctx = jax.lax.dynamic_slice(token_buf, (0, off + emit_tokens),
-                                        (1, self.la))
-        cond = jnp.zeros((1, emit_tokens * self.ratio, self.n_mel), self.dt)
+                                        (self.b, self.la))
+        cond = jnp.zeros((self.b, emit_tokens * self.ratio, self.n_mel),
+                         self.dt)
         mel, cache = self._kv.apply(flow_params, chunk, ctx, cond,
                                     self._emb, cache, self._pe_tok,
                                     self._pe_mel, finalize=finalize)
@@ -229,7 +235,7 @@ class KVStreamDecoder:
                             self.dec.flow_params, token_buf, cache,
                             n_hops=bucket, emit_tokens=emit_tokens)
                         mels.append(ms.transpose(1, 0, 2, 3).reshape(
-                            1, -1, ms.shape[-1]))
+                            self.b, -1, ms.shape[-1]))
                         done += bucket
                 for _ in range(run - done):
                     mel, cache = self._hop(self.dec.flow_params, token_buf,
@@ -252,7 +258,16 @@ class KVStreamDecoder:
         iteration.  No per-iteration host traffic — the round-trip relay in
         this environment makes per-hop dispatches the bottleneck
         (BENCH_NOTES.md).  Extra iterations beyond k+S-1 are dead (masked
-        writes, garbage exits) so n_iters can be bucketed."""
+        writes, garbage exits) so n_iters can be bucketed.
+
+        Note on the ring-write scheme: the O(ring) one-hot read-modify-
+        write per iteration was benchmarked against (a) rotated-storage
+        dynamic_update_slice writes (with and without enable write-back)
+        and (b) a delayed-pending write-before-read variant intended to
+        let XLA update the carried rings in place; BOTH measured SLOWER
+        end-to-end on this TPU stack (one-hot 6.7 ms/iter vs 7.8-15 —
+        XLA copies scan-carried buffers regardless of write order here),
+        so the one-hot form stays."""
         hop = self.hop
         cf = hop * self.ratio
         n_mel = self.n_mel
@@ -270,7 +285,8 @@ class KVStreamDecoder:
 
             def skip_enc(args):
                 enc_c, n_tok = args
-                return (jnp.zeros((1, cf, n_mel), self.dt), enc_c, n_tok)
+                return (jnp.zeros((self.b, cf, n_mel), self.dt),
+                        enc_c, n_tok)
 
             mu_new, enc_c, n_tok = jax.lax.cond(
                 w < k_total, run_enc, skip_enc, (enc_c, n_tok))
@@ -279,19 +295,19 @@ class KVStreamDecoder:
                 base_frames)
             return (x, mu_w, est_c, enc_c, n_tok), exit_mel
 
-        s_steps = self.dec.flow_cfg.cfm.n_timesteps
         carry0 = (x_wave, mu_wave, est, enc_cache,
                   jnp.asarray(self.p, jnp.int32))
         (x, mu_w, est, enc_cache, n_tok), mels = jax.lax.scan(
             body, carry0, jnp.arange(n_iters, dtype=jnp.int32))
-        del x, mu_w, s_steps
+        del x, mu_w
         return mels, est, enc_cache, n_tok
 
     def _slices(self, token_buf, n_tok, emit_tokens):
         off = n_tok - self.p
-        chunk = jax.lax.dynamic_slice(token_buf, (0, off), (1, emit_tokens))
+        chunk = jax.lax.dynamic_slice(token_buf, (0, off),
+                                      (self.b, emit_tokens))
         ctx = jax.lax.dynamic_slice(token_buf, (0, off + emit_tokens),
-                                    (1, self.la))
+                                    (self.b, self.la))
         return chunk, ctx
 
     def _flow_mels_wave(self, token_buf, cache, plan):
@@ -312,11 +328,11 @@ class KVStreamDecoder:
 
         spks = self._spk(d.flow_params, self._emb)
         noise = _fixed_noise(cfg.cfm.max_noise_len, n_mel)
-        x_wave = np.zeros((s_steps, 1, cf, n_mel), np.float32)
+        x_wave = np.zeros((s_steps, self.b, cf, n_mel), np.float32)
         x_wave[0] = noise[:, base_frames: base_frames + cf]
         sd = jnp.float32 if cfg.cfm.solver_dtype == "float32" else dt
         x_wave = jnp.asarray(x_wave, sd)
-        mu_wave = jnp.zeros((s_steps, 1, cf, n_mel), dt)
+        mu_wave = jnp.zeros((s_steps, self.b, cf, n_mel), dt)
 
         need = k + s_steps - 1
         n_iters = max(16, ((need + 15) // 16) * 16)  # bucketed program count
@@ -326,7 +342,7 @@ class KVStreamDecoder:
             k_total=jnp.asarray(k, jnp.int32),
             base_frames=jnp.asarray(base_frames, jnp.int32))
         mels = [mels_all[s_steps - 1: s_steps - 1 + k]
-                .transpose(1, 0, 2, 3).reshape(1, -1, n_mel)]
+                .transpose(1, 0, 2, 3).reshape(self.b, -1, n_mel)]
 
         cache = {"enc": enc_cache, "est": est, "n_tok": n_tok}
         if plan and plan[-1][1]:
@@ -348,10 +364,10 @@ class KVStreamDecoder:
         (pipeline/bulk_voc.py) — identical output, far less per-hop op
         overhead; disable to exercise the per-hop path."""
         tokens = np.asarray(tokens)
-        assert tokens.shape[0] == 1
+        assert tokens.shape[0] == self.b, (tokens.shape, self.b)
         n = int(tokens.shape[1])
         cap = n + self.hop + self.la + 1
-        buf = np.zeros((1, cap), np.int32)
+        buf = np.zeros((self.b, cap), np.int32)
         buf[:, :n] = tokens
         token_buf = jnp.asarray(buf)
         cache, voc = self.init_state()
@@ -415,7 +431,7 @@ class KVStreamDecoder:
         tokens = np.asarray(tokens)
         n = int(tokens.shape[1])
         cap = n + self.hop + self.la + 1
-        buf = np.zeros((1, cap), np.int32)
+        buf = np.zeros((self.b, cap), np.int32)
         buf[:, :n] = tokens
         token_buf = jnp.asarray(buf)
         cache, voc = self.init_state()

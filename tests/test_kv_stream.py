@@ -235,6 +235,78 @@ def test_wavefront_matches_sequential_kv():
     np.testing.assert_allclose(wave, seq, atol=1e-4)
 
 
+def test_wavefront_hop_aligned_prompts_match_sequential():
+    """Wavefront == sequential also for hop-aligned / empty prompts
+    (p=0 exercises the no-prefill entry; p=3 a hop-multiple prompt —
+    complements the p=2 case above)."""
+    from moss_speech_decoder_cosy_tpu.utils.config import (
+        tiny_hift_config, PipelineConfig)
+    from moss_speech_decoder_cosy_tpu.models.hift import HiFTGenerator
+    from moss_speech_decoder_cosy_tpu.pipeline import AudioDecoder
+
+    for p in (0, 3):                       # base_frames = 0, 12; cf = 12
+        n, hop, ring_t = 34, 3, 6
+        cfg, flow, params, tokens, prompt_feat, emb, valid = _setup(
+            p=p, n=n)
+        hcfg = tiny_hift_config()
+        hift = HiFTGenerator(hcfg)
+        hift_params = hift.init(jax.random.PRNGKey(2),
+                                jnp.zeros((1, 8, hcfg.in_channels)))
+        pipe = PipelineConfig(block_size=hop, mel_cache_len=2,
+                              max_token_len=9)
+        dec = AudioDecoder(cfg, hcfg, params, hift_params, pipe)
+        kv = dec.kv_stream_decoder(tokens[:, :p], prompt_feat,
+                                   emb, block_size=hop,
+                                   ring_tokens=ring_t, token_cap=64)
+        seq = kv.stream_decode(tokens[:, p:], bulk_voc=True,
+                               wavefront=False)
+        wave = kv.stream_decode(tokens[:, p:], bulk_voc=True,
+                                wavefront=True)
+        assert wave.shape == seq.shape
+        np.testing.assert_allclose(wave, seq, atol=1e-4,
+                                   err_msg=f"p={p}")
+
+
+def test_kv_batched_streams_match_independent():
+    """kv_stream_decoder(batch=B): B lockstep streams with distinct token
+    sequences and speakers produce the SAME waveforms as B independent
+    batch-1 sessions (both wavefront and sequential flow paths)."""
+    from moss_speech_decoder_cosy_tpu.utils.config import (
+        tiny_hift_config, PipelineConfig)
+    from moss_speech_decoder_cosy_tpu.models.hift import HiFTGenerator
+    from moss_speech_decoder_cosy_tpu.pipeline import AudioDecoder
+
+    p, n, hop, ring_t, b = 2, 34, 3, 6, 3
+    cfg, flow, params, tokens, prompt_feat, emb, valid = _setup(p=p, n=n)
+    rng = np.random.RandomState(7)
+    toks_b = rng.randint(0, cfg.vocab_size, (b, p + n)).astype(np.int32)
+    embs_b = rng.randn(b, cfg.spk_embed_dim).astype(np.float32)
+    feat_b = np.repeat(prompt_feat, b, axis=0)
+
+    hcfg = tiny_hift_config()
+    hift = HiFTGenerator(hcfg)
+    hift_params = hift.init(jax.random.PRNGKey(2),
+                            jnp.zeros((1, 8, hcfg.in_channels)))
+    pipe = PipelineConfig(block_size=hop, mel_cache_len=2, max_token_len=9)
+    dec = AudioDecoder(cfg, hcfg, params, hift_params, pipe)
+
+    kvb = dec.kv_stream_decoder(toks_b[:, :p], feat_b, embs_b,
+                                block_size=hop, ring_tokens=ring_t,
+                                token_cap=64, batch=b)
+    for wavefront in (True, False):
+        got = kvb.stream_decode(toks_b[:, p:], wavefront=wavefront)
+        assert got.shape[0] == b
+        for i in range(b):
+            kv1 = dec.kv_stream_decoder(
+                toks_b[i: i + 1, :p], prompt_feat, embs_b[i: i + 1],
+                block_size=hop, ring_tokens=ring_t, token_cap=64)
+            want = kv1.stream_decode(toks_b[i: i + 1, p:],
+                                     wavefront=wavefront)
+            np.testing.assert_allclose(got[i: i + 1], want, atol=1e-5,
+                                       err_msg=f"wavefront={wavefront} "
+                                               f"stream={i}")
+
+
 def test_kv_vs_windowed_deviation_quantified():
     """The KV path deviates from the reference's windowed re-decode by
     design (each frame is computed once under a banded mask instead of
