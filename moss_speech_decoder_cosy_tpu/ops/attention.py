@@ -111,6 +111,10 @@ class UNetAttention(nn.Module):
         k = k.reshape(b, t, self.heads, self.head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(b, t, self.heads, self.head_dim).transpose(0, 2, 1, 3)
         if flash_chunk >= 0:
+            # (B,H,T,dk) kernel entry; the feature-last variant
+            # (flash_chunk_attention_fl) avoids these transposes but its
+            # in-kernel per-head loop (dk=64 slices) measured SLOWER
+            # end-to-end (38.6 vs 24 ms at T=1500) — see BENCH_NOTES
             from .pallas_attention import flash_chunk_attention
             out = flash_chunk_attention(
                 q, k, v, chunk_size=flash_chunk,

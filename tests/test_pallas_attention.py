@@ -23,6 +23,28 @@ def test_flash_matches_xla(t, chunk):
                                atol=2e-5)
 
 
+@pytest.mark.parametrize("t,chunk", [(128, 0), (200, 50)])
+def test_flash_feature_last_matches_xla(t, chunk):
+    """flash_chunk_attention_fl: heads-in-feature-axis entry (no
+    transposes) == the (B,H,T,dk) XLA golden."""
+    from moss_speech_decoder_cosy_tpu.ops.pallas_attention import (
+        flash_chunk_attention_fl)
+    rng = np.random.RandomState(2)
+    b, h, dk = 2, 4, 64
+    q4 = rng.randn(b, h, t, dk).astype(np.float32) * 0.3
+    k4 = rng.randn(b, h, t, dk).astype(np.float32) * 0.3
+    v4 = rng.randn(b, h, t, dk).astype(np.float32)
+    to_fl = lambda a: jnp.asarray(
+        a.transpose(0, 2, 1, 3).reshape(b, t, h * dk))
+    got = flash_chunk_attention_fl(to_fl(q4), to_fl(k4), to_fl(v4),
+                                   heads=h, chunk_size=chunk,
+                                   interpret=True)
+    want = xla_chunk_attention(jnp.asarray(q4), jnp.asarray(k4),
+                               jnp.asarray(v4), chunk_size=chunk)
+    want = np.asarray(want).transpose(0, 2, 1, 3).reshape(b, t, h * dk)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
 def test_flash_bf16():
     rng = np.random.RandomState(1)
     q = jnp.asarray(rng.randn(1, 2, 128, 64), jnp.bfloat16)
