@@ -53,6 +53,16 @@ class KVCache:
     length: jnp.ndarray      # () i32
 
 
+@flax.struct.dataclass
+class SlotKVCache:
+    """Per-slot KV cache for continuous batching: every batch row is an
+    independent request at its own position (vLLM-role serving —
+    serving/lm_server.py)."""
+    k: jnp.ndarray           # (L, B, H_kv, max_len, dk)
+    v: jnp.ndarray
+    lengths: jnp.ndarray     # (B,) i32
+
+
 def _rope(x: jnp.ndarray, positions: jnp.ndarray,
           theta: float) -> jnp.ndarray:
     """x: (B, H, T, dk); positions: (T,) absolute."""
@@ -61,6 +71,19 @@ def _rope(x: jnp.ndarray, positions: jnp.ndarray,
     ang = positions[:, None] * inv[None, :]              # (T, dk/2)
     cos = jnp.cos(ang)[None, None].astype(x.dtype)
     sin = jnp.sin(ang)[None, None].astype(x.dtype)
+    x1, x2 = x[..., : dk // 2], x[..., dk // 2:]
+    return jnp.concatenate([x1 * cos - x2 * sin,
+                            x2 * cos + x1 * sin], axis=-1)
+
+
+def _rope_b(x: jnp.ndarray, positions: jnp.ndarray,
+            theta: float) -> jnp.ndarray:
+    """x: (B, H, T, dk); positions: (B, T) per-sample absolute."""
+    dk = x.shape[-1]
+    inv = 1.0 / (theta ** (jnp.arange(0, dk, 2) / dk))
+    ang = positions[..., None] * inv[None, None, :]      # (B, T, dk/2)
+    cos = jnp.cos(ang)[:, None].astype(x.dtype)
+    sin = jnp.sin(ang)[:, None].astype(x.dtype)
     x1, x2 = x[..., : dk // 2], x[..., dk // 2:]
     return jnp.concatenate([x1 * cos - x2 * sin,
                             x2 * cos + x1 * sin], axis=-1)
@@ -103,10 +126,12 @@ class Qwen2Layer(nn.Module):
 
     def attend(self, x, positions, k_all, v_all, mask_bias):
         """x (B,T,D); k_all/v_all (B,Hkv,S,dk) full key/value set
-        (already rotary-encoded); mask_bias (1,1,T,S)."""
+        (already rotary-encoded); mask_bias (1|B,1,T,S).  ``positions``
+        may be (T,) shared or (B,T) per-slot (continuous batching)."""
         c = self.cfg
+        rope = _rope_b if positions.ndim == 2 else _rope
         q = self._heads(self.q_proj(x), c.num_heads)
-        q = _rope(q, positions, c.rope_theta)
+        q = rope(q, positions, c.rope_theta)
         rep = c.num_heads // c.num_kv_heads
         k = jnp.repeat(k_all, rep, axis=1)
         v = jnp.repeat(v_all, rep, axis=1)
@@ -119,8 +144,9 @@ class Qwen2Layer(nn.Module):
 
     def kv(self, x, positions):
         c = self.cfg
+        rope = _rope_b if positions.ndim == 2 else _rope
         k = self._heads(self.k_proj(x), c.num_kv_heads)
-        k = _rope(k, positions, c.rope_theta)
+        k = rope(k, positions, c.rope_theta)
         v = self._heads(self.v_proj(x), c.num_kv_heads)
         return k, v
 
@@ -157,6 +183,95 @@ class Qwen2Model(nn.Module):
         return KVCache(k=jnp.zeros(shape, dtype),
                        v=jnp.zeros(shape, dtype),
                        length=jnp.zeros((), jnp.int32))
+
+    # ------------------------------------------------------ slot serving
+    def init_slot_cache(self, batch: int, dtype=None) -> SlotKVCache:
+        c = self.cfg
+        if dtype is None:
+            dtype = self.embed_tokens.embedding.dtype
+        shape = (c.num_layers, batch, c.num_kv_heads, c.max_seq_len,
+                 c.head_dim)
+        return SlotKVCache(k=jnp.zeros(shape, dtype),
+                           v=jnp.zeros(shape, dtype),
+                           lengths=jnp.zeros((batch,), jnp.int32))
+
+    def prefill_slot(self, cache: SlotKVCache, slot: jnp.ndarray,
+                     embeds: jnp.ndarray, n_valid: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, SlotKVCache]:
+        """Prefill ONE slot with a fresh prompt (positions start at 0, so
+        the write is a plain dynamic_update_slice at the slot row).
+        embeds (1, P, D) right-padded to a bucket; n_valid () true length.
+        Returns (hidden at the last valid position (1, D), cache)."""
+        c = self.cfg
+        p = embeds.shape[1]
+        positions = jnp.arange(p)
+        allow = (jnp.arange(p)[None, :] <= positions[:, None]) \
+            & (jnp.arange(p)[None, :] < n_valid)
+        bias = jnp.where(allow, 0.0, -1e10)[None, None]
+
+        x = embeds
+        ks, vs = [], []
+        for layer in self.layers:
+            h = layer.input_layernorm(x)
+            k_new, v_new = layer.kv(h, positions)     # (1, Hkv, P, dk)
+            ks.append(k_new)
+            vs.append(v_new)
+            x = x + layer.attend(h, positions, k_new, v_new, bias)
+            h2 = layer.post_attention_layernorm(x)
+            x = x + layer.down_proj(jax.nn.silu(layer.gate_proj(h2))
+                                    * layer.up_proj(h2))
+        x = self.norm(x)
+        k_stack = jnp.stack(ks).astype(cache.k.dtype)  # (L, 1, Hkv, P, dk)
+        v_stack = jnp.stack(vs).astype(cache.v.dtype)
+        k_c = jax.lax.dynamic_update_slice(cache.k, k_stack,
+                                           (0, slot, 0, 0, 0))
+        v_c = jax.lax.dynamic_update_slice(cache.v, v_stack,
+                                           (0, slot, 0, 0, 0))
+        lengths = cache.lengths.at[slot].set(n_valid)
+        last = jax.lax.dynamic_slice(x, (0, n_valid - 1, 0),
+                                     (1, 1, x.shape[-1]))[:, 0]
+        return last, SlotKVCache(k=k_c, v=v_c, lengths=lengths)
+
+    def decode_step_slots(self, embeds: jnp.ndarray, cache: SlotKVCache,
+                          advance: Optional[jnp.ndarray] = None
+                          ) -> Tuple[jnp.ndarray, SlotKVCache]:
+        """One decode step for ALL slots: embeds (B, 1, D), each slot at
+        its own position.  Writes use a one-hot contraction at per-slot
+        positions (cf. models/flow/kv_stream.ring_write rationale).
+        ``advance`` (B,) bool: slots with False keep their length
+        (finished slots overwrite the same position harmlessly).
+        Returns (hidden (B, D), cache)."""
+        c = self.cfg
+        s = c.max_seq_len
+        lengths = cache.lengths
+        positions = lengths[:, None]                       # (B, 1)
+        oh = jax.nn.one_hot(lengths, s, dtype=cache.k.dtype)  # (B, S)
+        keep = (1.0 - oh)[:, None, :, None]                # (B, 1, S, 1)
+        put = oh[:, None, :, None]
+        key_pos = jnp.arange(s)
+        allow = key_pos[None, :] <= lengths[:, None]       # (B, S)
+        bias = jnp.where(allow, 0.0, -1e10)[:, None, None, :]
+
+        x = embeds
+        k_cache, v_cache = cache.k, cache.v
+        for i, layer in enumerate(self.layers):
+            h = layer.input_layernorm(x)
+            k_new, v_new = layer.kv(h, positions)          # (B, Hkv, 1, dk)
+            k_cache = k_cache.at[i].set(
+                k_cache[i] * keep + k_new.astype(k_cache.dtype) * put)
+            v_cache = v_cache.at[i].set(
+                v_cache[i] * keep + v_new.astype(v_cache.dtype) * put)
+            x = x + layer.attend(h, positions, k_cache[i], v_cache[i],
+                                 bias)
+            h2 = layer.post_attention_layernorm(x)
+            x = x + layer.down_proj(jax.nn.silu(layer.gate_proj(h2))
+                                    * layer.up_proj(h2))
+        x = self.norm(x)[:, 0]
+        if advance is None:
+            new_len = lengths + 1
+        else:
+            new_len = lengths + advance.astype(jnp.int32)
+        return x, SlotKVCache(k=k_cache, v=v_cache, lengths=new_len)
 
     def forward_embeds(self, embeds: jnp.ndarray, cache: KVCache,
                        n_valid: Optional[jnp.ndarray] = None

@@ -188,3 +188,48 @@ def test_bistream_flush():
     # flush with no text at all is a no-op
     sess2 = BistreamSession(m, params, jax.random.PRNGKey(7))
     assert sess2.flush() == []
+
+
+def test_continuous_batcher_matches_generate():
+    """ContinuousBatcher (serving/lm_server.py): requests admitted at
+    different times into a shared slot pool produce token streams
+    IDENTICAL to per-request Qwen2SpeechLM.generate with the same seed —
+    co-batched neighbors, admission order, and slot reuse cannot change
+    any request's output."""
+    from moss_speech_decoder_cosy_tpu.serving.lm_server import (
+        ContinuousBatcher)
+    cfg = tiny_speech_lm_config()
+    m = Qwen2SpeechLM(cfg)
+    rng = np.random.RandomState(3)
+    texts = [rng.randint(0, 100, (1, n)) for n in (4, 6, 3)]
+    seeds = [11, 22, 33]
+    ps = jnp.zeros((1, 0), jnp.int32)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(texts[0]), ps,
+                    jax.random.PRNGKey(1), max_len=8)
+
+    want = []
+    for text, seed in zip(texts, seeds):
+        toks, n = m.apply(params, jnp.asarray(text), ps,
+                          jax.random.PRNGKey(seed), max_len=48)
+        want.append([int(t) for t in np.asarray(toks)[: int(n)]])
+
+    # slots=2 forces request 2 to wait for a free slot (reuse path);
+    # request 1 is admitted after request 0 already decoded a chunk
+    bat = ContinuousBatcher(m, params, slots=2, step_chunk=4,
+                            text_buckets=(8,), speech_buckets=(0,))
+    s0 = bat.submit(texts[0], seed=seeds[0], max_len=48)
+    bat.step()                                 # r0 decodes alone first
+    s1 = bat.submit(texts[1], seed=seeds[1], max_len=48)
+    s2 = None
+    for _ in range(200):
+        bat.step()
+        if s2 is None and (bat.finished(s0) or bat.finished(s1)):
+            s2 = bat.submit(texts[2], seed=seeds[2], max_len=48)
+        if s2 is not None and all(bat.finished(s)
+                                  for s in (s0, s1, s2)):
+            break
+    assert s2 is not None, "no slot freed for request 2"
+    got = [bat.result(s0), bat.result(s1), bat.result(s2)]
+    assert got[0] == want[0]
+    assert got[1] == want[1]
+    assert got[2] == want[2]
