@@ -114,6 +114,41 @@ class WhisperVQDecoder(nn.Module):
         return x @ embed.embedding.T                     # tied projection
 
 
+class WhisperAudioClassifier(nn.Module):
+    """Sequence-classification head over encoder states
+    (WhisperForAudioClassification, modeling_whisper.py:2653-2762):
+    optional softmax-weighted layer sum -> projector -> mean pool ->
+    classifier.
+
+    ``states``: (B, T, D) final encoder states, or (B, L, T, D) stacked
+    per-layer states when ``use_weighted_layer_sum``.  ``valid`` masks the
+    pooled mean (the reference pools padding too; pass None to match it
+    exactly)."""
+
+    cfg: WhisperVQConfig
+    num_labels: int
+    classifier_proj_size: int = 256
+    use_weighted_layer_sum: bool = False
+
+    @nn.compact
+    def __call__(self, states: jnp.ndarray,
+                 valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        if self.use_weighted_layer_sum:
+            n = states.shape[1]
+            w = self.param("layer_weights",
+                           nn.initializers.constant(1.0 / n), (n,))
+            w = jax.nn.softmax(w)
+            states = jnp.einsum("bltd,l->btd", states, w)
+        h = nn.Dense(self.classifier_proj_size, name="projector")(states)
+        if valid is None:
+            pooled = jnp.mean(h, axis=1)
+        else:
+            m = valid[..., None].astype(h.dtype)
+            pooled = jnp.sum(h * m, axis=1) / jnp.maximum(
+                jnp.sum(m, axis=1), 1.0)
+        return nn.Dense(self.num_labels, name="classifier")(pooled)
+
+
 def asr_ce_loss(logits: jnp.ndarray, labels: jnp.ndarray,
                 valid: jnp.ndarray) -> jnp.ndarray:
     logp = jax.nn.log_softmax(logits)

@@ -220,3 +220,40 @@ def test_asr_longform_transcribe_stitches_segments():
     # repetition detector: degenerate repeats compress far better
     assert compression_ratio(np.zeros(64, np.int32)) > \
         compression_ratio(np.arange(64, dtype=np.int32))
+
+
+def test_audio_classifier_head():
+    """WhisperForAudioClassification role (modeling_whisper.py:2653-2762):
+    weighted layer sum + projector + mean pool + classifier."""
+    from moss_speech_decoder_cosy_tpu.tokenizer.asr_decoder import (
+        WhisperAudioClassifier)
+    from moss_speech_decoder_cosy_tpu.tokenizer.config import (
+        tiny_tokenizer_config)
+    cfg = tiny_tokenizer_config()
+    rng = np.random.RandomState(0)
+    b, t, d = 2, 12, cfg.d_model
+
+    head = WhisperAudioClassifier(cfg, num_labels=5,
+                                  classifier_proj_size=16)
+    states = jnp.asarray(rng.randn(b, t, d), jnp.float32)
+    params = head.init(jax.random.PRNGKey(0), states)
+    logits = head.apply(params, states)
+    assert logits.shape == (2, 5)
+    # masked pooling ignores padded frames
+    valid = jnp.asarray([[True] * t, [True] * 5 + [False] * (t - 5)])
+    l2 = head.apply(params, states, valid)
+    l2b = head.apply(params, states.at[1, 5:].set(123.0), valid)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l2b), atol=1e-5)
+
+    # weighted layer sum with uniform init == plain mean of layer states
+    headw = WhisperAudioClassifier(cfg, num_labels=5,
+                                   classifier_proj_size=16,
+                                   use_weighted_layer_sum=True)
+    stack = jnp.asarray(rng.randn(b, 3, t, d), jnp.float32)
+    pw = headw.init(jax.random.PRNGKey(1), stack)
+    got = headw.apply(pw, stack)
+    pw_flat = {"params": dict(pw["params"])}
+    del pw_flat["params"]["layer_weights"]
+    want = head.apply({"params": pw_flat["params"]}, stack.mean(axis=1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)
