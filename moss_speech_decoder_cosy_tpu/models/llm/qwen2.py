@@ -257,6 +257,9 @@ class Qwen2Model(nn.Module):
         for i, layer in enumerate(self.layers):
             h = layer.input_layernorm(x)
             k_new, v_new = layer.kv(h, positions)          # (B, Hkv, 1, dk)
+            # NOTE: a per-layer slice-update + final jnp.stack variant
+            # measured ~10% slower — XLA keeps this .at[i].set chain
+            # in place
             k_cache = k_cache.at[i].set(
                 k_cache[i] * keep + k_new.astype(k_cache.dtype) * put)
             v_cache = v_cache.at[i].set(
