@@ -235,12 +235,13 @@ class ContinuousBatcher:
             new = [int(t) for t, o in zip(emits[:, slot], ok[:, slot])
                    if o]
             got_eos = not all(ok[:, slot])
+            room = self._max_len[req] - len(toks)
+            if len(new) >= room:                 # cap BEFORE reporting
+                new = new[:room]
+                got_eos = True
             if new:
                 toks.extend(new)
                 out[req] = new
-            if len(toks) >= self._max_len[req]:
-                got_eos = True
-                del toks[self._max_len[req]:]
             if got_eos:
                 self._finished[req] = True
                 self._release(slot)

@@ -118,6 +118,93 @@ class ChatAudioConsumer:
         return np.zeros((1, 0), np.float32)
 
 
+class BatcherSSEServer:
+    """Multi-request token SSE server over a ContinuousBatcher
+    (serving/lm_server.py): concurrent POST /generate_stream requests
+    share the slot pool; one pump task advances all slots and fans tokens
+    out to the per-request streams.  The reference's model_server.py
+    serves one generation thread at a time; this is the natural serving
+    upgrade once the engine batches (vLLM-server role).
+
+    Request JSON: {"text_ids": [...], "seed": int, "max_len": int,
+    "prompt_speech_ids": [...]?}."""
+
+    def __init__(self, batcher, host: str = "0.0.0.0", port: int = 10000):
+        assert web is not None
+        self.batcher = batcher
+        self.host, self.port = host, port
+        self.app = web.Application()
+        self.app.add_routes([web.post("/generate_stream", self.handle)])
+        self._queues: dict = {}
+        self._lock = asyncio.Lock()
+        self._pump: Optional[asyncio.Task] = None
+
+    async def _admit(self, params):
+        """Submit + register the stream queue atomically vs pump steps
+        (both hold the lock), so no emitted token can race past the
+        registration."""
+        loop = asyncio.get_running_loop()
+        while True:
+            async with self._lock:
+                req = await loop.run_in_executor(
+                    None, lambda: self.batcher.submit(
+                        np.asarray(params["text_ids"], np.int32),
+                        params.get("prompt_speech_ids"),
+                        int(params.get("seed", 0)),
+                        int(params.get("max_len", 512))))
+                if req is not None:
+                    first = list(self.batcher.result(req))
+                    q = None
+                    if not self.batcher.finished(req):
+                        q = asyncio.Queue()
+                        self._queues[req] = q
+                    return req, first, q
+            await asyncio.sleep(0.02)           # pool full: wait for a slot
+
+    async def _pump_loop(self):
+        loop = asyncio.get_running_loop()
+        while self._queues:
+            async with self._lock:
+                out = await loop.run_in_executor(None, self.batcher.step)
+            for req, toks in out.items():
+                q = self._queues.get(req)
+                if q is not None:
+                    for t in toks:
+                        q.put_nowait(t)
+            for req in list(self._queues):
+                if self.batcher.finished(req):
+                    self._queues[req].put_nowait(None)
+                    del self._queues[req]
+            await asyncio.sleep(0)
+        self._pump = None
+
+    async def handle(self, request):
+        params = await request.json()
+        req, first, q = await self._admit(params)
+        if q is not None and (self._pump is None or self._pump.done()):
+            self._pump = asyncio.ensure_future(self._pump_loop())
+
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache"})
+        await resp.prepare(request)
+        for tok in first:
+            line = json.dumps({"token_id": int(tok)})
+            await resp.write(f"data: {line}\n\n".encode())
+        if q is not None:
+            while True:
+                tok = await q.get()
+                if tok is None:
+                    break
+                line = json.dumps({"token_id": int(tok)})
+                await resp.write(f"data: {line}\n\n".encode())
+        await resp.write_eof()
+        return resp
+
+    def run(self):                                      # pragma: no cover
+        web.run_app(self.app, host=self.host, port=self.port)
+
+
 async def consume_sse(url: str, payload: dict) -> AsyncIterable[int]:
     """Async client for /generate_stream (web_demo.py:133 analogue)."""
     import aiohttp

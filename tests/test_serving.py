@@ -347,3 +347,58 @@ def test_multi_stream_manager_matches_standalone_sessions():
     import pytest
     with pytest.raises(KeyError):
         mgr.push("a", tokens[0, :3])
+
+
+def test_batcher_sse_concurrent_requests():
+    """BatcherSSEServer: two concurrent /generate_stream requests share
+    the ContinuousBatcher slot pool; each stream must equal per-request
+    Qwen2SpeechLM.generate for its seed."""
+    import jax
+    import jax.numpy as jnp
+    from moss_speech_decoder_cosy_tpu.models.llm.speech_lm import (
+        Qwen2SpeechLM, tiny_speech_lm_config)
+    from moss_speech_decoder_cosy_tpu.serving.lm_server import (
+        ContinuousBatcher)
+    from moss_speech_decoder_cosy_tpu.serving.token_server import (
+        BatcherSSEServer, consume_sse)
+    from aiohttp.test_utils import TestServer
+
+    cfg = tiny_speech_lm_config()
+    m = Qwen2SpeechLM(cfg)
+    rng = np.random.RandomState(5)
+    texts = [rng.randint(0, 100, (1, n)).tolist()[0] for n in (4, 5)]
+    seeds = [7, 8]
+    ps = jnp.zeros((1, 0), jnp.int32)
+    params = m.init(jax.random.PRNGKey(0),
+                    jnp.asarray([texts[0]]), ps, jax.random.PRNGKey(1),
+                    max_len=8)
+    want = []
+    for text, seed in zip(texts, seeds):
+        toks, n = m.apply(params, jnp.asarray([text]), ps,
+                          jax.random.PRNGKey(seed), max_len=32)
+        want.append([int(t) for t in np.asarray(toks)[: int(n)]])
+
+    async def run():
+        bat = ContinuousBatcher(m, params, slots=2, step_chunk=4,
+                                text_buckets=(8,), speech_buckets=(0,))
+        srv = BatcherSSEServer(bat)
+        server = TestServer(srv.app)
+        await server.start_server()
+        url = str(server.make_url("/generate_stream"))
+
+        async def client(text, seed):
+            out = []
+            async for t in consume_sse(url, {"text_ids": text,
+                                             "seed": seed,
+                                             "max_len": 32}):
+                out.append(t)
+            return out
+
+        got = await asyncio.gather(client(texts[0], seeds[0]),
+                                   client(texts[1], seeds[1]))
+        await server.close()
+        return got
+
+    got = asyncio.run(run())
+    assert got[0] == want[0]
+    assert got[1] == want[1]
