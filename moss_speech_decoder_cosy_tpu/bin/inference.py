@@ -86,6 +86,11 @@ def main():
     p.add_argument("--hift_ckpt", default=None)
     p.add_argument("--tokenizer_ckpt", default=None)
     p.add_argument("--streaming", action="store_true")
+    p.add_argument("--engine", choices=["windowed", "kv"],
+                   default="windowed",
+                   help="streaming engine: reference-semantics windowed "
+                        "re-decode, or the compute-once KV wavefront "
+                        "(pipeline/kv_session.py; fastest)")
     p.add_argument("--block_size", type=int, default=5)
     p.add_argument("--max_token_len", type=int, default=40)
     p.add_argument("--bf16", action="store_true")
@@ -110,7 +115,17 @@ def main():
         else:
             tokens = np.load(args.input).reshape(1, -1)
 
-    if args.streaming:
+    if args.streaming and args.engine == "kv":
+        kw = {}
+        if prompt is not None:
+            kw = dict(prompt_token=prompt.token, prompt_feat=prompt.feat,
+                      embedding=prompt.embedding)
+        kv = codec.decoder.kv_stream_decoder(
+            block_size=args.block_size,
+            ring_tokens=args.max_token_len - args.block_size,
+            token_cap=tokens.shape[1] + 16, **kw)
+        out = kv.stream_decode(tokens)
+    elif args.streaming:
         out = codec.decode_streaming(tokens, prompt,
                                      block_size=args.block_size,
                                      max_token_len=args.max_token_len)
