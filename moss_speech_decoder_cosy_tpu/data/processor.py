@@ -65,13 +65,21 @@ def cosy_jsonl_opener(data: Iterable[dict], jsonl_suffix: str = ".jsonl",
             if src.endswith(jsonl_suffix) else src + tar_suffix
         try:
             tar = IndexedTar(tar_path)
+        except Exception as ex:           # noqa: BLE001 — skip bad shards
+            logging.warning("Failed to open %s: %s", tar_path, ex)
+            continue
+        try:
             with open(src) as f:
                 for line in f:
                     line = line.strip()
                     if not line:
                         continue
-                    item = json.loads(line)
-                    wav, sr = tar.read_wav(item["filename"])
+                    try:                  # per-ROW skip, not per-shard
+                        item = json.loads(line)
+                        wav, sr = tar.read_wav(item["filename"])
+                    except Exception as ex:     # noqa: BLE001
+                        logging.warning("Bad row in %s: %s", src, ex)
+                        continue
                     row = {k: v for k, v in sample.items() if k != "src"}
                     row.update(item)
                     row["speech_token"] = np.asarray(item[token_key],
@@ -79,9 +87,10 @@ def cosy_jsonl_opener(data: Iterable[dict], jsonl_suffix: str = ".jsonl",
                     row["speech"] = wav
                     row["sample_rate"] = sr
                     yield row
+        except Exception as ex:           # noqa: BLE001
+            logging.warning("Failed to read %s: %s", src, ex)
+        finally:
             tar.close()
-        except Exception as ex:           # noqa: BLE001 — skip bad shards
-            logging.warning("Failed to open %s: %s", src, ex)
 
 
 def sft_npy_opener(data: Iterable[dict], npy_suffix: str = ".npy",
@@ -100,6 +109,12 @@ def sft_npy_opener(data: Iterable[dict], npy_suffix: str = ".npy",
         src = sample["src"]
         wav_path = src[: -len(npy_suffix)] if src.endswith(npy_suffix) \
             else src
+        if not wav_path.endswith(".wav") and "." in wav_path:
+            # '<utt>.wav.vq0918.npy' with the default '.npy' suffix:
+            # strip the vq tag down to the wav path
+            head, tail = wav_path.rsplit(".", 1)
+            if head.endswith(".wav") and not tail.startswith("wav"):
+                wav_path = head
         try:
             token = np.load(src).reshape(-1).astype(np.int32)
             wav, sr = read_wav(wav_path)

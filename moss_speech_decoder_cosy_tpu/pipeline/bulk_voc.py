@@ -47,7 +47,8 @@ class BulkVocoder:
         self._fade_in = jnp.asarray(win[: self.scl])
         self._fade_out = jnp.asarray(win[self.scl:])
         self._fn = jax.jit(self._impl,
-                           static_argnames=("n_steady", "tail_frames"))
+                           static_argnames=("n_steady", "tail_frames",
+                                            "first_frames"))
         self._vfn = None                   # lazy vmapped multi-stream form
 
     def _hift_source(self, params, mel):
@@ -59,16 +60,22 @@ class BulkVocoder:
                                    method=self.dec.hift.decode)
 
     def _impl(self, hift_params, mel: jnp.ndarray, n_steady: int,
-              tail_frames: int) -> jnp.ndarray:
-        """mel (1, Tm, D) f32, hop plan = [F] + [F]*n_steady + [tail].
-        Returns wav (1, F*u*(1+n_steady) + tail*u)."""
+              tail_frames: int, first_frames: int = 0) -> jnp.ndarray:
+        """mel (1, Tm, D) f32, hop plan = [first] + [F]*n_steady + [tail].
+        Returns wav (1, first*u + F*u*n_steady + tail*u)."""
         d = self.dec
         dt = d.compute_dtype or jnp.float32
         f, c, scl, u = self.F, self.C, self.scl, self.u
+        first = first_frames or f
 
-        mel0 = mel[:, :f].astype(dt)
+        mel0 = mel[:, :first].astype(dt)
         s0 = self._hift_source(hift_params, mel0)          # (1, F*u, 1)
         w0 = self._hift_decode(hift_params, mel0, s0)      # (1, F*u)
+
+        if n_steady == 0 and tail_frames == 0:
+            # single-hop plan: the first hop IS the finalize hop — emit
+            # everything (no cache tail is withheld)
+            return w0.astype(jnp.float32)
 
         outs = [w0[:, : f * u - scl]]
         last_s_tail = s0[:, -scl:]
@@ -108,18 +115,21 @@ class BulkVocoder:
 
     def vocode(self, hift_params, mel: jnp.ndarray,
                plan: Tuple[int, ...]) -> jnp.ndarray:
-        """plan: per-hop emit mel-frame counts, [F, F, ..., F, tail].
+        """plan: per-hop emit mel-frame counts, [F, F, ..., F, tail] — or
+        a single finalize hop [n] (one plain pass, nothing withheld).
         mel (B, Tm, D): B > 1 vocodes B lockstep streams (vmapped —
         identical per-stream semantics)."""
         assert all(p == self.F for p in plan[:-1]), plan
         n_steady = max(len(plan) - 2, 0)
         tail = plan[-1] if len(plan) > 1 else 0
+        first = plan[0] if len(plan) == 1 else self.F
         if mel.shape[0] > 1:
             if self._vfn is None:
                 self._vfn = jax.jit(jax.vmap(
-                    lambda p, m, n, t: self._impl(p, m[None], n, t)[0],
-                    in_axes=(None, 0, None, None)),
-                    static_argnums=(2, 3))
-            return self._vfn(hift_params, mel, n_steady, tail)
+                    lambda p, m, n, t, ff: self._impl(p, m[None], n, t,
+                                                      ff)[0],
+                    in_axes=(None, 0, None, None, None)),
+                    static_argnums=(2, 3, 4))
+            return self._vfn(hift_params, mel, n_steady, tail, first)
         return self._fn(hift_params, mel, n_steady=n_steady,
-                        tail_frames=tail)
+                        tail_frames=tail, first_frames=first)

@@ -463,4 +463,4 @@ class KVStreamDecoder:
             yield item
 
     def warmup(self, n_tokens: int):
-        self.stream_decode(np.zeros((1, n_tokens), np.int32))
+        self.stream_decode(np.zeros((self.b, n_tokens), np.int32))

@@ -83,6 +83,9 @@ class ContinuousBatcher:
         self._submit = jax.jit(self._submit_impl)
         self._steps = jax.jit(self._steps_impl,
                               static_argnames=("n_steps",))
+        self._mark_done = jax.jit(
+            lambda st, slot: dataclasses.replace(
+                st, done=st.done.at[slot].set(True)))
 
     # ------------------------------------------------------------ sampling
     def _sample(self, mdl, key, logits, count, history, min_len):
@@ -148,7 +151,22 @@ class ContinuousBatcher:
 
     def submit(self, text_ids, prompt_speech_ids=None,
                seed: int = 0, max_len: int = 512) -> Optional[int]:
-        """Admit a request; returns a request id or None when full."""
+        """Admit a request; returns a request id or None when full.
+        Raises ValueError (before taking a slot) when the text/prompt is
+        longer than the largest configured bucket."""
+        text = np.asarray(text_ids, np.int32).reshape(1, -1)
+        speech = (np.zeros((1, 0), np.int32) if prompt_speech_ids is None
+                  else np.asarray(prompt_speech_ids,
+                                  np.int32).reshape(1, -1))
+        tb = next((x for x in self.text_buckets if x >= text.shape[1]),
+                  None)
+        sb = next((x for x in self.speech_buckets
+                   if x >= speech.shape[1]), None)
+        if tb is None or sb is None:
+            raise ValueError(
+                f"request exceeds buckets: text {text.shape[1]} > "
+                f"{self.text_buckets[-1]} or prompt {speech.shape[1]} > "
+                f"{self.speech_buckets[-1]}")
         if not self._free:
             return None
         slot = self._free.pop(0)
@@ -156,12 +174,6 @@ class ContinuousBatcher:
         self._next_req += 1
         self._slot_req[slot] = req
         self._req_slot[req] = slot
-        text = np.asarray(text_ids, np.int32).reshape(1, -1)
-        speech = (np.zeros((1, 0), np.int32) if prompt_speech_ids is None
-                  else np.asarray(prompt_speech_ids,
-                                  np.int32).reshape(1, -1))
-        tb = next(x for x in self.text_buckets if x >= text.shape[1])
-        sb = next(x for x in self.speech_buckets if x >= speech.shape[1])
         n_text = text.shape[1]
         n_speech = speech.shape[1]
         text = np.pad(text, ((0, 0), (0, tb - n_text)))
@@ -236,13 +248,19 @@ class ContinuousBatcher:
                    if o]
             got_eos = not all(ok[:, slot])
             room = self._max_len[req] - len(toks)
-            if len(new) >= room:                 # cap BEFORE reporting
+            capped = len(new) >= room
+            if capped:                           # cap BEFORE reporting
                 new = new[:room]
                 got_eos = True
             if new:
                 toks.extend(new)
                 out[req] = new
             if got_eos:
+                if capped and all(ok[:, slot]):
+                    # max_len stop without device EOS: silence the slot
+                    # so later dispatches don't keep decoding a zombie
+                    self.state = self._mark_done(
+                        self.state, jnp.asarray(slot, jnp.int32))
                 self._finished[req] = True
                 self._release(slot)
         return out

@@ -101,20 +101,37 @@ class OggPageWriter:
         return page
 
     def page_out(self, packets: List[bytes], granule: int,
-                 eos: bool = False) -> bytes:
+                 eos: bool = False,
+                 granules: Optional[List[int]] = None) -> bytes:
         """Emit the given whole packets as one or more pages ending at
         ``granule``.  Packets longer than 255*255 bytes span pages with the
-        CONTINUED flag (RFC 3533 §5)."""
+        CONTINUED flag (RFC 3533 §5).
+
+        ``granules``: per-packet absolute granule positions.  When a page
+        fills (255 lacing segments) its header granule must be the granule
+        of the LAST packet completed on it (-1 only when none completed,
+        RFC 3533 §6); without per-packet granules an intermediate
+        packet-aligned page falls back to -1."""
         out = bytearray()
         segs: List[bytes] = []
         cont = 0
-        for pkt in packets:
-            for s in _lace(pkt):
+        page_last_g: Optional[int] = None   # last completed pkt's granule
+        n = len(packets)
+        for pi, pkt in enumerate(packets):
+            pkt_segs = _lace(pkt)
+            for si, s in enumerate(pkt_segs):
                 segs.append(s)
+                terminal = si == len(pkt_segs) - 1
+                if terminal:
+                    page_last_g = (granules[pi] if granules is not None
+                                   else (granule if pi == n - 1 else None))
                 if len(segs) == 255:
-                    # page full mid-packet: granule -1, continuation next
-                    out += self._emit(cont, -1, segs)
-                    segs, cont = [], CONTINUED
+                    g = -1 if page_last_g is None else page_last_g
+                    out += self._emit(cont, g, segs)
+                    segs = []
+                    page_last_g = None
+                    # CONTINUED only when the flush split a packet
+                    cont = 0 if terminal else CONTINUED
         if segs or eos or not out:
             out += self._emit(cont | (EOS if eos else 0), granule, segs)
         return bytes(out)
@@ -219,26 +236,35 @@ class OggOpusWriter:
         from .opus import OpusEncoder
         self.enc = OpusEncoder(sample_rate, channels, frame_ms)
         self.pages = OggPageWriter(serial)
-        self._granule = 0
+        # pre-skip covers the encoder lookahead (RFC 7845 §4.2); granule
+        # positions count 48 kHz samples INCLUDING the priming samples
+        self.pre_skip = self.enc.lookahead() * 48000 // sample_rate
+        self._granule = self.pre_skip
         self._per_packet_48k = 48000 * frame_ms // 1000
         self._headers_done = False
         self.sample_rate = sample_rate
         self.channels = channels
 
     def _headers(self) -> bytes:
-        out = self.pages.page_out([opus_head(self.channels, 0,
+        out = self.pages.page_out([opus_head(self.channels, self.pre_skip,
                                              self.sample_rate)], 0)
         out += self.pages.page_out([opus_tags()], 0)
         self._headers_done = True
         return out
+
+    def _audio_pages(self, pkts: List[bytes], eos: bool = False) -> bytes:
+        granules = [self._granule + (i + 1) * self._per_packet_48k
+                    for i in range(len(pkts))]
+        self._granule = granules[-1] if granules else self._granule
+        return self.pages.page_out(pkts, self._granule, eos=eos,
+                                   granules=granules)
 
     def encode(self, pcm) -> bytes:
         out = b"" if self._headers_done else self._headers()
         pkts = self.enc.encode_packets(pcm)
         if not pkts:
             return out
-        self._granule += self._per_packet_48k * len(pkts)
-        return out + self.pages.page_out(pkts, self._granule)
+        return out + self._audio_pages(pkts)
 
     def flush(self) -> bytes:
         """Close the logical stream (EOS page; pads the tail frame with
@@ -248,8 +274,7 @@ class OggOpusWriter:
         if pending:
             pkts = self.enc.encode_packets(
                 [0.0] * (self.enc.frame - pending))
-            self._granule += self._per_packet_48k * len(pkts)
-            out += self.pages.page_out(pkts, self._granule, eos=True)
+            out += self._audio_pages(pkts, eos=True)
         else:
             out += self.pages.page_out([], self._granule, eos=True)
         return out

@@ -18,6 +18,7 @@ from typing import Iterable, List, Optional
 
 OPUS_APPLICATION_VOIP = 2048
 OPUS_APPLICATION_AUDIO = 2049
+OPUS_GET_LOOKAHEAD_REQUEST = 4027
 
 
 def _load():
@@ -35,6 +36,7 @@ def _load():
                                       ctypes.POINTER(ctypes.c_float),
                                       ctypes.c_int, ctypes.c_char_p,
                                       ctypes.c_int]
+    lib.opus_encoder_ctl.restype = ctypes.c_int
     lib.opus_decoder_create.restype = ctypes.c_void_p
     lib.opus_decoder_create.argtypes = [ctypes.c_int, ctypes.c_int,
                                         ctypes.POINTER(ctypes.c_int)]
@@ -67,6 +69,17 @@ class OpusEncoder:
         self.frame = sample_rate * frame_ms // 1000
         self.channels = channels
         self._buf: List[float] = []
+
+    def lookahead(self) -> int:
+        """Encoder algorithmic delay in samples at the coding rate
+        (OPUS_GET_LOOKAHEAD) — the Ogg Opus pre-skip source."""
+        val = ctypes.c_int(0)
+        # variadic fn without argtypes: wrap the handle explicitly so the
+        # pointer is not truncated to a C int
+        rc = _LIB.opus_encoder_ctl(ctypes.c_void_p(self.enc),
+                                   ctypes.c_int(OPUS_GET_LOOKAHEAD_REQUEST),
+                                   ctypes.byref(val))
+        return val.value if rc == 0 else 0
 
     def encode_packets(self, pcm) -> List[bytes]:
         """Accumulate samples; return one raw opus packet per complete

@@ -163,24 +163,37 @@ class BatcherSSEServer:
 
     async def _pump_loop(self):
         loop = asyncio.get_running_loop()
-        while self._queues:
-            async with self._lock:
-                out = await loop.run_in_executor(None, self.batcher.step)
-            for req, toks in out.items():
-                q = self._queues.get(req)
-                if q is not None:
-                    for t in toks:
-                        q.put_nowait(t)
-            for req in list(self._queues):
-                if self.batcher.finished(req):
-                    self._queues[req].put_nowait(None)
-                    del self._queues[req]
-            await asyncio.sleep(0)
-        self._pump = None
+        try:
+            while self._queues:
+                async with self._lock:
+                    out = await loop.run_in_executor(None,
+                                                     self.batcher.step)
+                for req, toks in out.items():
+                    q = self._queues.get(req)
+                    if q is not None:
+                        for t in toks:
+                            q.put_nowait(t)
+                for req in list(self._queues):
+                    if self.batcher.finished(req):
+                        self._queues[req].put_nowait(None)
+                        del self._queues[req]
+                await asyncio.sleep(0)
+        except Exception:                       # engine failure: close all
+            import logging
+            logging.exception("batcher pump failed; closing streams")
+            for q in self._queues.values():
+                q.put_nowait(None)
+            self._queues.clear()
+            raise
+        finally:
+            self._pump = None
 
     async def handle(self, request):
         params = await request.json()
-        req, first, q = await self._admit(params)
+        try:
+            req, first, q = await self._admit(params)
+        except ValueError as e:                 # over-bucket request
+            return web.json_response({"error": str(e)}, status=400)
         if q is not None and (self._pump is None or self._pump.done()):
             self._pump = asyncio.ensure_future(self._pump_loop())
 

@@ -221,7 +221,11 @@ class WebDemo:
         if sr != SAMPLE_RATE:
             from ..eval.audio_io import resample
             wav = resample(wav, sr, SAMPLE_RATE)
-        res = self.compare_handler(wav)
+        # device work off the event loop (same contract as the ws frames,
+        # ws_server.py) — a 20 s A/B decode must not stall live streams
+        import asyncio
+        loop = asyncio.get_running_loop()
+        res = await loop.run_in_executor(None, self.compare_handler, wav)
         payload = {k: {"wav": _wav_b64(v["wav"], SAMPLE_RATE),
                        "seconds": v["seconds"], "rtf": v["rtf"]}
                    for k, v in res.items()}

@@ -205,6 +205,10 @@ def test_sft_npy_opener_split(tmp_path):
     for r in rows:
         want = int(np.ceil(len(r["speech_token"]) / token_rate * sr))
         assert len(r["speech"]) == min(want, len(wav))
+    # default '.npy' suffix on '<wav>.vqXXXX.npy' naming still finds the
+    # wav (the intermediate vq tag is stripped automatically)
+    rows = list(sft_npy_opener(iter([{"src": str(npy)}])))
+    assert len(rows) == 1 and rows[0]["speech_token"].shape == (25,)
 
 
 def test_compute_f0_quality_suite():

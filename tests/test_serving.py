@@ -74,6 +74,39 @@ def test_ogg_page_roundtrip_and_spanning():
         OggPageReader().packets_in(bytes(bad))
 
 
+def test_ogg_page_boundary_at_packet_edge():
+    """A page that fills at exactly 255 segments ON a packet boundary must
+    carry that packet's granule (not -1) and must NOT flag the next page
+    CONTINUED (RFC 3533 §5-6)."""
+    import struct
+    from moss_speech_decoder_cosy_tpu.serving.ogg import (
+        OggPageWriter, OggPageReader, CONTINUED)
+    packets = [bytes([i % 256]) * 10 for i in range(255)] \
+        + [b"x" * 7]                       # 255 one-seg packets + 1 more
+    granules = [(i + 1) * 960 for i in range(len(packets))]
+    w = OggPageWriter()
+    data = w.page_out(packets, granules[-1], eos=True, granules=granules)
+
+    # parse raw page headers
+    pages = []
+    off = 0
+    while off < len(data):
+        assert data[off:off + 4] == b"OggS"
+        htype = data[off + 5]
+        gran = struct.unpack("<q", data[off + 6: off + 14])[0]
+        nseg = data[off + 26]
+        body = sum(data[off + 27: off + 27 + nseg])
+        pages.append((htype, gran, nseg))
+        off += 27 + nseg + body
+    assert pages[0][2] == 255                       # filled page
+    assert pages[0][1] == granules[254]             # granule of pkt 255
+    assert not (pages[1][0] & CONTINUED)            # fresh packet next
+
+    r = OggPageReader()
+    got = [p for p, _ in r.packets_in(data)]
+    assert got == packets and r.eos
+
+
 @pytest.mark.skipif(not opus_mod.available(), reason="libopus missing")
 def test_ogg_opus_stream_roundtrip():
     from moss_speech_decoder_cosy_tpu.serving.ogg import (
@@ -88,7 +121,10 @@ def test_ogg_opus_stream_roundtrip():
         and b"OpusTags" in data[:200]
     r = OggOpusReader(sr)
     y = np.asarray(r.decode(data), np.float32)
-    assert len(y) >= (len(x) // w.enc.frame) * w.enc.frame
+    # decoded length = encoded frames minus the pre-skip priming samples
+    pre = w.pre_skip * sr // 48000
+    assert w.pre_skip > 0                  # real lookahead advertised
+    assert len(y) >= (len(x) // w.enc.frame) * w.enc.frame - pre
     assert 0.1 < np.std(y[w.enc.frame:]) < 1.0
     assert r.pages.eos
 
@@ -113,8 +149,9 @@ def test_ws_server_ogg_codec_roundtrip():
         return x, out
 
     x, out = asyncio.run(run())
-    # lossy codec + one-frame codec buffering: check duration and energy
-    assert len(out) >= len(x) - 2 * 480
+    # losses: the server only processes whole 1920-sample frames, plus
+    # per-hop opus buffering and pre-skip trims (two ogg decode hops)
+    assert len(out) >= len(x) - protocol.FRAME_SAMPLES - 2 * 480
     assert 0.1 < np.std(out[960:]) < 1.0
 
 
