@@ -467,6 +467,44 @@ def convert_campplus_state_dict(sd: StateDict, block_layers=(12, 24, 16)):
     return m.tree(), unused
 
 
+def _convert_dit(m: _Mapper, cfg, src: str = ""):
+    """cosyvoice1 stable-audio DiffusionTransformer
+    (cosyvoice1/flow/stable/dit.py:15-258 + stable/transformer.py,
+    continuous_transformer + prepend path) -> models/flow/dit.DiTEstimator."""
+    p = src
+    m.put("timestep_features/weight", f"{p}timestep_features.weight")
+    m.linear("ts_embed_1", f"{p}to_timestep_embed.0")
+    m.linear("ts_embed_2", f"{p}to_timestep_embed.2")
+    m.linear("global_embed_1", f"{p}to_global_embed.0", bias=False)
+    m.linear("global_embed_2", f"{p}to_global_embed.2", bias=False)
+    m.put("preprocess/kernel", f"{p}preprocess_conv.weight",
+          _dense_from_conv1)
+    m.put("postprocess/kernel", f"{p}postprocess_conv.weight",
+          _dense_from_conv1)
+    m.linear("project_in", f"{p}transformer.project_in", bias=False)
+    m.linear("project_out", f"{p}transformer.project_out", bias=False)
+    m.ignore(f"{p}transformer.inv_freq")
+    m.ignore(f"{p}transformer.rotary_pos_emb.inv_freq")
+    for i in range(cfg.depth):
+        s = f"{p}transformer.layers.{i}"
+        d = f"block_{i}"
+        m.put(f"{d}/pre_norm/scale", f"{s}.pre_norm.gamma")
+        m.ignore(f"{s}.pre_norm.beta")
+        m.linear(f"{d}/to_qkv", f"{s}.self_attn.to_qkv", bias=False)
+        m.linear(f"{d}/attn_out", f"{s}.self_attn.to_out", bias=False)
+        m.put(f"{d}/ff_norm/scale", f"{s}.ff_norm.gamma")
+        m.ignore(f"{s}.ff_norm.beta")
+        m.linear(f"{d}/ff_in", f"{s}.ff.ff.0.proj")
+        m.linear(f"{d}/ff_out", f"{s}.ff.ff.2")
+
+
+def convert_dit_state_dict(sd: StateDict, cfg):
+    """torch stable-audio DiffusionTransformer -> DiTEstimator params."""
+    m = _Mapper(sd)
+    _convert_dit(m, cfg)
+    return m.tree(), m.unused()
+
+
 def conversion_plan(kind: str, cfg) -> list:
     """(dst, src, transform) triples for a converter, without arrays —
     lets tests synthesize a torch state_dict from flax params and
@@ -484,6 +522,8 @@ def conversion_plan(kind: str, cfg) -> list:
         _convert_speech_lm(m, cfg)
     elif kind == "campplus":
         _convert_campplus(m, cfg if cfg is not None else (12, 24, 16))
+    elif kind == "dit":
+        _convert_dit(m, cfg)
     else:
         raise ValueError(kind)
     return m.plan

@@ -374,3 +374,165 @@ def install():
     if "matcha" not in sys.modules:
         _install_matcha()
     _installed = True
+
+
+# ---------------------------------------------------------------------------
+# Stable-audio DiT shim (x_transformers is not installed, so the reference's
+# cosyvoice1/flow/stable/{dit,transformer}.py cannot import; this restates
+# the EXACT exercised path — transformer_type='continuous_transformer',
+# global_cond_type='prepend', no cross-attend/adaLN/conformer — for golden
+# parity against models/flow/dit.py.  Cites are into those two files.)
+# ---------------------------------------------------------------------------
+
+def build_torch_stable_dit(io_channels=80, embed_dim=128, depth=2,
+                           num_heads=2, spk_embed_dim=12, ff_mult=4,
+                           timestep_features_dim=256):
+    import torch
+    from torch import nn
+    from torch.nn import functional as F
+
+    class LayerNorm(nn.Module):                   # transformer.py:174-194
+        def __init__(self, dim):
+            super().__init__()
+            self.gamma = nn.Parameter(torch.ones(dim))
+            self.register_buffer("beta", torch.zeros(dim))
+
+        def forward(self, x):
+            return F.layer_norm(x, x.shape[-1:], weight=self.gamma,
+                                bias=self.beta)
+
+    class GLU(nn.Module):                         # transformer.py:197-219
+        def __init__(self, dim_in, dim_out):
+            super().__init__()
+            self.proj = nn.Linear(dim_in, dim_out * 2)
+
+        def forward(self, x):
+            x, gate = self.proj(x).chunk(2, dim=-1)
+            return x * F.silu(gate)
+
+    class FeedForward(nn.Module):                 # transformer.py:222-269
+        def __init__(self, dim, mult):
+            super().__init__()
+            inner = int(dim * mult)
+            self.ff = nn.Sequential(GLU(dim, inner), nn.Identity(),
+                                    nn.Linear(inner, dim), nn.Identity())
+
+        def forward(self, x):
+            return self.ff(x)
+
+    def rotate_half(t):                           # transformer.py:146-150
+        j = t.shape[-1] // 2
+        x1, x2 = t[..., :j], t[..., j:]
+        return torch.cat((-x2, x1), dim=-1)
+
+    class Attention(nn.Module):                   # transformer.py:272-545
+        def __init__(self, dim, dim_heads):
+            super().__init__()
+            self.h = dim // dim_heads
+            self.to_qkv = nn.Linear(dim, dim * 3, bias=False)
+            self.to_out = nn.Linear(dim, dim, bias=False)
+
+        def forward(self, x, freqs):
+            b, n, d = x.shape
+            q, k, v = self.to_qkv(x).chunk(3, dim=-1)
+            def heads(t):
+                return t.reshape(b, n, self.h, -1).transpose(1, 2)
+            q, k, v = heads(q), heads(k), heads(v)
+            rot = freqs.shape[-1]
+            def rope(t):                          # transformer.py:153-171
+                tr, tu = t[..., :rot].float(), t[..., rot:]
+                tr = tr * freqs.cos() + rotate_half(tr) * freqs.sin()
+                return torch.cat((tr.to(t.dtype), tu), dim=-1)
+            q, k = rope(q), rope(k)
+            scale = 1.0 / (q.shape[-1] ** 0.5)    # transformer.py:514-535
+            dots = torch.einsum("bhid,bhjd->bhij", q, k) * scale
+            attn = F.softmax(dots, dim=-1, dtype=torch.float32).to(
+                dots.dtype)
+            out = torch.einsum("bhij,bhjd->bhid", attn, v)
+            out = out.transpose(1, 2).reshape(b, n, d)
+            return self.to_out(out)
+
+    class TransformerBlock(nn.Module):            # transformer.py:589-705
+        def __init__(self, dim, dim_heads, mult):
+            super().__init__()
+            self.pre_norm = LayerNorm(dim)
+            self.self_attn = Attention(dim, dim_heads)
+            self.ff_norm = LayerNorm(dim)
+            self.ff = FeedForward(dim, mult)
+
+        def forward(self, x, freqs):
+            x = x + self.self_attn(self.pre_norm(x), freqs)
+            x = x + self.ff(self.ff_norm(x))
+            return x
+
+    class ContinuousTransformer(nn.Module):       # transformer.py:705-831
+        def __init__(self, dim, depth, dim_heads, dim_in, dim_out, mult):
+            super().__init__()
+            self.project_in = nn.Linear(dim_in, dim, bias=False)
+            self.project_out = nn.Linear(dim, dim_out, bias=False)
+            rot = max(dim_heads // 2, 32)
+            inv = 1.0 / (10000.0 ** (torch.arange(0, rot, 2).float()
+                                     / rot))
+            self.register_buffer("inv_freq", inv)
+            self.layers = nn.ModuleList(
+                [TransformerBlock(dim, dim_heads, mult)
+                 for _ in range(depth)])
+
+        def forward(self, x, prepend_embeds):
+            x = self.project_in(x)
+            x = torch.cat((prepend_embeds, x), dim=-2)
+            t = torch.arange(x.shape[1], device=x.device).float()
+            freqs = torch.einsum("i,j->ij", t, self.inv_freq)
+            freqs = torch.cat((freqs, freqs), dim=-1)  # transformer.py:134
+            for layer in self.layers:
+                x = layer(x, freqs)
+            return self.project_out(x)
+
+    class FourierFeatures(nn.Module):             # stable/blocks.py
+        def __init__(self, in_features, out_features):
+            super().__init__()
+            self.weight = nn.Parameter(
+                torch.randn(out_features // 2, in_features))
+
+        def forward(self, x):
+            f = 2 * math.pi * x @ self.weight.T
+            return torch.cat([f.cos(), f.sin()], dim=-1)
+
+    class DiffusionTransformer(nn.Module):        # dit.py:15-258
+        def __init__(self):
+            super().__init__()
+            dim_in = io_channels * 2              # x ++ input_concat_cond
+            self.timestep_features = FourierFeatures(
+                1, timestep_features_dim)
+            self.to_timestep_embed = nn.Sequential(
+                nn.Linear(timestep_features_dim, embed_dim, bias=True),
+                nn.SiLU(), nn.Linear(embed_dim, embed_dim, bias=True))
+            self.to_global_embed = nn.Sequential(
+                nn.Linear(spk_embed_dim, embed_dim, bias=False),
+                nn.SiLU(), nn.Linear(embed_dim, embed_dim, bias=False))
+            self.transformer = ContinuousTransformer(
+                embed_dim, depth, embed_dim // num_heads, dim_in,
+                io_channels, ff_mult)
+            self.preprocess_conv = nn.Conv1d(dim_in, dim_in, 1,
+                                             bias=False)
+            nn.init.zeros_(self.preprocess_conv.weight)
+            self.postprocess_conv = nn.Conv1d(io_channels, io_channels,
+                                              1, bias=False)
+            nn.init.zeros_(self.postprocess_conv.weight)
+
+        def forward(self, x, t, global_embed, input_concat_cond):
+            """x/input_concat_cond (B, C, T); t (B,); global (B, spk) —
+            dit.py:157-258 (prepend path)."""
+            global_embed = self.to_global_embed(global_embed)
+            x = torch.cat([x, input_concat_cond], dim=1)
+            timestep_embed = self.to_timestep_embed(
+                self.timestep_features(t[:, None]))
+            global_embed = global_embed + timestep_embed
+            prepend_inputs = global_embed.unsqueeze(1)
+            x = self.preprocess_conv(x) + x
+            x = x.transpose(1, 2)
+            out = self.transformer(x, prepend_inputs)
+            out = out.transpose(1, 2)[:, :, 1:]
+            return self.postprocess_conv(out) + out
+
+    return DiffusionTransformer()

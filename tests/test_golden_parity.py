@@ -497,3 +497,48 @@ def test_flow_inference_golden_cnn_batch_norm(monkeypatch):
     want, got = _run_flow_pair(ref, mine, params, cfg, monkeypatch,
                                streaming=False, finalize=True)
     assert _max_abs(want, got) < 2e-3
+
+
+# =====================================================================
+# Stable-audio DiT estimator (cosyvoice1/flow/stable/dit.py:15-258 +
+# transformer.py continuous_transformer, the flow_matching_dit path).
+# x_transformers isn't installed, so the reference modules cannot import;
+# the torch side is a faithful restatement (tests/ref_shim.py, cites per
+# block).
+# =====================================================================
+def test_dit_estimator_golden():
+    from tests.ref_shim import build_torch_stable_dit
+    from moss_speech_decoder_cosy_tpu.models.flow.dit import (
+        DiTEstimator, DiTConfig)
+
+    io, embed, depth, heads, spk = 16, 128, 2, 2, 12
+    torch.manual_seed(21)
+    ref = build_torch_stable_dit(io_channels=io, embed_dim=embed,
+                                 depth=depth, num_heads=heads,
+                                 spk_embed_dim=spk, ff_mult=4).eval()
+    cfg = DiTConfig(io_channels=io, embed_dim=embed, depth=depth,
+                    num_heads=heads, spk_embed_dim=spk, ff_mult=4)
+    params, unused = ckpt.convert_dit_state_dict(_sd(ref), cfg)
+    assert unused == [], unused
+    mine = DiTEstimator(cfg)
+
+    rng = np.random.RandomState(4)
+    b, t = 2, 25
+    x = rng.randn(b, t, io).astype(np.float32)
+    mu = rng.randn(b, t, io).astype(np.float32)
+    spks = rng.randn(b, spk).astype(np.float32)
+    tt = rng.rand(b).astype(np.float32)
+
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x).transpose(1, 2),
+                   torch.from_numpy(tt),
+                   torch.from_numpy(spks),
+                   torch.from_numpy(mu).transpose(1, 2))
+    want = want.numpy().transpose(0, 2, 1)
+
+    got = mine.apply(params, jnp.asarray(x), jnp.ones((b, t), bool),
+                     jnp.asarray(mu), jnp.asarray(tt), jnp.asarray(spks),
+                     jnp.zeros((b, t, io)))
+    got = np.asarray(got)
+    assert want.shape == got.shape
+    assert _max_abs(want, got) < 2e-4, _max_abs(want, got)
