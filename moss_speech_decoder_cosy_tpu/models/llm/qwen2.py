@@ -57,10 +57,20 @@ class KVCache:
 class SlotKVCache:
     """Per-slot KV cache for continuous batching: every batch row is an
     independent request at its own position (vLLM-role serving —
-    serving/lm_server.py)."""
+    serving/lm_server.py).
+
+    Two-tier mode (``recent_k is not None``): per-token writes land in a
+    small recent ring (one-hot over R positions, ~30x less HBM traffic
+    than the O(max_len) RMW) and are flushed into the main cache in bulk
+    every <R decode steps; attention scores over [main ++ recent] concat
+    at the SCORE level (no key concat materializes).  ``flushed`` is the
+    per-slot main-cache valid length."""
     k: jnp.ndarray           # (L, B, H_kv, max_len, dk)
     v: jnp.ndarray
     lengths: jnp.ndarray     # (B,) i32
+    recent_k: Optional[jnp.ndarray] = None   # (L, B, H_kv, R, dk)
+    recent_v: Optional[jnp.ndarray] = None
+    flushed: Optional[jnp.ndarray] = None    # (B,) i32
 
 
 def _rope(x: jnp.ndarray, positions: jnp.ndarray,
@@ -185,15 +195,48 @@ class Qwen2Model(nn.Module):
                        length=jnp.zeros((), jnp.int32))
 
     # ------------------------------------------------------ slot serving
-    def init_slot_cache(self, batch: int, dtype=None) -> SlotKVCache:
+    def init_slot_cache(self, batch: int, dtype=None,
+                        recent: int = 0) -> SlotKVCache:
+        """``recent > 0`` enables the two-tier cache with an R=recent
+        ring (the batcher must flush at least every ``recent - 1``
+        decode steps)."""
         c = self.cfg
         if dtype is None:
             dtype = self.embed_tokens.embedding.dtype
         shape = (c.num_layers, batch, c.num_kv_heads, c.max_seq_len,
                  c.head_dim)
+        extra = {}
+        if recent > 0:
+            rshape = (c.num_layers, batch, c.num_kv_heads, recent,
+                      c.head_dim)
+            extra = dict(recent_k=jnp.zeros(rshape, dtype),
+                         recent_v=jnp.zeros(rshape, dtype),
+                         flushed=jnp.zeros((batch,), jnp.int32))
         return SlotKVCache(k=jnp.zeros(shape, dtype),
                            v=jnp.zeros(shape, dtype),
-                           lengths=jnp.zeros((batch,), jnp.int32))
+                           lengths=jnp.zeros((batch,), jnp.int32),
+                           **extra)
+
+    def flush_slots(self, cache: SlotKVCache) -> SlotKVCache:
+        """Two-tier: scatter each slot's recent ring (rows
+        0..lengths-flushed-1) into the main cache at its flushed offset
+        (one-hot contraction, amortized over the flush cadence)."""
+        r = cache.recent_k.shape[-2]
+        s = cache.k.shape[-2]
+        fill = cache.lengths - cache.flushed                 # (B,)
+        idx = cache.flushed[:, None] + jnp.arange(r)[None, :]  # (B, R)
+        oh = jax.nn.one_hot(jnp.where(
+            jnp.arange(r)[None, :] < fill[:, None], idx, s), s + 1,
+            dtype=cache.k.dtype)[..., :s]                    # (B, R, S)
+        keep = 1.0 - jnp.sum(oh, axis=1)                     # (B, S)
+        k_new = cache.k * keep[None, :, None, :, None] + jnp.einsum(
+            "lbhrd,brs->lbhsd", cache.recent_k, oh)
+        v_new = cache.v * keep[None, :, None, :, None] + jnp.einsum(
+            "lbhrd,brs->lbhsd", cache.recent_v, oh)
+        return dataclasses.replace(
+            cache, k=k_new, v=v_new, flushed=cache.lengths,
+            recent_k=jnp.zeros_like(cache.recent_k),
+            recent_v=jnp.zeros_like(cache.recent_v))
 
     def prefill_slot(self, cache: SlotKVCache, slot: jnp.ndarray,
                      embeds: jnp.ndarray, n_valid: jnp.ndarray
@@ -230,7 +273,11 @@ class Qwen2Model(nn.Module):
         lengths = cache.lengths.at[slot].set(n_valid)
         last = jax.lax.dynamic_slice(x, (0, n_valid - 1, 0),
                                      (1, 1, x.shape[-1]))[:, 0]
-        return last, SlotKVCache(k=k_c, v=v_c, lengths=lengths)
+        extra = {}
+        if cache.flushed is not None:       # two-tier: prompt goes to main
+            extra = dict(flushed=cache.flushed.at[slot].set(n_valid))
+        return last, dataclasses.replace(cache, k=k_c, v=v_c,
+                                         lengths=lengths, **extra)
 
     def decode_step_slots(self, embeds: jnp.ndarray, cache: SlotKVCache,
                           advance: Optional[jnp.ndarray] = None
@@ -245,27 +292,67 @@ class Qwen2Model(nn.Module):
         s = c.max_seq_len
         lengths = cache.lengths
         positions = lengths[:, None]                       # (B, 1)
-        oh = jax.nn.one_hot(lengths, s, dtype=cache.k.dtype)  # (B, S)
-        keep = (1.0 - oh)[:, None, :, None]                # (B, 1, S, 1)
-        put = oh[:, None, :, None]
         key_pos = jnp.arange(s)
-        allow = key_pos[None, :] <= lengths[:, None]       # (B, S)
-        bias = jnp.where(allow, 0.0, -1e10)[:, None, None, :]
+        tiered = cache.recent_k is not None
+
+        if tiered:
+            r = cache.recent_k.shape[-2]
+            rpos = lengths - cache.flushed                 # (B,) in [0, R)
+            oh_r = jax.nn.one_hot(rpos, r, dtype=cache.k.dtype)
+            keep_r = (1.0 - oh_r)[:, None, :, None]
+            put_r = oh_r[:, None, :, None]
+            main_ok = key_pos[None, :] < cache.flushed[:, None]
+            rec_ok = jnp.arange(r)[None, :] <= rpos[:, None]
+            bias_main = jnp.where(main_ok, 0.0, -1e10)[:, None, None, :]
+            bias_rec = jnp.where(rec_ok, 0.0, -1e10)[:, None, None, :]
+        else:
+            oh = jax.nn.one_hot(lengths, s, dtype=cache.k.dtype)
+            keep = (1.0 - oh)[:, None, :, None]            # (B, 1, S, 1)
+            put = oh[:, None, :, None]
+            allow = key_pos[None, :] <= lengths[:, None]   # (B, S)
+            bias = jnp.where(allow, 0.0, -1e10)[:, None, None, :]
+
+        rep = c.num_heads // c.num_kv_heads
+        scale = 1.0 / np.sqrt(c.head_dim)
 
         x = embeds
         k_cache, v_cache = cache.k, cache.v
+        rk_cache, rv_cache = cache.recent_k, cache.recent_v
         for i, layer in enumerate(self.layers):
             h = layer.input_layernorm(x)
             k_new, v_new = layer.kv(h, positions)          # (B, Hkv, 1, dk)
-            # NOTE: a per-layer slice-update + final jnp.stack variant
-            # measured ~10% slower — XLA keeps this .at[i].set chain
-            # in place
-            k_cache = k_cache.at[i].set(
-                k_cache[i] * keep + k_new.astype(k_cache.dtype) * put)
-            v_cache = v_cache.at[i].set(
-                v_cache[i] * keep + v_new.astype(v_cache.dtype) * put)
-            x = x + layer.attend(h, positions, k_cache[i], v_cache[i],
-                                 bias)
+            if tiered:
+                rk_cache = rk_cache.at[i].set(
+                    rk_cache[i] * keep_r
+                    + k_new.astype(rk_cache.dtype) * put_r)
+                rv_cache = rv_cache.at[i].set(
+                    rv_cache[i] * keep_r
+                    + v_new.astype(rv_cache.dtype) * put_r)
+                q = layer._heads(layer.q_proj(h), c.num_heads)
+                q = _rope_b(q, positions, c.rope_theta)
+                km = jnp.repeat(k_cache[i], rep, axis=1)
+                vm = jnp.repeat(v_cache[i], rep, axis=1)
+                kr = jnp.repeat(rk_cache[i], rep, axis=1)
+                vr = jnp.repeat(rv_cache[i], rep, axis=1)
+                sc = jnp.concatenate(
+                    [(q @ km.transpose(0, 1, 3, 2)) * scale + bias_main,
+                     (q @ kr.transpose(0, 1, 3, 2)) * scale + bias_rec],
+                    axis=-1)
+                attn = jax.nn.softmax(sc, axis=-1)
+                out = attn[..., :s] @ vm + attn[..., s:] @ vr
+                out = out.transpose(0, 2, 1, 3).reshape(
+                    x.shape[0], 1, -1)
+                x = x + layer.o_proj(out)
+            else:
+                # NOTE: a per-layer slice-update + final jnp.stack variant
+                # measured ~10% slower — XLA keeps this .at[i].set chain
+                # in place
+                k_cache = k_cache.at[i].set(
+                    k_cache[i] * keep + k_new.astype(k_cache.dtype) * put)
+                v_cache = v_cache.at[i].set(
+                    v_cache[i] * keep + v_new.astype(v_cache.dtype) * put)
+                x = x + layer.attend(h, positions, k_cache[i], v_cache[i],
+                                     bias)
             h2 = layer.post_attention_layernorm(x)
             x = x + layer.down_proj(jax.nn.silu(layer.gate_proj(h2))
                                     * layer.up_proj(h2))
@@ -274,7 +361,9 @@ class Qwen2Model(nn.Module):
             new_len = lengths + 1
         else:
             new_len = lengths + advance.astype(jnp.int32)
-        return x, SlotKVCache(k=k_cache, v=v_cache, lengths=new_len)
+        return x, dataclasses.replace(cache, k=k_cache, v=v_cache,
+                                      recent_k=rk_cache,
+                                      recent_v=rv_cache, lengths=new_len)
 
     def forward_embeds(self, embeds: jnp.ndarray, cache: KVCache,
                        n_valid: Optional[jnp.ndarray] = None

@@ -50,11 +50,20 @@ class ContinuousBatcher:
     def __init__(self, model: Qwen2SpeechLM, params, slots: int = 4,
                  step_chunk: int = 16,
                  text_buckets=(8, 16, 32, 64),
-                 speech_buckets=(0, 16, 64)):
+                 speech_buckets=(0, 16, 64),
+                 recent: int = 0):
+        """``recent > 0``: two-tier KV cache (qwen2.SlotKVCache docstring)
+        — per-token writes hit an R=recent ring, bulk-flushed into the
+        main cache between decode chunks (requires
+        recent > step_chunk)."""
         self.model = model
         self.params = params
         self.b = slots
         self.step_chunk = step_chunk
+        self.recent = recent
+        self._since_flush = 0
+        if recent:
+            assert recent > step_chunk, (recent, step_chunk)
         self.text_buckets = tuple(sorted(text_buckets))
         self.speech_buckets = tuple(sorted(speech_buckets))
         c = model.cfg
@@ -71,7 +80,9 @@ class ContinuousBatcher:
         self.state = BatchState(
             cache=jax.jit(
                 lambda p: model.apply(
-                    p, slots, method=lambda m, n: m.llm.init_slot_cache(n))
+                    p, slots,
+                    method=lambda m, n: m.llm.init_slot_cache(
+                        n, recent=recent))
             )(params),
             cur_emb=jnp.zeros((slots, 1, d)),
             history=jnp.full((slots, c.win_size), -1, jnp.int32),
@@ -86,6 +97,11 @@ class ContinuousBatcher:
         self._mark_done = jax.jit(
             lambda st, slot: dataclasses.replace(
                 st, done=st.done.at[slot].set(True)))
+        self._flush = jax.jit(
+            lambda p, st: dataclasses.replace(
+                st, cache=self.model.apply(
+                    p, st.cache,
+                    method=lambda m, cc: m.llm.flush_slots(cc))))
 
     # ------------------------------------------------------------ sampling
     def _sample(self, mdl, key, logits, count, history, min_len):
@@ -235,8 +251,13 @@ class ContinuousBatcher:
         if not any(req is not None and not self._finished[req]
                    for req in self._slot_req.values()):
             return {}
+        if self.recent and (self._since_flush + self.step_chunk
+                            >= self.recent):
+            self.state = self._flush(self.params, self.state)
+            self._since_flush = 0
         self.state, (emits, ok) = self._steps(
             self.params, self.state, n_steps=self.step_chunk)
+        self._since_flush += self.step_chunk
         emits = np.asarray(emits)                  # (n, B)
         ok = np.asarray(ok)
         out: Dict[int, List[int]] = {}

@@ -233,3 +233,37 @@ def test_continuous_batcher_matches_generate():
     assert got[0] == want[0]
     assert got[1] == want[1]
     assert got[2] == want[2]
+
+
+def test_continuous_batcher_two_tier_cache_matches():
+    """Two-tier KV mode (recent ring + bulk flush): same token streams as
+    the plain per-token-RMW mode and as per-request generate — flush
+    boundaries land mid-stream for every request."""
+    from moss_speech_decoder_cosy_tpu.serving.lm_server import (
+        ContinuousBatcher)
+    cfg = tiny_speech_lm_config()
+    m = Qwen2SpeechLM(cfg)
+    rng = np.random.RandomState(3)
+    texts = [rng.randint(0, 100, (1, n)) for n in (4, 6)]
+    seeds = [11, 22]
+    ps = jnp.zeros((1, 0), jnp.int32)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(texts[0]), ps,
+                    jax.random.PRNGKey(1), max_len=8)
+    want = []
+    for text, seed in zip(texts, seeds):
+        toks, n = m.apply(params, jnp.asarray(text), ps,
+                          jax.random.PRNGKey(seed), max_len=48)
+        want.append([int(t) for t in np.asarray(toks)[: int(n)]])
+
+    bat = ContinuousBatcher(m, params, slots=2, step_chunk=4,
+                            text_buckets=(8,), speech_buckets=(0,),
+                            recent=6)          # flush every other chunk
+    r0 = bat.submit(texts[0], seed=seeds[0], max_len=48)
+    bat.step()
+    r1 = bat.submit(texts[1], seed=seeds[1], max_len=48)
+    for _ in range(200):
+        bat.step()
+        if bat.finished(r0) and bat.finished(r1):
+            break
+    assert bat.result(r0) == want[0]
+    assert bat.result(r1) == want[1]
