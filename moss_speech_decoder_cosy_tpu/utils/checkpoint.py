@@ -161,47 +161,65 @@ def _map_basic_tf_block(m: _Mapper, dst: str, src: str):
     m.linear(f"{dst}/ff_out", f"{src}.ff.net.2")
 
 
-def _map_causal_resnet(m: _Mapper, dst: str, src: str):
-    """CausalResnetBlock1D (flow/decoder.py:83-88): causal conv + LN blocks."""
-    m.conv(f"{dst}/block1/conv/conv", f"{src}.block1.block.0")
-    m.norm(f"{dst}/block1/norm", f"{src}.block1.block.2")
-    m.conv(f"{dst}/block2/conv/conv", f"{src}.block2.block.0")
-    m.norm(f"{dst}/block2/norm", f"{src}.block2.block.2")
+def _map_resnet(m: _Mapper, dst: str, src: str, causal: bool = True):
+    """(Causal)ResnetBlock1D (flow/decoder.py:83-88 / matcha): causal
+    blocks wrap the conv (block1/conv/conv, LayerNorm at block.2);
+    non-causal matcha blocks are Conv1d + GroupNorm (block.0 / block.1)."""
+    cpath = "conv/conv" if causal else "conv"
+    nidx = 2 if causal else 1
+    m.conv(f"{dst}/block1/{cpath}", f"{src}.block1.block.0")
+    m.norm(f"{dst}/block1/norm", f"{src}.block1.block.{nidx}")
+    m.conv(f"{dst}/block2/{cpath}", f"{src}.block2.block.0")
+    m.norm(f"{dst}/block2/norm", f"{src}.block2.block.{nidx}")
     m.linear(f"{dst}/mlp", f"{src}.mlp.1")
     m.conv(f"{dst}/res_conv", f"{src}.res_conv")
 
 
-def _map_estimator(m: _Mapper, dst: str, src: str, cfg):
+def _map_estimator(m: _Mapper, dst: str, src: str, cfg, causal: bool = True):
     est = cfg.estimator
     m.linear(f"{dst}/time_mlp/linear_1", f"{src}.time_mlp.linear_1")
     m.linear(f"{dst}/time_mlp/linear_2", f"{src}.time_mlp.linear_2")
     n_ch = len(est.channels)
     for i in range(n_ch):
-        _map_causal_resnet(m, f"{dst}/down_res_{i}", f"{src}.down_blocks.{i}.0")
+        _map_resnet(m, f"{dst}/down_res_{i}", f"{src}.down_blocks.{i}.0",
+                    causal)
         for j in range(est.n_blocks):
             _map_basic_tf_block(m, f"{dst}/down_tf_{i}_{j}",
                                 f"{src}.down_blocks.{i}.1.{j}")
         if i == n_ch - 1:
-            m.conv(f"{dst}/down_conv_{i}/conv", f"{src}.down_blocks.{i}.2")
+            if causal:
+                m.conv(f"{dst}/down_conv_{i}/conv",
+                       f"{src}.down_blocks.{i}.2")
+            else:
+                m.conv(f"{dst}/down_conv_{i}", f"{src}.down_blocks.{i}.2")
         else:
             m.conv(f"{dst}/down_conv_{i}/conv", f"{src}.down_blocks.{i}.2.conv")
     for i in range(est.num_mid_blocks):
-        _map_causal_resnet(m, f"{dst}/mid_res_{i}", f"{src}.mid_blocks.{i}.0")
+        _map_resnet(m, f"{dst}/mid_res_{i}", f"{src}.mid_blocks.{i}.0",
+                    causal)
         for j in range(est.n_blocks):
             _map_basic_tf_block(m, f"{dst}/mid_tf_{i}_{j}",
                                 f"{src}.mid_blocks.{i}.1.{j}")
     for i in range(n_ch):
-        _map_causal_resnet(m, f"{dst}/up_res_{i}", f"{src}.up_blocks.{i}.0")
+        _map_resnet(m, f"{dst}/up_res_{i}", f"{src}.up_blocks.{i}.0",
+                    causal)
         for j in range(est.n_blocks):
             _map_basic_tf_block(m, f"{dst}/up_tf_{i}_{j}",
                                 f"{src}.up_blocks.{i}.1.{j}")
         if i == n_ch - 1:
-            m.conv(f"{dst}/up_conv_{i}/conv", f"{src}.up_blocks.{i}.2")
+            if causal:
+                m.conv(f"{dst}/up_conv_{i}/conv", f"{src}.up_blocks.{i}.2")
+            else:
+                m.conv(f"{dst}/up_conv_{i}", f"{src}.up_blocks.{i}.2")
         else:
             m.conv(f"{dst}/up_conv_{i}/conv", f"{src}.up_blocks.{i}.2.conv",
                    transpose=True)
-    m.conv(f"{dst}/final_block/conv/conv", f"{src}.final_block.block.0")
-    m.norm(f"{dst}/final_block/norm", f"{src}.final_block.block.2")
+    if causal:
+        m.conv(f"{dst}/final_block/conv/conv", f"{src}.final_block.block.0")
+        m.norm(f"{dst}/final_block/norm", f"{src}.final_block.block.2")
+    else:
+        m.conv(f"{dst}/final_block/conv", f"{src}.final_block.block.0")
+        m.norm(f"{dst}/final_block/norm", f"{src}.final_block.block.1")
     m.conv(f"{dst}/final_proj", f"{src}.final_proj")
 
 
@@ -467,6 +485,37 @@ def convert_campplus_state_dict(sd: StateDict, block_layers=(12, 24, 16)):
     return m.tree(), unused
 
 
+def _convert_flow_v1(m: "_Mapper", cfg: FlowConfig,
+                     regulator_layers: int = 4):
+    """v1 MaskedDiffWithXvec (flow.py:24-148): plain ConformerEncoder +
+    InterpolateRegulator (length_regulator.py:21-43) + non-causal
+    matcha U-Net estimator."""
+    m.put("input_embedding/embedding", "input_embedding.weight")
+    m.linear("spk_embed_affine_layer", "spk_embed_affine_layer")
+    m.linear("encoder_proj", "encoder_proj")
+    e = "encoder"
+    m.linear(f"{e}/embed/linear", f"{e}.embed.out.0")
+    m.norm(f"{e}/embed/norm", f"{e}.embed.out.1")
+    for i in range(cfg.encoder.num_blocks):
+        _map_conformer_layer(m, f"{e}/encoders_{i}", f"{e}.encoders.{i}",
+                             cfg)
+    m.norm(f"{e}/after_norm", f"{e}.after_norm")
+    lr = "length_regulator"
+    for i in range(regulator_layers):
+        m.conv(f"{lr}/conv_{i}", f"{lr}.model.{3 * i}")
+        m.norm(f"{lr}/norm_{i}", f"{lr}.model.{3 * i + 1}")
+    m.conv(f"{lr}/out_conv", f"{lr}.model.{3 * regulator_layers}")
+    _map_estimator(m, "decoder/estimator", "decoder.estimator", cfg,
+                   causal=False)
+
+
+def convert_flow_v1_state_dict(sd: StateDict, cfg: FlowConfig):
+    """torch v1 flow.pt (MaskedDiffWithXvec) -> flow_v1 params."""
+    m = _Mapper(sd)
+    _convert_flow_v1(m, cfg)
+    return m.tree(), m.unused()
+
+
 def _convert_dit(m: _Mapper, cfg, src: str = ""):
     """cosyvoice1 stable-audio DiffusionTransformer
     (cosyvoice1/flow/stable/dit.py:15-258 + stable/transformer.py,
@@ -524,6 +573,8 @@ def conversion_plan(kind: str, cfg) -> list:
         _convert_campplus(m, cfg if cfg is not None else (12, 24, 16))
     elif kind == "dit":
         _convert_dit(m, cfg)
+    elif kind == "flow_v1":
+        _convert_flow_v1(m, cfg)
     else:
         raise ValueError(kind)
     return m.plan

@@ -542,3 +542,118 @@ def test_dit_estimator_golden():
     got = np.asarray(got)
     assert want.shape == got.shape
     assert _max_abs(want, got) < 2e-4, _max_abs(want, got)
+
+
+# =====================================================================
+# v1 flow: MaskedDiffWithXvec + InterpolateRegulator + non-causal matcha
+# U-Net + ConditionalCFM with flow cache (cosyvoice/flow/flow.py:24-148,
+# length_regulator.py:21-85, flow_matching.py:26-196)
+# =====================================================================
+def _make_v1_flow_pair():
+    from omegaconf import DictConfig
+    from cosyvoice.flow.flow import MaskedDiffWithXvec as TorchV1Flow
+    from cosyvoice.transformer.encoder import (
+        ConformerEncoder as TorchConformer)
+    from cosyvoice.flow.length_regulator import (
+        InterpolateRegulator as TorchRegulator)
+    from cosyvoice.flow.decoder import ConditionalDecoder as TorchNCEst
+    from cosyvoice.flow.flow_matching import ConditionalCFM as TorchV1CFM
+
+    from moss_speech_decoder_cosy_tpu.models.flow.flow_v1 import (
+        MaskedDiffWithXvec)
+    from moss_speech_decoder_cosy_tpu.utils.config import (
+        FlowConfig, EncoderConfig, EstimatorConfig, CFMConfig)
+
+    torch.manual_seed(13)
+    t_enc = TorchConformer(
+        input_size=64, output_size=64, attention_heads=4,
+        linear_units=64, num_blocks=2, dropout_rate=0.0,
+        positional_dropout_rate=0.0, attention_dropout_rate=0.0,
+        input_layer="linear", pos_enc_layer_type="rel_pos_espnet",
+        selfattention_layer_type="rel_selfattn", macaron_style=False,
+        use_cnn_module=False, normalize_before=True)
+    t_reg = TorchRegulator(channels=80, sampling_ratios=[1, 1, 1, 1])
+    t_est = TorchNCEst(
+        in_channels=320, out_channels=80, channels=[32, 32],
+        dropout=0.0, attention_head_dim=16, n_blocks=1,
+        num_mid_blocks=1, num_heads=2, act_fn="gelu")
+    cfm_params = DictConfig({
+        "sigma_min": 1e-6, "solver": "euler", "t_scheduler": "cosine",
+        "training_cfg_rate": 0.2, "inference_cfg_rate": 0.7,
+        "reg_loss_type": "l1"})
+    t_cfm = TorchV1CFM(in_channels=240, cfm_params=cfm_params, n_spks=1,
+                       spk_emb_dim=80, estimator=t_est)
+    ref = TorchV1Flow(
+        input_size=64, output_size=80, spk_embed_dim=192, vocab_size=64,
+        input_frame_rate=50, only_mask_loss=True, encoder=t_enc,
+        length_regulator=t_reg, decoder=t_cfm).eval()
+
+    cfg = FlowConfig(
+        vocab_size=64, input_size=64, output_size=80, spk_embed_dim=192,
+        input_frame_rate=50,
+        encoder=EncoderConfig(
+            input_size=64, output_size=64, attention_heads=4,
+            linear_units=64, num_blocks=2, dropout_rate=0.0,
+            macaron_style=False, use_cnn_module=False,
+            pos_enc_layer_type="rel_pos_espnet"),
+        estimator=EstimatorConfig(
+            in_channels=320, out_channels=80, channels=(32, 32),
+            attention_head_dim=16, n_blocks=1, num_mid_blocks=1,
+            num_heads=2, act_fn="gelu", causal=False),
+        cfm=CFMConfig(n_timesteps=10, max_noise_len=2048))
+    params, unused = ckpt.convert_flow_v1_state_dict(_sd(ref), cfg)
+    assert unused == [], unused
+    return ref, MaskedDiffWithXvec(cfg), params, cfg
+
+
+@pytest.mark.parametrize("n_tok", [30, 50])
+def test_flow_v1_inference_golden(monkeypatch, n_tok):
+    """v1 inference parity incl. the InterpolateRegulator head/mid/tail
+    split for targets > 40 tokens (length_regulator.py:52-73) and the
+    prompt+34-frame flow cache."""
+    ref, mine, params, cfg = _make_v1_flow_pair()
+    from moss_speech_decoder_cosy_tpu.models.flow import flow_v1 as v1_mod
+    from moss_speech_decoder_cosy_tpu.models.flow.cfm import _fixed_noise
+
+    rng = np.random.RandomState(14)
+    n_prompt = 6
+    mel_len1 = 10
+    mel_len2 = int(n_tok / 50 * 22050 / 256)
+    token = rng.randint(0, cfg.vocab_size, (1, n_tok)).astype(np.int64)
+    prompt_token = rng.randint(0, cfg.vocab_size,
+                               (1, n_prompt)).astype(np.int64)
+    prompt_feat = rng.randn(1, mel_len1, 80).astype(np.float32)
+    emb = rng.randn(1, cfg.spk_embed_dim).astype(np.float32)
+
+    total = mel_len1 + mel_len2
+    noise = _fixed_noise(2048, 80)
+    monkeypatch.setattr(
+        torch, "randn_like",
+        lambda mu, **k: torch.from_numpy(
+            np.broadcast_to(noise[:, : mu.shape[2]].transpose(0, 2, 1),
+                            mu.shape).copy()))
+
+    with torch.no_grad():
+        want, want_cache = ref.inference(
+            token=torch.from_numpy(token),
+            token_len=torch.tensor([n_tok], dtype=torch.int32),
+            prompt_token=torch.from_numpy(prompt_token),
+            prompt_token_len=torch.tensor([n_prompt], dtype=torch.int32),
+            prompt_feat=torch.from_numpy(prompt_feat),
+            prompt_feat_len=torch.tensor([mel_len1], dtype=torch.int32),
+            embedding=torch.from_numpy(emb),
+            flow_cache=torch.zeros(1, 80, 0, 2))
+
+    got, got_cache = mine.apply(
+        params, jnp.asarray(token, jnp.int32),
+        jnp.asarray(prompt_token, jnp.int32),
+        jnp.asarray(prompt_feat), jnp.asarray(emb), mel_len2,
+        method=mine.inference)
+    got = np.asarray(got).transpose(0, 2, 1)
+    assert want.shape == got.shape, (want.shape, got.shape)
+    assert _max_abs(want.numpy(), got) < 2e-3
+    assert float(np.mean(np.abs(want.numpy() - got))) < 2e-4
+    # flow cache (prompt + last-34 z/mu) parity
+    assert _max_abs(want_cache.numpy(),
+                    np.asarray(got_cache).transpose(0, 2, 1, 3)) < 2e-3
+    del total
