@@ -32,10 +32,15 @@ from ...utils.config import EncoderConfig
 class LinearEmbed(nn.Module):
     """LinearNoSubsampling: Dense + LayerNorm(1e-5); the ESPnet rel-pos
     encoding scales x by sqrt(d) and returns a separate pos table
-    (transformer/subsampling.py:69-113, embedding.py:255-271)."""
+    (transformer/subsampling.py:69-113, embedding.py:255-271).
+
+    ``relu=True`` selects the LegacyLinearNoSubsampling variant (extra
+    trailing ReLU, subsampling.py:338-361 — the v1 TransformerLM's
+    ``linear_legacy`` input layer)."""
 
     output_size: int
     dropout_rate: float = 0.0
+    relu: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -43,6 +48,8 @@ class LinearEmbed(nn.Module):
         x = nn.Dense(self.output_size, name="linear")(x)
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        if self.relu:
+            x = jax.nn.relu(x)
         return x * jnp.sqrt(jnp.asarray(self.output_size, x.dtype))
 
 

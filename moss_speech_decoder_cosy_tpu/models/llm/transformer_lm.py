@@ -55,18 +55,21 @@ def tiny_transformer_lm_config() -> TransformerLMConfig:
 
 class _DecoderOnly(nn.Module):
     """Causal transformer over embeddings (the wenet TransformerEncoder
-    role with subsequent masks)."""
+    role with subsequent masks; input_layer='linear_legacy' adds a ReLU,
+    subsampling.py:338-361)."""
 
     cfg: TransformerLMConfig
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
+        # TransformerEncoder defaults to relu FF activation
+        # (encoder.py:359,382) unlike the conformer's swish
         enc_cfg = dataclasses.replace(
             c.text_encoder, output_size=c.llm_output_size,
-            input_size=c.llm_input_size)
+            input_size=c.llm_input_size, activation="relu")
         t = x.shape[1]
-        x = LinearEmbed(c.llm_output_size, 0.0, name="embed")(x)
+        x = LinearEmbed(c.llm_output_size, 0.0, relu=True, name="embed")(x)
         pos = espnet_rel_pos(t, c.llm_output_size).astype(x.dtype)
         ar = jnp.arange(t)
         causal = (ar[None, :] <= ar[:, None])[None] & valid[:, None, :]
@@ -89,11 +92,18 @@ class TransformerLM(nn.Module):
             for i in range(c.text_encoder.num_blocks)]
         self.text_embed_in = LinearEmbed(c.text_encoder.output_size, 0.0,
                                          name="text_embed_in")
+        self.text_after_norm = nn.LayerNorm(epsilon=1e-5,
+                                            name="text_after_norm")
         self.text_encoder_affine_layer = nn.Dense(
             c.llm_input_size, name="text_encoder_affine_layer")
+        self.spk_embed_affine_layer = nn.Dense(
+            c.llm_input_size, name="spk_embed_affine_layer")
         self.llm_embedding = nn.Embed(2, c.llm_input_size,
                                       name="llm_embedding")
-        self.speech_embedding = nn.Embed(c.speech_token_size + 1,
+        # speech_token_size rows (llm.py:72) — eos (== speech_token_size)
+        # is an OUTPUT-only id, never embedded; _lm_inputs clips padded
+        # eos slots before lookup
+        self.speech_embedding = nn.Embed(c.speech_token_size,
                                          c.llm_input_size,
                                          name="speech_embedding")
         self.llm = _DecoderOnly(c, name="llm")
@@ -102,38 +112,57 @@ class TransformerLM(nn.Module):
 
     def encode_text(self, text: jnp.ndarray,
                     text_valid: jnp.ndarray) -> jnp.ndarray:
+        """Conformer text encoder; the reference decodes it with
+        decoding_chunk_size=1, left=-1 (llm.py:84) = a causal mask."""
         x = self.text_embedding(text)
         x = self.text_embed_in(x)
         pos = espnet_rel_pos(x.shape[1],
                              self.cfg.text_encoder.output_size
                              ).astype(x.dtype)
-        mask = chunk_attention_mask(text_valid, 0)
+        mask = chunk_attention_mask(text_valid, 1)
         for layer in self.text_encoder_layers:
             x = layer(x, mask, pos, text_valid)
+        x = self.text_after_norm(x)
         return self.text_encoder_affine_layer(x)
 
-    def _lm_inputs(self, text_enc, text_valid, speech, speech_valid):
+    def embed_spk(self, spk: jnp.ndarray) -> jnp.ndarray:
+        """L2-normalize + affine the x-vector (llm.py:124-126)."""
+        spk = spk / jnp.maximum(
+            jnp.linalg.norm(spk, axis=-1, keepdims=True), 1e-12)
+        return self.spk_embed_affine_layer(spk)
+
+    def _lm_inputs(self, text_enc, text_valid, speech, speech_valid,
+                   spk=None):
+        """[sos, (spk), text_enc, task, speech] (llm.py:91-97,196-203)."""
         sos = self.llm_embedding(jnp.zeros((text_enc.shape[0], 1),
                                            jnp.int32))
         task = self.llm_embedding(jnp.ones((text_enc.shape[0], 1),
                                            jnp.int32))
-        sp = self.speech_embedding(speech)
-        x = jnp.concatenate([sos, text_enc, task, sp], axis=1)
+        # clip eos-padded ids: the table has speech_token_size rows
+        # (llm.py:72) and jnp.take's OOB mode is fill-with-NaN, which
+        # 0*NaN-leaks through masked attention
+        sp = self.speech_embedding(
+            jnp.minimum(speech, self.cfg.speech_token_size - 1))
         ones = jnp.ones((text_enc.shape[0], 1), bool)
-        valid = jnp.concatenate([ones, text_valid, ones, speech_valid],
-                                axis=1)
-        return x, valid
+        parts, vparts = [sos], [ones]
+        if spk is not None:
+            parts.append(self.embed_spk(spk)[:, None])
+            vparts.append(ones)
+        parts += [text_enc, task, sp]
+        vparts += [text_valid, ones, speech_valid]
+        return jnp.concatenate(parts, axis=1), jnp.concatenate(vparts,
+                                                               axis=1)
 
-    def __call__(self, text, text_valid, speech, speech_valid):
+    def __call__(self, text, text_valid, speech, speech_valid, spk=None):
         """Teacher-forced logits over the full sequence (training)."""
         text_enc = self.encode_text(text, text_valid)
         x, valid = self._lm_inputs(text_enc, text_valid, speech,
-                                   speech_valid)
+                                   speech_valid, spk)
         h = self.llm(x, valid)
         return self.llm_decoder(h), valid
 
     def generate(self, text: jnp.ndarray, text_valid: jnp.ndarray,
-                 key: jax.Array, max_len: int = 32
+                 key: jax.Array, max_len: int = 32, spk=None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """AR sampling with RAS; full-prefix recompute per step in a scan."""
         c = self.cfg
@@ -141,29 +170,33 @@ class TransformerLM(nn.Module):
         text_enc = self.encode_text(text, text_valid)
         b = text.shape[0]
         assert b == 1
-        prefix_len = 1 + text.shape[1] + 1
+        prefix_len = 1 + (0 if spk is None else 1) + text.shape[1] + 1
 
         def step(mdl, carry, _):
-            tokens, n, done, key = carry
+            tokens, n, done, hist, key = carry
             key, ks = jax.random.split(key)
             sp_valid = jnp.arange(max_len)[None, :] < n
             x, valid = mdl._lm_inputs(text_enc, text_valid,
-                                      tokens[None], sp_valid)
+                                      tokens[None], sp_valid, spk)
             h = mdl.llm(x, valid)
             idx = prefix_len - 1 + n
             logits = mdl.llm_decoder(h[0, idx])
             logp = jax.nn.log_softmax(logits)
-            hist = jnp.full((c.sampling.win_size,), -1, jnp.int32)
             tok = ras_sample(ks, logp, hist, c.sampling)
             is_eos = tok >= eos
             tokens = tokens.at[n].set(
                 jnp.where(done | is_eos, eos, tok).astype(jnp.int32))
             n = jnp.where(done | is_eos, n, n + 1)
-            return (tokens, n, done | is_eos, key), ()
+            # decoded-token history ring feeds RAS like the reference's
+            # out_tokens (llm.py:146-155,223-228)
+            hist = jnp.where(done | is_eos, hist,
+                             jnp.roll(hist, -1).at[-1].set(tok))
+            return (tokens, n, done | is_eos, hist, key), ()
 
         scan = nn.scan(step, variable_broadcast="params",
                        split_rngs={"params": False}, length=max_len)
         init = (jnp.full((max_len,), eos, jnp.int32),
-                jnp.zeros((), jnp.int32), jnp.zeros((), bool), key)
-        (tokens, n, _, _), _ = scan(self, init, None)
+                jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+                jnp.full((c.sampling.win_size,), -1, jnp.int32), key)
+        (tokens, n, _, _, _), _ = scan(self, init, None)
         return tokens, n

@@ -421,6 +421,116 @@ def convert_speech_lm_state_dict(sd: StateDict, cfg):
     return m.tree(), m.unused()
 
 
+def _map_transformer_layer(m: "_Mapper", dst: str, src: str,
+                           key_bias: bool = True):
+    """wenet TransformerEncoderLayer (encoder_layer.py:24-109) with
+    rel_selfattn attention -> our ConformerEncoderLayer param names
+    (norm1 -> norm_mha, norm2 -> norm_ff; macaron/cnn absent)."""
+    m.norm(f"{dst}/norm_mha", f"{src}.norm1")
+    m.norm(f"{dst}/norm_ff", f"{src}.norm2")
+    a, d = f"{src}.self_attn", f"{dst}/self_attn"
+    m.linear(f"{d}/linear_q", f"{a}.linear_q")
+    m.linear(f"{d}/linear_k", f"{a}.linear_k", bias=key_bias)
+    m.linear(f"{d}/linear_v", f"{a}.linear_v")
+    m.linear(f"{d}/linear_out", f"{a}.linear_out")
+    m.linear(f"{d}/linear_pos", f"{a}.linear_pos", bias=False)
+    m.put(f"{d}/pos_bias_u", f"{a}.pos_bias_u")
+    m.put(f"{d}/pos_bias_v", f"{a}.pos_bias_v")
+    m.linear(f"{dst}/feed_forward/w_1", f"{src}.feed_forward.w_1")
+    m.linear(f"{dst}/feed_forward/w_2", f"{src}.feed_forward.w_2")
+
+
+def _convert_transformer_lm(m: "_Mapper", cfg):
+    """CosyVoice v1 TransformerLM (llm.py:32-229: text embedding +
+    ConformerEncoder text encoder + affine + TransformerEncoder decoder
+    stack + heads) -> models/llm/transformer_lm.TransformerLM params."""
+    import types as _types
+    m.put("text_embedding/embedding", "text_embedding.weight")
+    te = "text_encoder"
+    m.linear("text_embed_in/linear", f"{te}.embed.out.0")
+    m.norm("text_embed_in/norm", f"{te}.embed.out.1")
+    shim = _types.SimpleNamespace(encoder=cfg.text_encoder)
+    for i in range(cfg.text_encoder.num_blocks):
+        _map_conformer_layer(m, f"text_enc_{i}", f"{te}.encoders.{i}", shim)
+    m.norm("text_after_norm", f"{te}.after_norm")
+    m.linear("text_encoder_affine_layer", "text_encoder_affine_layer")
+    m.linear("spk_embed_affine_layer", "spk_embed_affine_layer")
+    m.put("llm_embedding/embedding", "llm_embedding.weight")
+    m.put("speech_embedding/embedding", "speech_embedding.weight")
+    m.linear("llm_decoder", "llm_decoder")
+    m.linear("llm/embed/linear", "llm.embed.out.0")
+    m.norm("llm/embed/norm", "llm.embed.out.1")
+    for i in range(cfg.llm_blocks):
+        _map_transformer_layer(m, f"llm/layers_{i}", f"llm.encoders.{i}")
+    m.norm("llm/after_norm", "llm.after_norm")
+
+
+def convert_transformer_lm_state_dict(sd: StateDict, cfg):
+    """CosyVoice v1 llm.pt -> flax TransformerLM params."""
+    m = _Mapper(sd)
+    _convert_transformer_lm(m, cfg)
+    return m.tree(), m.unused()
+
+
+def _map_whisper_enc_layer(m: "_Mapper", dst: str, src: str):
+    m.norm(f"{dst}/self_attn_layer_norm", f"{src}.self_attn_layer_norm")
+    m.norm(f"{dst}/final_layer_norm", f"{src}.final_layer_norm")
+    m.linear(f"{dst}/self_attn/q_proj", f"{src}.self_attn.q_proj")
+    m.linear(f"{dst}/self_attn/k_proj", f"{src}.self_attn.k_proj",
+             bias=False)
+    m.linear(f"{dst}/self_attn/v_proj", f"{src}.self_attn.v_proj")
+    m.linear(f"{dst}/self_attn/out_proj", f"{src}.self_attn.out_proj")
+    m.linear(f"{dst}/fc1", f"{src}.fc1")
+    m.linear(f"{dst}/fc2", f"{src}.fc2")
+
+
+def _convert_post_vq(m: "_Mapper", cfg):
+    """WhisperVQEncoder layers AFTER quantize_position + the second
+    positional table (modeling_whisper.py:1265-1269,1466-1486) ->
+    tokenizer/asr_decoder.PostVQEncoder params."""
+    m.put("embed_positions2", "embed_positions2.weight")
+    for i in range(cfg.encoder_layers - cfg.quantize_position):
+        _map_whisper_enc_layer(m, f"layers_{i}",
+                               f"layers.{cfg.quantize_position + i}")
+    m.norm("layer_norm", "layer_norm")
+
+
+def convert_post_vq_state_dict(sd: StateDict, cfg):
+    """Post-VQ slice of a WhisperVQEncoder state_dict -> PostVQEncoder
+    params (pre-VQ keys are reported unused; pair with
+    convert_tokenizer_state_dict on the same dict)."""
+    m = _Mapper(sd)
+    _convert_post_vq(m, cfg)
+    return m.tree(), m.unused()
+
+
+def _convert_whisper_decoder(m: "_Mapper", cfg):
+    """WhisperVQDecoder (modeling_whisper.py:1614-1974) ->
+    tokenizer/asr_decoder.WhisperVQDecoder params (tied output proj)."""
+    m.put("embed_tokens/embedding", "embed_tokens.weight")
+    m.put("embed_positions", "embed_positions.weight")
+    for i in range(cfg.decoder_layers):
+        s, d = f"layers.{i}", f"layers_{i}"
+        m.norm(f"{d}/self_attn_layer_norm", f"{s}.self_attn_layer_norm")
+        m.norm(f"{d}/encoder_attn_layer_norm", f"{s}.encoder_attn_layer_norm")
+        m.norm(f"{d}/final_layer_norm", f"{s}.final_layer_norm")
+        for att in ("self_attn", "encoder_attn"):
+            m.linear(f"{d}/{att}/q_proj", f"{s}.{att}.q_proj")
+            m.linear(f"{d}/{att}/k_proj", f"{s}.{att}.k_proj", bias=False)
+            m.linear(f"{d}/{att}/v_proj", f"{s}.{att}.v_proj")
+            m.linear(f"{d}/{att}/out_proj", f"{s}.{att}.out_proj")
+        m.linear(f"{d}/fc1", f"{s}.fc1")
+        m.linear(f"{d}/fc2", f"{s}.fc2")
+    m.norm("layer_norm", "layer_norm")
+
+
+def convert_whisper_decoder_state_dict(sd: StateDict, cfg):
+    """torch WhisperVQDecoder state_dict -> flax WhisperVQDecoder params."""
+    m = _Mapper(sd)
+    _convert_whisper_decoder(m, cfg)
+    return m.tree(), m.unused()
+
+
 def _convert_campplus(m: "_Mapper", block_layers=(12, 24, 16)):
     """modelscope speakerlab CAMPPlus names (the torch model the reference's
     campplus.onnx was exported from, run via onnxruntime at
@@ -575,6 +685,12 @@ def conversion_plan(kind: str, cfg) -> list:
         _convert_dit(m, cfg)
     elif kind == "flow_v1":
         _convert_flow_v1(m, cfg)
+    elif kind == "transformer_lm":
+        _convert_transformer_lm(m, cfg)
+    elif kind == "post_vq":
+        _convert_post_vq(m, cfg)
+    elif kind == "whisper_decoder":
+        _convert_whisper_decoder(m, cfg)
     else:
         raise ValueError(kind)
     return m.plan

@@ -1,0 +1,475 @@
+"""Golden numerical parity for the LM and ASR families against the
+reference's own torch modules (the last converter families that round 2
+left self-round-trip only):
+
+- HF Qwen2ForCausalLM  -> convert_qwen2_state_dict -> Qwen2Model
+  (llm.py:231-260 wraps the HF model; prefill AND stepwise-KV parity).
+- reference Qwen2LM    -> convert_speech_lm_state_dict -> Qwen2SpeechLM
+  (embedding assembly [sos, text, task, prompt_speech] + decoder head +
+  forced-token stepwise logits, llm.py:263-460).
+- reference TransformerLM v1 (llm.py:32-229, ConformerEncoder text
+  encoder + TransformerEncoder decoder stack) ->
+  convert_transformer_lm_state_dict -> TransformerLM.
+- reference WhisperVQDecoder + post-VQ encoder layers
+  (modeling_whisper.py:1466,1614-1974) -> tokenizer/asr_decoder.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import ref_shim
+
+ref_shim.install()
+
+import torch  # noqa: E402
+import torch.nn.functional as F  # noqa: E402
+
+from moss_speech_decoder_cosy_tpu.utils import checkpoint as ckpt  # noqa: E402
+
+
+def _sd(module) -> dict:
+    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+
+
+def _max_abs(a, b) -> float:
+    return float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+
+
+# =====================================================================
+# HF Qwen2 backbone (llm.py:231-260 Qwen2Encoder wraps Qwen2ForCausalLM)
+# =====================================================================
+@pytest.fixture(scope="module")
+def qwen2_pair():
+    from transformers import Qwen2Config as HFConfig, Qwen2ForCausalLM
+    from moss_speech_decoder_cosy_tpu.models.llm.qwen2 import (
+        Qwen2Model, tiny_qwen2_config)
+
+    cfg = tiny_qwen2_config()
+    hf_cfg = HFConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.ffn_size, num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        num_key_value_heads=cfg.num_kv_heads,
+        max_position_embeddings=cfg.max_seq_len, rope_theta=cfg.rope_theta,
+        rms_norm_eps=cfg.norm_eps, tie_word_embeddings=False,
+        attention_dropout=0.0, use_sliding_window=False,
+        attn_implementation="eager")
+    torch.manual_seed(11)
+    ref = Qwen2ForCausalLM(hf_cfg).eval()
+    params, unused = ckpt.convert_qwen2_state_dict(_sd(ref), cfg)
+    assert set(unused) <= {"lm_head.weight"}, unused
+    return ref, Qwen2Model(cfg), params, cfg
+
+
+def test_qwen2_prefill_golden(qwen2_pair):
+    """Batch prefill over embeddings: HF last_hidden_state (== the
+    hidden_states[-1] the reference reads, llm.py:239-246) vs
+    forward_embeds."""
+    ref, mine, params, cfg = qwen2_pair
+    rng = np.random.RandomState(12)
+    t = 9
+    emb = rng.randn(1, t, cfg.hidden_size).astype(np.float32)
+    with torch.no_grad():
+        out = ref.model(inputs_embeds=torch.from_numpy(emb),
+                        output_hidden_states=True)
+    want = out.last_hidden_state.numpy()
+    # the reference reads hidden_states[-1] — assert it IS the post-norm
+    # output so our norm placement matches its semantics
+    assert _max_abs(want, out.hidden_states[-1].numpy()) == 0.0
+
+    cache = mine.apply(params, 1, method=lambda m, b: m.init_cache(b))
+    got, _ = mine.apply(params, jnp.asarray(emb), cache,
+                        method=mine.forward_embeds)
+    assert _max_abs(want, got) < 2e-5
+
+
+def test_qwen2_stepwise_kv_golden(qwen2_pair):
+    """Per-token decode with a KV cache vs HF past_key_values."""
+    ref, mine, params, cfg = qwen2_pair
+    rng = np.random.RandomState(13)
+    prompt = rng.randn(1, 5, cfg.hidden_size).astype(np.float32)
+    steps = [rng.randn(1, 1, cfg.hidden_size).astype(np.float32)
+             for _ in range(4)]
+
+    with torch.no_grad():
+        out = ref.model(inputs_embeds=torch.from_numpy(prompt),
+                        use_cache=True)
+        hf_cache = out.past_key_values
+        want = [out.last_hidden_state[:, -1].numpy()]
+        for s in steps:
+            out = ref.model(inputs_embeds=torch.from_numpy(s),
+                            use_cache=True, past_key_values=hf_cache)
+            hf_cache = out.past_key_values
+            want.append(out.last_hidden_state[:, -1].numpy())
+
+    cache = mine.apply(params, 1, method=lambda m, b: m.init_cache(b))
+    h, cache = mine.apply(params, jnp.asarray(prompt), cache,
+                          method=mine.forward_embeds)
+    got = [np.asarray(h[:, -1])]
+    for s in steps:
+        h, cache = mine.apply(params, jnp.asarray(s), cache,
+                              method=mine.forward_embeds)
+        got.append(np.asarray(h[:, -1]))
+    for w, g in zip(want, got):
+        assert _max_abs(w, g) < 2e-5
+
+
+# =====================================================================
+# CosyVoice2 Qwen2LM (llm.py:263-460)
+# =====================================================================
+@pytest.fixture(scope="module")
+def speech_lm_pair():
+    from transformers import Qwen2Config as HFConfig, Qwen2ForCausalLM
+    from cosyvoice.llm.llm import Qwen2LM, Qwen2Encoder
+    from moss_speech_decoder_cosy_tpu.models.llm.speech_lm import (
+        Qwen2SpeechLM, tiny_speech_lm_config)
+
+    cfg = tiny_speech_lm_config()
+    bk = cfg.backbone
+    hf_cfg = HFConfig(
+        vocab_size=bk.vocab_size, hidden_size=bk.hidden_size,
+        intermediate_size=bk.ffn_size, num_hidden_layers=bk.num_layers,
+        num_attention_heads=bk.num_heads,
+        num_key_value_heads=bk.num_kv_heads,
+        max_position_embeddings=bk.max_seq_len, rope_theta=bk.rope_theta,
+        rms_norm_eps=bk.norm_eps, tie_word_embeddings=False,
+        attention_dropout=0.0, use_sliding_window=False,
+        attn_implementation="eager")
+    torch.manual_seed(21)
+    # Qwen2Encoder.__init__ calls from_pretrained (no checkpoints here);
+    # assemble the same object around a random-init HF model instead.
+    enc = Qwen2Encoder.__new__(Qwen2Encoder)
+    torch.nn.Module.__init__(enc)
+    enc.model = Qwen2ForCausalLM(hf_cfg)
+    ref = Qwen2LM(llm_input_size=bk.hidden_size,
+                  llm_output_size=bk.hidden_size,
+                  speech_token_size=cfg.speech_token_size,
+                  llm=enc, sampling=lambda *a: None).eval()
+
+    params, unused = ckpt.convert_speech_lm_state_dict(_sd(ref), cfg)
+    assert set(unused) <= {"llm.model.lm_head.weight"}, unused
+    return ref, Qwen2SpeechLM(cfg), params, cfg
+
+
+def test_speech_lm_prompt_assembly_golden(speech_lm_pair):
+    """[sos, text emb, task, prompt speech emb] (llm.py:436-443)."""
+    ref, mine, params, cfg = speech_lm_pair
+    rng = np.random.RandomState(22)
+    text = rng.randint(0, cfg.backbone.vocab_size, (1, 6)).astype(np.int64)
+    speech = rng.randint(0, cfg.speech_token_size, (1, 4)).astype(np.int64)
+    with torch.no_grad():
+        sos = ref.llm_embedding.weight[ref.sos_eos].reshape(1, 1, -1)
+        task = ref.llm_embedding.weight[ref.task_id].reshape(1, 1, -1)
+        text_emb = ref.llm.model.model.embed_tokens(torch.from_numpy(text))
+        sp_emb = ref.speech_embedding(torch.from_numpy(speech))
+        want = torch.concat([sos, text_emb, task, sp_emb], dim=1).numpy()
+    got = mine.apply(params, jnp.asarray(text, jnp.int32),
+                     jnp.asarray(speech, jnp.int32),
+                     method=mine.prompt_embeds)
+    assert _max_abs(want, got) < 1e-6
+
+
+def test_speech_lm_stepwise_logits_golden(speech_lm_pair):
+    """Forced-token decode: per-step llm_decoder logits vs the reference's
+    forward_one_step loop (llm.py:444-460 with the HF KV cache)."""
+    ref, mine, params, cfg = speech_lm_pair
+    rng = np.random.RandomState(23)
+    text = rng.randint(0, cfg.backbone.vocab_size, (1, 5)).astype(np.int64)
+    speech = rng.randint(0, cfg.speech_token_size, (1, 3)).astype(np.int64)
+    forced = rng.randint(0, cfg.speech_token_size, (5,)).astype(np.int64)
+
+    # ---- reference loop (llm.py:452-460 non-vllm path)
+    with torch.no_grad():
+        sos = ref.llm_embedding.weight[ref.sos_eos].reshape(1, 1, -1)
+        task = ref.llm_embedding.weight[ref.task_id].reshape(1, 1, -1)
+        text_emb = ref.llm.model.model.embed_tokens(torch.from_numpy(text))
+        sp_emb = ref.speech_embedding(torch.from_numpy(speech))
+        lm_input = torch.concat([sos, text_emb, task, sp_emb], dim=1)
+        cache = None
+        want = []
+        total = 0
+        for tok in forced:
+            # NOTE: llm.py:456 builds the tril over the CURRENT input only
+            # (length 1 after the first step); current HF resolves such a
+            # short mask by masking the cached keys, which is neither the
+            # tril's intent nor what the production vLLM path does.  Use
+            # the cumulative length so forward_one_step sees the intended
+            # attend-to-all-past mask.
+            total += lm_input.shape[1]
+            masks = torch.tril(torch.ones((1, total, total),
+                                          dtype=torch.bool))
+            y_pred, cache = ref.llm.forward_one_step(lm_input, masks=masks,
+                                                     cache=cache)
+            want.append(ref.llm_decoder(y_pred[:, -1]).numpy())
+            lm_input = ref.speech_embedding.weight[int(tok)].reshape(1, 1, -1)
+
+    # ---- mine: prefill + per-token forward_embeds
+    embeds = mine.apply(params, jnp.asarray(text, jnp.int32),
+                        jnp.asarray(speech, jnp.int32),
+                        method=mine.prompt_embeds)
+    h, cache = mine.apply(params, embeds, None, method=mine.prefill)
+    got = [np.asarray(mine.apply(params, h[:, -1],
+                                 method=lambda m, x: m.llm_decoder(x)))]
+    for tok in forced[:-1]:
+        emb = mine.apply(params, jnp.asarray([[int(tok)]], jnp.int32),
+                         method=lambda m, i: m.speech_embedding(i))
+        h, cache = mine.apply(params, emb, cache, method=mine.prefill)
+        got.append(np.asarray(mine.apply(
+            params, h[:, -1], method=lambda m, x: m.llm_decoder(x))))
+    for w, g in zip(want, got):
+        assert _max_abs(w, g) < 5e-5
+
+
+# =====================================================================
+# CosyVoice v1 TransformerLM (llm.py:32-229)
+# =====================================================================
+@pytest.fixture(scope="module")
+def transformer_lm_pair():
+    from cosyvoice.llm.llm import TransformerLM as TorchLM
+    from cosyvoice.transformer.encoder import (ConformerEncoder,
+                                               TransformerEncoder)
+    from moss_speech_decoder_cosy_tpu.models.llm.transformer_lm import (
+        TransformerLM, tiny_transformer_lm_config)
+
+    cfg = tiny_transformer_lm_config()
+    ec = cfg.text_encoder
+    torch.manual_seed(31)
+    text_encoder = ConformerEncoder(
+        input_size=cfg.text_encoder_input_size, output_size=ec.output_size,
+        attention_heads=ec.attention_heads, linear_units=ec.linear_units,
+        num_blocks=ec.num_blocks, dropout_rate=0.0,
+        positional_dropout_rate=0.0, attention_dropout_rate=0.0,
+        normalize_before=True, input_layer="linear",
+        pos_enc_layer_type="rel_pos_espnet",
+        selfattention_layer_type="rel_selfattn", macaron_style=False,
+        use_cnn_module=False, static_chunk_size=1)
+    llm = TransformerEncoder(
+        input_size=cfg.llm_input_size, output_size=cfg.llm_output_size,
+        attention_heads=ec.attention_heads, linear_units=ec.linear_units,
+        num_blocks=cfg.llm_blocks, dropout_rate=0.0,
+        positional_dropout_rate=0.0, attention_dropout_rate=0.0,
+        input_layer="linear_legacy", pos_enc_layer_type="rel_pos_espnet",
+        selfattention_layer_type="rel_selfattn", static_chunk_size=1)
+    ref = TorchLM(
+        text_encoder_input_size=cfg.text_encoder_input_size,
+        llm_input_size=cfg.llm_input_size,
+        llm_output_size=cfg.llm_output_size,
+        text_token_size=cfg.text_token_size,
+        speech_token_size=cfg.speech_token_size,
+        text_encoder=text_encoder, llm=llm,
+        sampling=lambda *a: None, spk_embed_dim=12).eval()
+
+    params, unused = ckpt.convert_transformer_lm_state_dict(_sd(ref), cfg)
+    assert unused == [], unused
+    return ref, TransformerLM(cfg), params, cfg
+
+
+def test_transformer_lm_encode_text_golden(transformer_lm_pair):
+    """text_embedding -> conformer (decoding_chunk_size=1, left=-1) ->
+    after_norm -> affine (llm.py:78-86)."""
+    ref, mine, params, cfg = transformer_lm_pair
+    rng = np.random.RandomState(32)
+    text = rng.randint(0, cfg.text_token_size, (1, 7)).astype(np.int64)
+    with torch.no_grad():
+        emb = ref.text_embedding(torch.from_numpy(text))
+        want, want_len = ref.encode(emb, torch.tensor([7]))
+        want = want.numpy()
+    got = mine.apply(params, jnp.asarray(text, jnp.int32),
+                     jnp.ones((1, 7), bool), method=mine.encode_text)
+    assert int(want_len) == 7
+    assert _max_abs(want, got) < 2e-5
+
+
+def test_transformer_lm_teacher_forced_golden(transformer_lm_pair):
+    """Full training-layout logits over [sos, spk, text, task, speech]
+    (llm.py:91-145) including the spk-embedding normalize+affine."""
+    ref, mine, params, cfg = transformer_lm_pair
+    rng = np.random.RandomState(33)
+    t_text, t_speech = 6, 5
+    text = rng.randint(0, cfg.text_token_size, (1, t_text)).astype(np.int64)
+    speech = rng.randint(0, cfg.speech_token_size,
+                         (1, t_speech)).astype(np.int64)
+    spk = rng.randn(1, 12).astype(np.float32)
+
+    with torch.no_grad():
+        text_emb = ref.text_embedding(torch.from_numpy(text))
+        enc_out, enc_len = ref.encode(text_emb, torch.tensor([t_text]))
+        emb = F.normalize(torch.from_numpy(spk), dim=1)
+        emb = ref.spk_embed_affine_layer(emb).unsqueeze(1)
+        sos = ref.llm_embedding.weight[ref.sos_eos].reshape(1, 1, -1)
+        task = ref.llm_embedding.weight[ref.task_id].reshape(1, 1, -1)
+        sp_emb = ref.speech_embedding(torch.from_numpy(speech))
+        lm_input, lm_len = ref.pad_unpad_sequence(
+            sos, emb, enc_out, enc_len, task, sp_emb,
+            torch.tensor([t_speech]))
+        lm_out, _ = ref.llm(lm_input, lm_len)
+        want = ref.llm_decoder(lm_out).numpy()
+
+    logits, valid = mine.apply(
+        params, jnp.asarray(text, jnp.int32), jnp.ones((1, t_text), bool),
+        jnp.asarray(speech, jnp.int32), jnp.ones((1, t_speech), bool),
+        jnp.asarray(spk))
+    got = np.asarray(logits)
+    assert want.shape == got.shape
+    assert _max_abs(want, got) < 5e-5
+
+
+def test_transformer_lm_stepwise_golden(transformer_lm_pair):
+    """Stepwise forward_chunk decode (llm.py:210-228) with forced tokens
+    vs our full-recompute logits at the same positions."""
+    ref, mine, params, cfg = transformer_lm_pair
+    rng = np.random.RandomState(34)
+    t_text = 5
+    text = rng.randint(0, cfg.text_token_size, (1, t_text)).astype(np.int64)
+    spk = rng.randn(1, 12).astype(np.float32)
+    forced = rng.randint(0, cfg.speech_token_size, (4,)).astype(np.int64)
+
+    with torch.no_grad():
+        text_emb = ref.text_embedding(torch.from_numpy(text))
+        enc_out, _ = ref.encode(text_emb, torch.tensor([t_text]))
+        emb = F.normalize(torch.from_numpy(spk), dim=1)
+        emb = ref.spk_embed_affine_layer(emb).unsqueeze(1)
+        sos = ref.llm_embedding.weight[ref.sos_eos].reshape(1, 1, -1)
+        task = ref.llm_embedding.weight[ref.task_id].reshape(1, 1, -1)
+        lm_input = torch.concat([sos, emb, enc_out, task], dim=1)
+        offset = 0
+        att_cache = torch.zeros((0, 0, 0, 0))
+        cnn_cache = torch.zeros((0, 0, 0, 0))
+        want = []
+        for tok in forced:
+            t = lm_input.shape[1]
+            att_mask = torch.tril(torch.ones((1, offset + t, offset + t),
+                                             )).to(torch.bool)[:, -t:]
+            y_pred, att_cache, cnn_cache = ref.llm.forward_chunk(
+                lm_input, offset=offset, required_cache_size=-1,
+                att_cache=att_cache, cnn_cache=cnn_cache,
+                att_mask=att_mask)
+            want.append(ref.llm_decoder(y_pred[:, -1]).numpy())
+            offset += t
+            lm_input = ref.speech_embedding.weight[int(tok)].reshape(1, 1, -1)
+
+    # mine: teacher-forced logits at positions prefix-1 .. prefix+n-2
+    prefix = 1 + 1 + t_text + 1
+    n = len(forced)
+    logits, _ = mine.apply(
+        params, jnp.asarray(text, jnp.int32), jnp.ones((1, t_text), bool),
+        jnp.asarray(forced[None, :], jnp.int32), jnp.ones((1, n), bool),
+        jnp.asarray(spk))
+    got = np.asarray(logits)[0]
+    for i, w in enumerate(want):
+        assert _max_abs(w[0], got[prefix - 1 + i]) < 5e-5
+
+
+# =====================================================================
+# Whisper post-VQ encoder + decoder (modeling_whisper.py:1466,1614-1974)
+# =====================================================================
+def _whisper_tcfg(cfg, encoder_only=True):
+    from speech_tokenizer.configuration_whisper import WhisperVQConfig
+    tcfg = WhisperVQConfig(
+        num_mel_bins=cfg.num_mel_bins, d_model=cfg.d_model,
+        encoder_attention_heads=cfg.attention_heads,
+        encoder_ffn_dim=cfg.ffn_dim, encoder_layers=cfg.encoder_layers,
+        decoder_attention_heads=cfg.decoder_attention_heads,
+        decoder_ffn_dim=cfg.decoder_ffn_dim,
+        decoder_layers=cfg.decoder_layers, vocab_size=cfg.vocab_size,
+        max_target_positions=cfg.max_target_positions,
+        max_source_positions=cfg.max_source_positions,
+        pooling_kernel_size=cfg.pooling_kernel_size, pooling_type="avg",
+        pooling_position=cfg.pooling_position,
+        quantize_position=cfg.quantize_position,
+        quantize_vocab_size=cfg.quantize_vocab_size,
+        quantize_encoder_only=encoder_only,
+        encoder_causal_attention=True, encoder_causal_convolution=True,
+        quantize_ema_decay=0.99, dropout=0.0, activation_dropout=0.0,
+        attention_dropout=0.0, decoder_layerdrop=0.0,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        decoder_start_token_id=3)
+    tcfg._attn_implementation = "sdpa"   # causal enc layers require SDPA
+    return tcfg
+
+
+def test_post_vq_encoder_golden():
+    """Full (non-encoder-only) reference encoder forward vs our
+    pre-VQ encoder -> codebook -> PostVQEncoder composition."""
+    from speech_tokenizer.modeling_whisper import (
+        WhisperVQEncoder as TorchEncoder)
+    from moss_speech_decoder_cosy_tpu.tokenizer import (
+        WhisperVQEncoder, tiny_tokenizer_config)
+    from moss_speech_decoder_cosy_tpu.tokenizer.asr_decoder import (
+        PostVQEncoder)
+
+    cfg = tiny_tokenizer_config()
+    tcfg = _whisper_tcfg(cfg, encoder_only=False)
+    torch.manual_seed(41)
+    ref = TorchEncoder(tcfg).eval()
+    with torch.no_grad():
+        ref.codebook.weight.copy_(torch.randn_like(ref.codebook.weight))
+
+    sd = _sd(ref)
+    params, _ = ckpt.convert_tokenizer_state_dict(sd, cfg)
+    post_params, _ = ckpt.convert_post_vq_state_dict(sd, cfg)
+
+    rng = np.random.RandomState(42)
+    t_mel = 32                                # 16 post-conv, 4 tokens
+    mel = rng.randn(1, t_mel, cfg.num_mel_bins).astype(np.float32)
+    with torch.no_grad():
+        out = ref(input_features=torch.from_numpy(mel).transpose(1, 2),
+                  attention_mask=torch.ones(1, t_mel, dtype=torch.long))
+    want = out.last_hidden_state.numpy()
+    want_ids = out.quantized_token_ids.numpy()
+
+    mine = WhisperVQEncoder(cfg)
+    ids, token_valid = mine.apply(params, jnp.asarray(mel),
+                                  jnp.ones((1, t_mel), bool))
+    assert np.array_equal(want_ids, np.asarray(ids))
+    codebook = params["params"]["codebook"]
+    quantized = jnp.asarray(codebook)[np.asarray(ids)]
+    post = PostVQEncoder(cfg)
+    got = post.apply(post_params, quantized, token_valid)
+    assert want.shape == got.shape
+    assert _max_abs(want, got) < 2e-5
+
+
+def test_whisper_decoder_golden():
+    """Decoder logits (causal self-attn + cross-attn + tied projection)
+    with right-padded target tokens, valid rows compared."""
+    from speech_tokenizer.modeling_whisper import (
+        WhisperVQDecoder as TorchDecoder)
+    from moss_speech_decoder_cosy_tpu.tokenizer import tiny_tokenizer_config
+    from moss_speech_decoder_cosy_tpu.tokenizer.asr_decoder import (
+        WhisperVQDecoder)
+
+    cfg = tiny_tokenizer_config()
+    tcfg = _whisper_tcfg(cfg)
+    torch.manual_seed(51)
+    ref = TorchDecoder(tcfg).eval()
+    params, unused = ckpt.convert_whisper_decoder_state_dict(_sd(ref), cfg)
+    assert unused == [], unused
+
+    rng = np.random.RandomState(52)
+    b, t_tok, t_enc = 2, 6, 5
+    toks = rng.randint(0, cfg.vocab_size, (b, t_tok)).astype(np.int64)
+    lens = np.array([6, 4])
+    tok_valid = np.arange(t_tok)[None, :] < lens[:, None]
+    enc = rng.randn(b, t_enc, cfg.d_model).astype(np.float32)
+    with torch.no_grad():
+        out = ref(input_ids=torch.from_numpy(toks),
+                  attention_mask=torch.from_numpy(
+                      tok_valid.astype(np.int64)),
+                  encoder_hidden_states=torch.from_numpy(enc),
+                  encoder_attention_mask=torch.ones(b, t_enc,
+                                                    dtype=torch.long),
+                  use_cache=False)
+        want = (out.last_hidden_state
+                @ ref.embed_tokens.weight.T).numpy()
+
+    mine = WhisperVQDecoder(cfg)
+    got = np.asarray(mine.apply(
+        params, jnp.asarray(toks, jnp.int32), jnp.asarray(tok_valid),
+        jnp.asarray(enc), jnp.ones((b, t_enc), bool)))
+    assert want.shape == got.shape
+    for i in range(b):
+        assert _max_abs(want[i, :lens[i]], got[i, :lens[i]]) < 5e-5
