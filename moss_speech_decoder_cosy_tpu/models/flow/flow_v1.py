@@ -121,6 +121,13 @@ class ConditionalCFMWithCache(nn.Module):
             (b, t, d)).astype(mu.dtype)
         if cache is not None and cache.shape[1] > 0:
             n = cache.shape[1]
+            # the reference hard-requires every chunk to span at least the
+            # cached prompt+34 frames (flow_matching.py:64-66 crashes
+            # otherwise); keep that contract explicit
+            assert n <= t, (
+                f"v1 flow chunk too short: {t} mel frames < {n} cached "
+                "(prompt+34) — raise token_hop/overlap so each window "
+                "covers the cache")
             z = jnp.concatenate([cache[..., 0].astype(z.dtype), z[:, n:]],
                                 axis=1)
             mu = jnp.concatenate([cache[..., 1].astype(mu.dtype),
