@@ -23,7 +23,7 @@ import flax.linen as nn
 from .encoder import LinearEmbed, ConformerEncoderLayer
 from .estimator import CausalConditionalDecoder
 from .cfm import _fixed_noise, t_span_cosine
-from ...ops.embeddings import espnet_rel_pos
+from ...ops.embeddings import espnet_rel_pos, wenet_rel_pos
 from ...ops.masks import chunk_attention_mask
 from ...ops.activations import mish
 from ...ops.convs import Conv1d
@@ -34,9 +34,17 @@ from ...utils.config import (EncoderConfig, EstimatorConfig, CFMConfig,
 
 class ConformerEncoder(nn.Module):
     """Plain conformer encoder (no lookahead/upsample) — wenet
-    ConformerEncoder as used by the v1 flow (transformer/encoder.py:368+)."""
+    ConformerEncoder as used by the v1 flow (transformer/encoder.py:368+).
+
+    ``static_chunk_size > 0`` turns it into the cosyvoice1
+    BlockConformerEncoder (cosyvoice1/transformer/encoder.py:477,
+    attention.py:472): the 'grid' mask of block_mask_util.py:4-20
+    (causal OR within own block) is exactly the wenet chunk mask with
+    unlimited left context, so it is one mask knob here, not a separate
+    attention class."""
 
     cfg: EncoderConfig
+    static_chunk_size: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, valid: jnp.ndarray,
@@ -45,12 +53,20 @@ class ConformerEncoder(nn.Module):
         t = x.shape[1]
         x = LinearEmbed(c.output_size, c.dropout_rate, name="embed")(
             x, deterministic)
-        pos = espnet_rel_pos(t, c.output_size).astype(x.dtype)
-        attn_mask = chunk_attention_mask(valid, 0)
+        pos_fn = (espnet_rel_pos if c.pos_enc_layer_type == "rel_pos_espnet"
+                  else wenet_rel_pos)
+        pos = pos_fn(t, c.output_size).astype(x.dtype)
+        attn_mask = chunk_attention_mask(valid, self.static_chunk_size)
         for i in range(c.num_blocks):
             x = ConformerEncoderLayer(c, name=f"encoders_{i}")(
                 x, attn_mask, pos, valid, deterministic)
         return nn.LayerNorm(epsilon=1e-5, name="after_norm")(x)
+
+
+def BlockConformerEncoder(cfg: EncoderConfig,
+                          block_size: int = 25) -> ConformerEncoder:
+    """cosyvoice1 block-causal conformer (grid-masked attention)."""
+    return ConformerEncoder(cfg, static_chunk_size=block_size)
 
 
 class InterpolateRegulator(nn.Module):

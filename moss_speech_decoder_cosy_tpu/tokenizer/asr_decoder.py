@@ -237,6 +237,122 @@ def sample_decode(decoder: WhisperVQDecoder, params, enc: jnp.ndarray,
     return tokens, n, lp
 
 
+def timestamp_decode(decoder: WhisperVQDecoder, params, enc: jnp.ndarray,
+                     enc_valid: jnp.ndarray, bos_id: int, eos_id: int,
+                     timestamp_begin: int,
+                     max_initial_timestamp_index: int = 50,
+                     max_len: int = 64) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy decoding under the whisper timestamp-token grammar — the
+    ``WhisperTimeStampLogitsProcessor`` semantics that
+    ``return_timestamps=True`` enables in the reference's long-form
+    generation (generation_whisper.py:349-352,520-525):
+
+    - the first sampled token must be a timestamp, capped at
+      ``timestamp_begin + max_initial_timestamp_index``;
+    - after a lone timestamp, only text or eos may follow; after a
+      timestamp PAIR, the next token must be text;
+    - a timestamp directly after text closes the pair: the next token
+      must be a timestamp or eos;
+    - timestamps are non-decreasing (earlier timestamp ids are masked);
+    - whenever the total timestamp probability exceeds the best text
+      token's, a timestamp is forced.
+
+    Returns (tokens (B, max_len) i32, lengths (B,))."""
+    b = enc.shape[0]
+    ts0 = jnp.int32(timestamp_begin)
+
+    def apply_rules(last_logits, last, penult, last_ts, n):
+        ids = jnp.arange(last_logits.shape[-1])
+        is_ts_id = ids[None, :] >= ts0
+        neg = jnp.full_like(last_logits, -1e10)
+
+        last_was = last >= ts0                                   # (B,)
+        penult_was = (penult >= ts0) | (n <= 2)
+        # pairing rules (HF WhisperTimeStampLogitsProcessor)
+        mask_ts = last_was & penult_was          # completed pair -> text
+        mask_text = last_was & ~penult_was       # open pair -> ts/eos only
+        lg = jnp.where(mask_ts[:, None] & is_ts_id, neg, last_logits)
+        allow_text = is_ts_id | (ids[None, :] == eos_id)
+        lg = jnp.where(mask_text[:, None] & ~allow_text, neg, lg)
+        # non-decreasing timestamps
+        floor = jnp.where(mask_text, last_ts, last_ts + 1)       # (B,)
+        seen = last_ts >= ts0
+        below = is_ts_id & (ids[None, :] < floor[:, None])
+        lg = jnp.where(seen[:, None] & below, neg, lg)
+        # first sampled position: timestamps only, capped
+        at_begin = n == 1
+        init_ok = is_ts_id & (ids[None, :]
+                              <= ts0 + max_initial_timestamp_index)
+        lg = jnp.where(at_begin[:, None] & ~init_ok, neg, lg)
+        # force a timestamp when its total mass beats every text token
+        logp = jax.nn.log_softmax(lg, axis=-1)
+        ts_lp = jax.nn.logsumexp(jnp.where(is_ts_id, logp, -1e10), axis=-1)
+        text_max = jnp.max(jnp.where(is_ts_id, -1e10, logp), axis=-1)
+        force = ts_lp > text_max
+        lg = jnp.where(force[:, None] & ~is_ts_id, neg, lg)
+        return lg
+
+    def body(carry, _):
+        tokens, n, done, last, penult, last_ts = carry
+        token_valid = jnp.arange(max_len)[None, :] < jnp.maximum(n, 1)[:, None]
+        logits = decoder.apply(params, tokens, token_valid, enc, enc_valid)
+        idx = jnp.maximum(n - 1, 0)
+        lg = jnp.take_along_axis(
+            logits, idx[:, None, None].repeat(1, axis=1), axis=1)[:, 0]
+        lg = apply_rules(lg, last, penult, last_ts, n)
+        nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, eos_id, nxt)
+        tokens = jax.vmap(lambda t, i, v: t.at[i].set(v))(
+            tokens, jnp.minimum(n, max_len - 1), nxt)
+        new_done = done | (nxt == eos_id)
+        penult = jnp.where(done, penult, last)
+        last = jnp.where(done, last, nxt)
+        last_ts = jnp.where((nxt >= ts0) & ~done, nxt, last_ts)
+        n = jnp.where(new_done, n, n + 1)
+        return (tokens, n, new_done, last, penult, last_ts), ()
+
+    tokens0 = jnp.full((b, max_len), eos_id, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(bos_id)
+    carry = (tokens0, jnp.ones((b,), jnp.int32), jnp.zeros((b,), bool),
+             jnp.full((b,), bos_id, jnp.int32),
+             jnp.full((b,), bos_id, jnp.int32),
+             jnp.zeros((b,), jnp.int32))
+    (tokens, n, _, _, _, _), _ = jax.lax.scan(body, carry, None,
+                                              length=max_len - 1)
+    return tokens, n
+
+
+def extract_timestamp_segments(tokens, n: int, timestamp_begin: int,
+                               time_precision: float = 0.02,
+                               offset_sec: float = 0.0):
+    """Split one decoded row into [(start_s, end_s, text_ids)] at
+    timestamp-token pairs (the reference's _retrieve_segment,
+    generation_whisper.py:693-711).  An unclosed trailing segment ends at
+    the last seen timestamp (or the final token position)."""
+    import numpy as np
+    seq = np.asarray(tokens).reshape(-1)[1:int(n)]       # strip bos
+    is_ts = seq >= timestamp_begin
+    segs = []
+    start = None
+    text: list = []
+    for tok, ts in zip(seq.tolist(), is_ts.tolist()):
+        if ts:
+            t_sec = (tok - timestamp_begin) * time_precision + offset_sec
+            if start is None:
+                start = t_sec
+            elif text:
+                segs.append((start, t_sec, np.asarray(text, np.int32)))
+                start, text = t_sec, []
+            else:
+                start = t_sec                    # consecutive pair: reset
+        else:
+            text.append(tok)
+    if text and start is not None:
+        end = start + len(text) * time_precision
+        segs.append((start, end, np.asarray(text, np.int32)))
+    return segs
+
+
 def beam_decode(decoder: WhisperVQDecoder, params, enc: jnp.ndarray,
                 enc_valid: jnp.ndarray, bos_id: int, eos_id: int,
                 beam_size: int = 4, max_len: int = 64,
@@ -324,7 +440,9 @@ class WhisperASR:
 
     def __init__(self, cfg, post_params, dec_params, codebook,
                  bos_id: int = 1, eos_id: int = 2, max_len: int = 64,
-                 segment_tokens: int = 375):
+                 segment_tokens: int = 375,
+                 timestamp_begin: Optional[int] = None,
+                 time_precision: float = 0.02):
         self.cfg = cfg
         self.post = PostVQEncoder(cfg)
         self.dec = WhisperVQDecoder(cfg)
@@ -335,6 +453,17 @@ class WhisperASR:
         self.eos_id = eos_id
         self.max_len = max_len
         self.segment_tokens = segment_tokens
+        # whisper reserves the vocab tail for <|0.00|>..<|30.00|>
+        # (1501 timestamp ids); generation_whisper.py:520 sets
+        # timestamp_begin = no_timestamps_token_id + 1
+        self.timestamp_begin = (timestamp_begin if timestamp_begin
+                                is not None else cfg.vocab_size - 1501)
+        self.time_precision = time_precision
+        self._ts_decode = jax.jit(
+            lambda e, v: timestamp_decode(self.dec, self.dec_params, e, v,
+                                          self.bos_id, self.eos_id,
+                                          self.timestamp_begin,
+                                          max_len=self.max_len))
         self._enc_fn = jax.jit(self._enc_impl)
         self._greedy = jax.jit(
             lambda e, v, r: sample_decode(self.dec, self.dec_params, e, v,
@@ -366,21 +495,37 @@ class WhisperASR:
                    temperatures=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
                    compression_ratio_threshold: float = 2.4,
                    logprob_threshold: float = -1.0,
+                   return_timestamps: bool = False,
                    rng: jax.Array = None):
         """ids (1, T) int32 speech tokens -> list of per-segment transcript
         token arrays (eos/bos stripped), long-form stitched in order.
 
         beam_size > 1 decodes each segment with beam search (no temperature
         ladder, like the reference where num_beams disables sampling
-        fallback); otherwise the greedy->sampling fallback ladder runs."""
+        fallback); otherwise the greedy->sampling fallback ladder runs.
+
+        ``return_timestamps=True`` decodes under the whisper timestamp
+        grammar instead and returns [(start_s, end_s, text_ids)] across
+        the stitched segments (generation_whisper.py:349-352,693-711);
+        our exact 30 s segmentation makes the segment offset
+        ``s * segment_tokens * 80 ms`` rather than a running seek."""
         import numpy as np
         ids = jnp.asarray(np.asarray(ids, np.int32).reshape(1, -1))
         enc, vsegs = self._segment_states(ids)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        seg_sec = self.segment_tokens \
+            * self.cfg.samples_per_token / self.cfg.sampling_rate
         out = []
         for s in range(enc.shape[0]):
             e = enc[s:s + 1]
             v = vsegs[s:s + 1]
+            if return_timestamps:
+                toks, n = self._ts_decode(e, v)
+                out.extend(extract_timestamp_segments(
+                    np.asarray(toks)[0], int(np.asarray(n)[0]),
+                    self.timestamp_begin, self.time_precision,
+                    offset_sec=s * seg_sec))
+                continue
             if beam_size > 1:
                 toks, n, _ = self._beam(e, v)
                 toks, n = np.asarray(toks), int(np.asarray(n)[0])

@@ -531,6 +531,22 @@ def convert_whisper_decoder_state_dict(sd: StateDict, cfg):
     return m.tree(), m.unused()
 
 
+def convert_block_conformer_state_dict(sd: StateDict, enc_cfg):
+    """cosyvoice1 BlockConformerEncoder (cosyvoice1/transformer/
+    encoder.py:477, standalone state_dict) -> flow_v1.ConformerEncoder
+    params (the block 'grid' mask is a mask knob on our side, not a
+    parameter difference)."""
+    import types as _types
+    m = _Mapper(sd)
+    m.linear("embed/linear", "embed.out.0")
+    m.norm("embed/norm", "embed.out.1")
+    shim = _types.SimpleNamespace(encoder=enc_cfg)
+    for i in range(enc_cfg.num_blocks):
+        _map_conformer_layer(m, f"encoders_{i}", f"encoders.{i}", shim)
+    m.norm("after_norm", "after_norm")
+    return m.tree(), m.unused()
+
+
 def _convert_campplus(m: "_Mapper", block_layers=(12, 24, 16)):
     """modelscope speakerlab CAMPPlus names (the torch model the reference's
     campplus.onnx was exported from, run via onnxruntime at

@@ -536,3 +536,29 @@ def build_torch_stable_dit(io_channels=80, embed_dim=128, depth=2,
             return self.postprocess_conv(out) + out
 
     return DiffusionTransformer()
+
+
+def install_cosyvoice1_block():
+    """Make the cosyvoice1 fork's block-conformer importable: the fork is
+    written to be installed AS ``cosyvoice`` (its modules import
+    ``cosyvoice.utils.block_mask_util`` and register
+    ``block_rel_selfattn``, cosyvoice1/transformer/attention.py:471,
+    utils/class_utils.py:71) — graft those two pieces onto the loaded v2
+    namespace so the torch module runs for golden tests."""
+    import importlib.util
+
+    install()
+    if "cosyvoice.utils.block_mask_util" not in sys.modules:
+        spec = importlib.util.spec_from_file_location(
+            "cosyvoice.utils.block_mask_util",
+            REFERENCE_PATH + "/cosyvoice1/utils/block_mask_util.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        sys.modules["cosyvoice.utils.block_mask_util"] = mod
+        import cosyvoice.utils
+        cosyvoice.utils.block_mask_util = mod
+    import cosyvoice.utils.class_utils as cu
+    from cosyvoice1.transformer.attention import (
+        BlockRelPositionMultiHeadedAttention)
+    cu.COSYVOICE_ATTENTION_CLASSES.setdefault(
+        "block_rel_selfattn", BlockRelPositionMultiHeadedAttention)

@@ -657,3 +657,58 @@ def test_flow_v1_inference_golden(monkeypatch, n_tok):
     assert _max_abs(want_cache.numpy(),
                     np.asarray(got_cache).transpose(0, 2, 1, 3)) < 2e-3
     del total
+
+
+# =====================================================================
+# cosyvoice1 BlockConformerEncoder (cosyvoice1/transformer/encoder.py:477,
+# attention.py:472, utils/block_mask_util.py:4-20)
+# =====================================================================
+def test_block_conformer_golden():
+    """Grid-masked (block-causal) conformer: our chunk mask with unlimited
+    left context IS the reference grid mask, so the whole variant reduces
+    to one mask knob on flow_v1.ConformerEncoder."""
+    ref_shim.install_cosyvoice1_block()
+    from cosyvoice1.transformer.encoder import (
+        BlockConformerEncoder as TorchBlockEncoder)
+    from moss_speech_decoder_cosy_tpu.models.flow.flow_v1 import (
+        BlockConformerEncoder)
+    from moss_speech_decoder_cosy_tpu.utils.config import EncoderConfig
+
+    block_size = 3
+    torch.manual_seed(61)
+    ref = TorchBlockEncoder(
+        input_size=16, output_size=24, attention_heads=2, linear_units=32,
+        num_blocks=2, dropout_rate=0.0, positional_dropout_rate=0.0,
+        attention_dropout_rate=0.0, input_layer="linear",
+        pos_enc_layer_type="rel_pos", macaron_style=True,
+        selfattention_layer_type="block_rel_selfattn",
+        use_cnn_module=True, cnn_module_kernel=7,
+        cnn_module_norm="layer_norm", causal=False,
+        block_size=block_size).eval()
+
+    enc_cfg = EncoderConfig(
+        input_size=16, output_size=24, attention_heads=2, linear_units=32,
+        num_blocks=2, dropout_rate=0.0, macaron_style=True,
+        use_cnn_module=True, cnn_module_kernel=7,
+        cnn_module_norm="layer_norm", cnn_causal=False,
+        pos_enc_layer_type="rel_pos")
+    params, unused = ckpt.convert_block_conformer_state_dict(_sd(ref),
+                                                             enc_cfg)
+    assert unused == [], unused
+
+    rng = np.random.RandomState(62)
+    t = 8
+    x = rng.randn(1, t, 16).astype(np.float32)
+    with torch.no_grad():
+        want, _ = ref(torch.from_numpy(x), torch.tensor([t]))
+    mine = BlockConformerEncoder(enc_cfg, block_size=block_size)
+    got = mine.apply(params, jnp.asarray(x), jnp.ones((1, t), bool))
+    assert want.numpy().shape == np.asarray(got).shape
+    assert _max_abs(want.numpy(), got) < 2e-5
+
+    # the block structure must actually matter: a plain-causal run differs
+    from moss_speech_decoder_cosy_tpu.models.flow.flow_v1 import (
+        ConformerEncoder)
+    causal = ConformerEncoder(enc_cfg, static_chunk_size=1)
+    got_causal = causal.apply(params, jnp.asarray(x), jnp.ones((1, t), bool))
+    assert _max_abs(got, got_causal) > 1e-4

