@@ -39,6 +39,9 @@ def main():
         moss_flow_config, moss_hift_config, PipelineConfig, CFMConfig)
 
     dtype = jnp.bfloat16 if "--f32" not in sys.argv else jnp.float32
+    # --hybrid: encoder/vocoder bf16, CFM estimator f32 (the quality
+    # sweet spot from the round-2 ablation: 0.40% vs 2.9% mel MAE)
+    est_dtype = jnp.float32 if "--hybrid" in sys.argv else None
     seconds = 20.0
     token_rate = 12.5
     n_tokens = int(seconds * token_rate)             # 250 tokens
@@ -59,7 +62,8 @@ def main():
         jax.random.PRNGKey(1), jnp.zeros((1, 8, 80)))
 
     dec = AudioDecoder(flow_cfg, hift_cfg, flow_params, hift_params,
-                       pipe_cfg, compute_dtype=dtype)
+                       pipe_cfg, compute_dtype=dtype,
+                       estimator_dtype=est_dtype)
 
     rng = np.random.RandomState(0)
     tokens = rng.randint(0, flow_cfg.vocab_size, (1, n_tokens))
@@ -136,7 +140,10 @@ def main():
             kv.stream_decode(tokens, output="int16")
         rtf_kv = (time.perf_counter() - t0) / runs / audio_sec
 
-    rtf = min(rtf_win, rtf_kv) if rtf_kv is not None else rtf_win
+    # headline = the KV engine (the default fast path); the windowed
+    # reference-semantics figure goes to stderr alongside it.  (Advisor
+    # round 2: min-of-two-engines is not the RTF of one configuration.)
+    rtf = rtf_kv if rtf_kv is not None else rtf_win
     target = 0.05
     result = {"metric": "streaming_rtf", "value": round(rtf, 5),
               "unit": "ratio", "vs_baseline": round(target / rtf, 3)}

@@ -41,6 +41,10 @@ def main():
         wav, sr = read_wav(args.prompt_wav)
         prompt = codec.prepare_prompt(resample(wav, sr, 24000),
                                       resample(wav, sr, 16000))
+        # compile/cache-load every serving program BEFORE accepting
+        # traffic (serving/boot.py; first request then only pays compute)
+        from moss_speech_decoder_cosy_tpu.serving.boot import boot_warmup
+        boot_warmup(codec=codec, prompt=prompt)
         handler = make_vc_handler(codec, prompt)
         print("voice-conversion handler ready")
     else:

@@ -58,19 +58,35 @@ class MMTar:
 
     def scan(self) -> List[Tuple[str, int, int]]:
         """Walk the archive: [(name, header_offset, size), ...] for regular
-        files; skips directories/links/extended headers."""
+        files.  GNU long-name ('L') payloads and PAX ('x'/'g')
+        ``path=`` records are APPLIED to the following member, so names
+        longer than the 100-char tar field index correctly."""
         out = []
         off = 0
         n = len(self._m)
+        pending_name = None
         while off + _BLOCK <= n:
             hdr = self._m[off: off + _BLOCK]
             if hdr == b"\x00" * _BLOCK:            # archive trailer
                 break
             size = _parse_octal(hdr[124:136])
             typeflag = hdr[156:157]
-            if typeflag in (b"0", b"\x00"):
-                name = hdr[0:100].split(b"\x00", 1)[0].decode("utf-8")
+            payload = self._m[off + _BLOCK: off + _BLOCK + size]
+            if typeflag == b"L":                   # GNU longname
+                pending_name = payload.rstrip(b"\x00").decode("utf-8")
+            elif typeflag in (b"x", b"g"):         # PAX records
+                for rec in payload.split(b"\n"):
+                    if b" " in rec:
+                        _, kv = rec.split(b" ", 1)
+                        if kv.startswith(b"path="):
+                            pending_name = kv[5:].decode("utf-8")
+            elif typeflag in (b"0", b"\x00"):
+                name = pending_name if pending_name is not None else \
+                    hdr[0:100].split(b"\x00", 1)[0].decode("utf-8")
                 out.append((name, off, size))
+                pending_name = None
+            else:
+                pending_name = None
             off += _BLOCK + ((size + _BLOCK - 1) // _BLOCK) * _BLOCK
         return out
 

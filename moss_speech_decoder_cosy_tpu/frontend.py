@@ -145,9 +145,13 @@ def normalize_zh(text: str) -> str:
     text = re.sub(r"(\d{4})年", lambda m: _zh_digits(m.group(1)) + "年", text)
     text = re.sub(r"(\d+(?:\.\d+)?)%",
                   lambda m: "百分之" + _zh_number_str(m.group(1)), text)
-    text = re.sub(r"-?\d+\.\d+",
+    # a hyphen counts as a minus sign only when NOT sandwiched between
+    # digits — '10-20' / '010-1234' are ranges/phone numbers, not
+    # negatives (advisor round 2)
+    text = re.sub(r"(?<![\d])-?\d+\.\d+",
                   lambda m: _zh_number_str(m.group(0)), text)
-    text = re.sub(r"-?\d+", lambda m: _zh_number_str(m.group(0)), text)
+    text = re.sub(r"(?<![\d])-?\d+",
+                  lambda m: _zh_number_str(m.group(0)), text)
     # punctuation conventions (cli/frontend.py:133-139)
     text = text.replace(".", "。").replace(" - ", "，")
     text = _replace_blank(text)

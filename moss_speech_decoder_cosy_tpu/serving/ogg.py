@@ -268,13 +268,20 @@ class OggOpusWriter:
 
     def flush(self) -> bytes:
         """Close the logical stream (EOS page; pads the tail frame with
-        silence if samples are pending)."""
+        silence if samples are pending).
+
+        RFC 7845 §4.5: the final page's granule is REDUCED to cover only
+        the real (unpadded) samples so compliant decoders trim the
+        padding instead of playing trailing silence."""
         out = b"" if self._headers_done else self._headers()
         pending = len(self.enc._buf)
         if pending:
+            real_48k = pending * 48000 // self.sample_rate
             pkts = self.enc.encode_packets(
                 [0.0] * (self.enc.frame - pending))
-            out += self._audio_pages(pkts, eos=True)
+            granule = self._granule + real_48k
+            out += self.pages.page_out(pkts, granule, eos=True,
+                                       granules=[granule] * len(pkts))
         else:
             out += self.pages.page_out([], self._granule, eos=True)
         return out

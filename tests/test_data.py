@@ -253,3 +253,30 @@ def test_compute_f0_quality_suite():
     f0 = track((rng.randn(sr) * 0.1).astype(np.float32))
     assert (f0 > 0).mean() < 0.4
     assert (track(np.zeros(sr, np.float32)) == 0).all()
+
+
+def test_indexed_tar_gnu_long_names(tmp_path):
+    """Members with names >100 chars (GNU 'L' / PAX path records) index
+    under their FULL name (advisor round 2: truncated-name lookups were
+    silently dropping rows)."""
+    import tarfile
+    from moss_speech_decoder_cosy_tpu.data.tar import IndexedTar
+
+    long_name = "d/" + "x" * 120 + ".txt"
+    for fmt, tag in ((tarfile.GNU_FORMAT, "gnu"),
+                     (tarfile.PAX_FORMAT, "pax")):
+        tp = tmp_path / f"long_{tag}.tar"
+        with tarfile.open(tp, "w", format=fmt) as tf:
+            data = b"payload-" + tag.encode()
+            info = tarfile.TarInfo(long_name)
+            info.size = len(data)
+            import io as _io
+            tf.addfile(info, _io.BytesIO(data))
+            info2 = tarfile.TarInfo("short.txt")
+            info2.size = 5
+            tf.addfile(info2, _io.BytesIO(b"abcde"))
+        t = IndexedTar(str(tp))
+        assert long_name in t.names(), (tag, t.names())
+        assert t.read(long_name) == b"payload-" + tag.encode()
+        assert t.read("short.txt") == b"abcde"
+        t.close()

