@@ -81,19 +81,28 @@ def ring_write(ring: jnp.ndarray, chunk: jnp.ndarray,
 
 
 def _ring_mask(ring_len: int, chunk_len: int,
-               n_done: jnp.ndarray) -> jnp.ndarray:
+               n_done: jnp.ndarray,
+               rot: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """(B|1, 1, chunk, ring+chunk) bool attend-mask: ring slots are valid
     only where already written (fewer than ``ring_len`` frames seen so
     far); the current chunk is fully visible (chunk-causal semantics).
     ``n_done`` may be a scalar or a per-sample (B,) vector (wavefront
-    batching, where every sample sits at a different stream position)."""
+    batching, where every sample sits at a different stream position).
+
+    ``rot`` (B,) rotates each sample's slot numbering: sample b's frame f
+    lives at slot ``(f + rot[b]) % ring_len`` instead of ``f % ring_len``
+    (the shared-offset DUS write scheme — see ring_write_dus)."""
     n_done = jnp.asarray(n_done)
     if n_done.ndim == 0:
         n_done = n_done[None]
     b = n_done.shape[0]
-    ring_ok = jnp.arange(ring_len)[None, :] < n_done[:, None]   # (B, R)
+    pos = jnp.arange(ring_len)[None, :]
+    if rot is not None:
+        pos = (pos - rot[:, None]) % ring_len
+    ring_ok = pos < n_done[:, None]                             # (B, R)
     key_ok = jnp.concatenate(
-        [ring_ok, jnp.ones((b, chunk_len), bool)], axis=1)
+        [jnp.broadcast_to(ring_ok, (b, ring_len)),
+         jnp.ones((b, chunk_len), bool)], axis=1)
     return jnp.broadcast_to(key_ok[:, None, None, :],
                             (b, 1, chunk_len, ring_len + chunk_len))
 
@@ -119,6 +128,52 @@ def ring_write_batched(ring: jnp.ndarray, chunk: jnp.ndarray,
     keep = 1.0 - jnp.sum(oh, axis=1)                       # (B, R)
     contrib = jnp.einsum("lbmd,bmr->lbrd", tail, oh)
     return ring * keep[None, :, :, None] + contrib
+
+
+def ring_write_dus(ring: jnp.ndarray, chunk: jnp.ndarray,
+                   offset: jnp.ndarray, enable: jnp.ndarray,
+                   align: int) -> jnp.ndarray:
+    """Write ``chunk`` (L, B, C, d) into ``ring`` (L, B, R, d) at ONE
+    shared dynamic ``offset`` along the ring axis — the O(chunk)
+    alternative to the O(ring) one-hot RMW (ring * keep + contrib reads
+    and rewrites every ring byte; ~620 MB/iteration on the full-size est
+    cache, the dominant wavefront cost — BENCH_NOTES round 3).
+
+    Preconditions (enforced by the caller): R % C == 0 and every write
+    offset ≡ ``align`` (mod C) — then the wrap, when it happens, always
+    splits at the STATIC ``C - align`` boundary, so the write is two
+    static-size dynamic_update_slices.  Rows with ``enable`` False keep
+    their old content (read-modify of just the C-frame slice).
+    """
+    l, b, r, d = ring.shape
+    c = chunk.shape[-2]
+    m1 = c - align
+    en = enable[None, :, None, None]
+
+    def put(ring, part, off):
+        old = jax.lax.dynamic_slice(ring, (0, 0, off, 0),
+                                    (l, b, part.shape[-2], d))
+        new = jnp.where(en, part.astype(ring.dtype), old)
+        return jax.lax.dynamic_update_slice(ring, new, (0, 0, off, 0))
+
+    ring = put(ring, chunk[..., :m1, :], offset)
+    if align:
+        ring = put(ring, chunk[..., m1:, :], (offset + m1) % r)
+    return ring
+
+
+def rotate_rings(rings: jnp.ndarray, rot, inverse: bool = False
+                 ) -> jnp.ndarray:
+    """Roll each batch row's ring axis by its static ``rot`` (list of
+    python ints per row) — converts canonical slot numbering
+    (frame f -> slot f % R) to the rotated numbering the shared-offset
+    DUS scheme uses (slot (f + rot) % R), and back.  One-time cost at
+    wavefront entry/exit."""
+    parts = []
+    for i, s in enumerate(rot):
+        s = (-s if inverse else s) % rings.shape[-2]
+        parts.append(jnp.roll(rings[:, i], s, axis=-2))
+    return jnp.stack(parts, axis=1)
 
 
 # --------------------------------------------------------------------------
@@ -418,7 +473,8 @@ class EstimatorStep(nn.Module):
     cfg: EstimatorConfig
 
     @nn.compact
-    def __call__(self, x, mu, t, spks, cond, rings, convs, n_done):
+    def __call__(self, x, mu, t, spks, cond, rings, convs, n_done,
+                 rot=None):
         c = self.cfg
         assert c.causal and len(c.channels) == 1, \
             "KV streaming supports the single-level causal U-Net"
@@ -433,7 +489,7 @@ class EstimatorStep(nn.Module):
         h = jnp.concatenate([x, mu, spks_b, cond], axis=-1)
         cf = h.shape[1]
         rf = rings["k"].shape[-2]
-        mask = _ring_mask(rf, cf, n_done)
+        mask = _ring_mask(rf, cf, n_done, rot)
 
         new_convs = {}
         chunk_ks, chunk_vs = [], []
@@ -644,6 +700,12 @@ class CausalConditionalCFMWave(nn.Module):
 
     cfg: CFMConfig
     estimator_cfg: EstimatorConfig
+    # "dus": shared-offset in-place ring writes under per-slot rotated
+    # slot numbering (O(chunk) traffic; requires ring % chunk == 0 and
+    # rings rotated at wavefront entry, see rotate_rings).  "onehot":
+    # position-free RMW (works for any geometry; O(ring) traffic).
+    write_mode: str = "onehot"
+    align: int = 0                      # (prompt_frames % chunk_frames)
 
     def setup(self):
         self.estimator = EstimatorStep(self.estimator_cfg, name="estimator")
@@ -690,40 +752,48 @@ class CausalConditionalCFMWave(nn.Module):
         t_in = jnp.repeat(t_cur, 2 * b).astype(cd)
         nd_in = jnp.repeat(n_dones, 2 * b)
 
-        rings = est_cache["k"], est_cache["v"]
-        l = rings[0].shape[1]
-        flat_rings = {
-            "k": rings[0].swapaxes(0, 1).reshape(l, s_steps * 2 * b,
-                                                 *rings[0].shape[3:]),
-            "v": rings[1].swapaxes(0, 1).reshape(l, s_steps * 2 * b,
-                                                 *rings[1].shape[3:]),
-        }
-        flat_convs = jax.tree.map(
-            lambda a: a.reshape((s_steps * a.shape[1],) + a.shape[2:]),
-            est_cache["convs"])
+        # est_cache arrives in the FLAT wavefront layout
+        # ({"k"/"v": (L, S*2B, R, d), "convs": {name: (S*2B, 2, ch)}},
+        # see est_cache_to_flat) — per-iteration swapaxes/reshape of the
+        # ~0.3 GB cache was pure transpose traffic (~650 MB/iter measured
+        # as "scan plumbing", BENCH_NOTES round 3)
+        flat_rings = {"k": est_cache["k"], "v": est_cache["v"]}
+        flat_convs = est_cache["convs"]
+        r = flat_rings["k"].shape[-2]
+        rot = None
+        if self.write_mode == "dus":
+            rot_slots = np.array([(s * cf) % r for s in range(s_steps)],
+                                 np.int32)
+            rot = jnp.asarray(np.repeat(rot_slots, 2 * b))
 
         dphi, ck, cv, new_convs = self.estimator(
             x_in, mu_in, t_in, spks_in, cond_in, flat_rings, flat_convs,
-            nd_in)
+            nd_in, rot)
 
         rate = jnp.asarray(c.inference_cfg_rate, x_wave.dtype)
         dphi = dphi.reshape(s_steps, 2, b, cf, d).astype(x_wave.dtype)
         dphi = (1.0 + rate) * dphi[:, 0] - rate * dphi[:, 1]
         x_next = x_wave + dts[:, None, None, None] * dphi    # (S,B,C,D)
 
-        # masked ring/conv writes (per-sample circular positions)
+        # masked ring/conv writes
         en = jnp.repeat(valid, 2 * b)
-        new_k = ring_write_batched(flat_rings["k"], ck, nd_in, enable=en)
-        new_v = ring_write_batched(flat_rings["v"], cv, nd_in, enable=en)
-        new_k = new_k.reshape(l, s_steps, 2 * b,
-                              *new_k.shape[2:]).swapaxes(0, 1)
-        new_v = new_v.reshape(l, s_steps, 2 * b,
-                              *new_v.shape[2:]).swapaxes(0, 1)
+        if self.write_mode == "dus":
+            # every slot's rotated write offset coincides at
+            # (base + w*cf) % r — one static-size in-place DUS
+            offset = (base_frames + w * cf) % r
+            new_k = ring_write_dus(flat_rings["k"], ck, offset, en,
+                                   self.align)
+            new_v = ring_write_dus(flat_rings["v"], cv, offset, en,
+                                   self.align)
+        else:
+            new_k = ring_write_batched(flat_rings["k"], ck, nd_in,
+                                       enable=en)
+            new_v = ring_write_batched(flat_rings["v"], cv, nd_in,
+                                       enable=en)
         new_convs = jax.tree.map(
-            lambda old, new: jnp.where(
-                en[:, None, None], new.astype(old.dtype),
-                old.reshape(new.shape)).reshape(old.shape),
-            est_cache["convs"], new_convs)
+            lambda old, new: jnp.where(en[:, None, None],
+                                       new.astype(old.dtype), old),
+            flat_convs, new_convs)
 
         # slot shift: exiting chunk leaves slot S-1; a fresh chunk enters
         # slot 0 with its deterministic noise
@@ -739,15 +809,48 @@ class CausalConditionalCFMWave(nn.Module):
                                             "convs": new_convs}
 
 
+def est_cache_to_flat(est: Dict) -> Dict:
+    """Canonical est cache {"k"/"v": (S, L, B2, R, d), "convs":
+    {name: (S, B2, 2, ch)}} -> the wavefront's flat layout
+    {"k"/"v": (L, S*B2, R, d), "convs": {name: (S*B2, 2, ch)}}.
+
+    One ~cache-size transpose; done ONCE per stream at wavefront entry so
+    the per-iteration loop carries the flat layout unchanged."""
+    def ring(a):
+        s, l = a.shape[0], a.shape[1]
+        return a.swapaxes(0, 1).reshape(l, s * a.shape[2], *a.shape[3:])
+    convs = jax.tree.map(
+        lambda a: a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:]),
+        est["convs"])
+    return {"k": ring(est["k"]), "v": ring(est["v"]), "convs": convs}
+
+
+def est_cache_from_flat(flat: Dict, s_steps: int) -> Dict:
+    """Inverse of est_cache_to_flat (wavefront exit -> canonical layout
+    for the sequential prefill/finalize paths)."""
+    def ring(a):
+        l = a.shape[0]
+        b2 = a.shape[1] // s_steps
+        return a.reshape(l, s_steps, b2, *a.shape[2:]).swapaxes(0, 1)
+    convs = jax.tree.map(
+        lambda a: a.reshape((s_steps, a.shape[0] // s_steps) + a.shape[1:]),
+        flat["convs"])
+    return {"k": ring(flat["k"]), "v": ring(flat["v"]), "convs": convs}
+
+
 class KVFlowWaveStep(nn.Module):
     """Param-tree wrapper so CausalConditionalCFMWave sits under
     ``decoder/estimator`` like the full flow module."""
 
     cfg: FlowConfig
+    write_mode: str = "onehot"
+    align: int = 0
 
     def setup(self):
         self.decoder = CausalConditionalCFMWave(self.cfg.cfm,
                                                 self.cfg.estimator,
+                                                write_mode=self.write_mode,
+                                                align=self.align,
                                                 name="decoder")
 
     def __call__(self, *args, **kwargs):
@@ -755,8 +858,12 @@ class KVFlowWaveStep(nn.Module):
 
 
 def init_kv_cache(cfg: FlowConfig, ring_tokens: int, batch: int = 1,
-                  dtype=jnp.float32):
-    """Zero KV cache pytree for a ``ring_tokens``-token left context."""
+                  dtype=jnp.float32, est_dtype=None):
+    """Zero KV cache pytree for a ``ring_tokens``-token left context.
+
+    ``est_dtype`` overrides the estimator rings'/conv caches' dtype (the
+    estimator-f32 serving recipe keeps its KV exact while the encoder
+    side stays bf16)."""
     e = cfg.encoder
     s = e.upsample_stride
     d = e.output_size
@@ -773,6 +880,8 @@ def init_kv_cache(cfg: FlowConfig, ring_tokens: int, batch: int = 1,
         "upk": jnp.zeros((e.num_up_blocks, 1, rm, d), dtype),
     }
     est_cfg = cfg.estimator
+    if est_dtype is not None:
+        dtype = est_dtype
     ch = est_cfg.channels[0]
     inner = est_cfg.num_heads * est_cfg.attention_head_dim
     n_attn = est_cfg.n_blocks * (2 + est_cfg.num_mid_blocks)

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 
 from ..models.flow.kv_stream import (KVFlowStep, KVFlowEncodeStep,
                                      KVFlowWaveStep, init_kv_cache,
-                                     pe_tables)
+                                     pe_tables, est_cache_to_flat,
+                                     est_cache_from_flat)
 from .device_session import _parallel_fetch, _pcm16_device
 
 
@@ -61,6 +62,7 @@ class KVStreamDecoder:
         self.scl = dec.source_cache_len
         dt = dec.compute_dtype or jnp.float32
         self.dt = dt
+        self.est_dt = getattr(dec, "estimator_dtype", None) or dt
 
         def _bcast(a):                 # share one prompt across B streams
             return (jnp.broadcast_to(a, (batch,) + a.shape[1:])
@@ -86,13 +88,30 @@ class KVStreamDecoder:
         self._voc_scan = jax.jit(self._voc_scan_impl)
         self._bulk = None
         # wavefront (pipelined-ODE) mode: encoder per hop, all ODE steps
-        # batched into one estimator forward per iteration
+        # batched into one estimator forward per iteration.  When the
+        # geometry allows (ring a multiple of the hop), est ring writes
+        # use the shared-offset in-place DUS scheme (O(chunk) HBM traffic
+        # instead of the O(ring) one-hot RMW — BENCH_NOTES round 3).
         self._enc_model = KVFlowEncodeStep(cfg)
-        self._wave_model = KVFlowWaveStep(cfg)
+        cf = block_size * self.ratio
+        self._dus_ok = (ring_tokens % block_size == 0)
+        self._align = (self.p * self.ratio) % cf
+        self._wave_model = KVFlowWaveStep(
+            cfg, write_mode="dus" if self._dus_ok else "onehot",
+            align=self._align if self._dus_ok else 0)
+        self._wave_model_onehot = KVFlowWaveStep(cfg)
         self._enc_hop = jax.jit(self._enc_hop_impl,
                                 static_argnames=("emit_tokens",))
         self._wave_scan = jax.jit(self._wave_scan_impl,
-                                  static_argnames=("n_iters",))
+                                  static_argnames=("n_iters", "dus"))
+        # stepped wavefront: one jitted iteration with DONATED ring/state
+        # buffers (x, mu_w, est, enc, n_tok, w) — lets XLA alias the big
+        # KV rings in place instead of double-buffering a scan carry
+        self._wave_step = jax.jit(self._wave_step_impl,
+                                  donate_argnums=(2, 3, 4, 5, 6, 7))
+        self._est_flatten = jax.jit(est_cache_to_flat)
+        self._est_unflatten = jax.jit(est_cache_from_flat,
+                                      static_argnames=("s_steps",))
         self._spk = jax.jit(
             lambda p, e: self._enc_model.apply(p, e,
                                                method=self._enc_model.spk))
@@ -112,7 +131,8 @@ class KVStreamDecoder:
     # ------------------------------------------------------------------
     def init_state(self) -> Tuple[dict, KVVocState]:
         cache = init_kv_cache(self.dec.flow_cfg, self.ring_tokens,
-                              batch=self.b, dtype=self.dt)
+                              batch=self.b, dtype=self.dt,
+                              est_dtype=self.est_dt)
         voc = KVVocState(
             mel_cache=jnp.zeros((self.b, self.mel_cache_len, self.n_mel)),
             source_cache=jnp.zeros((self.b, self.scl, 1)),
@@ -252,7 +272,7 @@ class KVStreamDecoder:
 
     def _wave_scan_impl(self, flow_params, token_buf, x_wave, mu_wave,
                         spks, est, enc_cache, n_iters: int, k_total,
-                        base_frames):
+                        base_frames, dus: bool = False):
         """The ENTIRE wavefront loop as one lax.scan dispatch: encoder hop
         under lax.cond while chunks remain, then the batched pipelined-ODE
         iteration.  No per-iteration host traffic — the round-trip relay in
@@ -271,6 +291,17 @@ class KVStreamDecoder:
         hop = self.hop
         cf = hop * self.ratio
         n_mel = self.n_mel
+        s_steps = self.dec.flow_cfg.cfm.n_timesteps
+        est = est_cache_to_flat(est)       # flat layout across the scan
+        wave_model = self._wave_model if dus else self._wave_model_onehot
+        rot = None
+        if dus:
+            from ..models.flow.kv_stream import rotate_rings
+            r = est["k"].shape[-2]
+            rot = [((s * cf) % r) for s in range(s_steps)
+                   for _ in range(2 * self.b)]
+            est = dict(est, k=rotate_rings(est["k"], rot),
+                       v=rotate_rings(est["v"], rot))
 
         def body(carry, w):
             x, mu_w, est_c, enc_c, n_tok = carry
@@ -290,7 +321,7 @@ class KVStreamDecoder:
 
             mu_new, enc_c, n_tok = jax.lax.cond(
                 w < k_total, run_enc, skip_enc, (enc_c, n_tok))
-            exit_mel, x, mu_w, est_c = self._wave_model.apply(
+            exit_mel, x, mu_w, est_c = wave_model.apply(
                 flow_params, x, mu_w, mu_new, spks, est_c, w, k_total,
                 base_frames)
             return (x, mu_w, est_c, enc_c, n_tok), exit_mel
@@ -300,7 +331,43 @@ class KVStreamDecoder:
         (x, mu_w, est, enc_cache, n_tok), mels = jax.lax.scan(
             body, carry0, jnp.arange(n_iters, dtype=jnp.int32))
         del x, mu_w
-        return mels, est, enc_cache, n_tok
+        if dus:
+            from ..models.flow.kv_stream import rotate_rings
+            est = dict(est, k=rotate_rings(est["k"], rot, inverse=True),
+                       v=rotate_rings(est["v"], rot, inverse=True))
+        return mels, est_cache_from_flat(est, s_steps), enc_cache, n_tok
+
+    def _wave_step_impl(self, flow_params, token_buf, x, mu_w, est_c,
+                        enc_c, n_tok, w, spks, k_total, base_frames):
+        """ONE wavefront iteration (the scan body of _wave_scan_impl) as a
+        standalone jit with donated state buffers: per-call dispatch is
+        ~0.04 ms on this stack (BENCH_NOTES), and donation lets XLA write
+        the KV rings in place instead of copying a scan carry each
+        iteration.  ``w`` is threaded as a device scalar so the loop makes
+        no host->device uploads."""
+        hop = self.hop
+        cf = hop * self.ratio
+        n_mel = self.n_mel
+
+        def run_enc(args):
+            enc_c, n_tok = args
+            mu, enc2 = self._enc_model.apply(
+                flow_params, *self._slices(token_buf, n_tok, hop),
+                enc_c, n_tok, self._pe_tok, self._pe_mel,
+                finalize=False)
+            return mu, enc2, n_tok + hop
+
+        def skip_enc(args):
+            enc_c, n_tok = args
+            return (jnp.zeros((self.b, cf, n_mel), self.dt),
+                    enc_c, n_tok)
+
+        mu_new, enc_c, n_tok = jax.lax.cond(
+            w < k_total, run_enc, skip_enc, (enc_c, n_tok))
+        exit_mel, x, mu_w, est_c = self._wave_model_onehot.apply(
+            flow_params, x, mu_w, mu_new, spks, est_c, w, k_total,
+            base_frames)
+        return exit_mel, x, mu_w, est_c, enc_c, n_tok, w + 1
 
     def _slices(self, token_buf, n_tok, emit_tokens):
         off = n_tok - self.p
@@ -310,11 +377,15 @@ class KVStreamDecoder:
                                     (self.b, self.la))
         return chunk, ctx
 
-    def _flow_mels_wave(self, token_buf, cache, plan):
+    def _flow_mels_wave(self, token_buf, cache, plan, stepped: bool = False):
         """Wavefront flow: encoder per hop, pipelined ODE (one batched
         estimator forward per iteration; models/flow/kv_stream.py
         CausalConditionalCFMWave).  Exact same math as the sequential
-        per-hop KV path.  Returns (mel (1, T, n_mel) f32, cache)."""
+        per-hop KV path.  Returns (mel (1, T, n_mel) f32, cache).
+
+        ``stepped=True`` runs the loop as per-iteration donated-buffer jit
+        dispatches instead of one lax.scan (no carry double-buffering, no
+        dead bucket-padding iterations)."""
         from ..models.flow.cfm import _fixed_noise
         d = self.dec
         cfg = d.flow_cfg
@@ -335,14 +406,34 @@ class KVStreamDecoder:
         mu_wave = jnp.zeros((s_steps, self.b, cf, n_mel), dt)
 
         need = k + s_steps - 1
-        n_iters = max(16, ((need + 15) // 16) * 16)  # bucketed program count
-        mels_all, est, enc_cache, n_tok = self._wave_scan(
-            d.flow_params, token_buf, x_wave, mu_wave, spks, cache["est"],
-            cache["enc"], n_iters=n_iters,
-            k_total=jnp.asarray(k, jnp.int32),
-            base_frames=jnp.asarray(base_frames, jnp.int32))
-        mels = [mels_all[s_steps - 1: s_steps - 1 + k]
-                .transpose(1, 0, 2, 3).reshape(self.b, -1, n_mel)]
+        if stepped:
+            k_dev = jnp.asarray(k, jnp.int32)
+            base_dev = jnp.asarray(base_frames, jnp.int32)
+            est = self._est_flatten(cache["est"])      # once per stream
+            enc_cache = cache["enc"]
+            n_tok = jnp.asarray(self.p, jnp.int32)
+            w = jnp.zeros((), jnp.int32)
+            x, mu_w = x_wave, mu_wave
+            chunks = []
+            for i in range(need):
+                exit_mel, x, mu_w, est, enc_cache, n_tok, w = \
+                    self._wave_step(d.flow_params, token_buf, x, mu_w,
+                                    est, enc_cache, n_tok, w, spks,
+                                    k_dev, base_dev)
+                if i >= s_steps - 1:
+                    chunks.append(exit_mel)
+            mels = [jnp.concatenate(chunks, axis=1)]
+            est = self._est_unflatten(est, s_steps=s_steps)
+        else:
+            n_iters = max(16, ((need + 15) // 16) * 16)  # bucketed programs
+            mels_all, est, enc_cache, n_tok = self._wave_scan(
+                d.flow_params, token_buf, x_wave, mu_wave, spks,
+                cache["est"], cache["enc"], n_iters=n_iters,
+                k_total=jnp.asarray(k, jnp.int32),
+                base_frames=jnp.asarray(base_frames, jnp.int32),
+                dus=self._dus_ok)
+            mels = [mels_all[s_steps - 1: s_steps - 1 + k]
+                    .transpose(1, 0, 2, 3).reshape(self.b, -1, n_mel)]
 
         cache = {"enc": enc_cache, "est": est, "n_tok": n_tok}
         if plan and plan[-1][1]:
@@ -356,13 +447,18 @@ class KVStreamDecoder:
     def stream_decode(self, tokens: np.ndarray,
                       output: str = "float32",
                       bulk_voc: bool = True,
-                      wavefront: bool = True) -> np.ndarray:
+                      wavefront: bool = True,
+                      wave_stepped: bool = False) -> np.ndarray:
         """Full-stream decode: one upload, incremental KV hops (bucketed
         into lax.scan dispatches), one parallel fetch.
 
         ``bulk_voc`` vocodes the whole hop chain in one batched HiFT pass
         (pipeline/bulk_voc.py) — identical output, far less per-hop op
-        overhead; disable to exercise the per-hop path."""
+        overhead; disable to exercise the per-hop path.
+        ``wave_stepped`` selects the donated-buffer per-iteration loop for
+        the wavefront (measured SLOWER than the scan through this
+        environment's dispatch relay — kept as the documented negative
+        result, BENCH_NOTES round 3)."""
         tokens = np.asarray(tokens)
         assert tokens.shape[0] == self.b, (tokens.shape, self.b)
         n = int(tokens.shape[1])
@@ -377,7 +473,8 @@ class KVStreamDecoder:
         if bulk_voc and len(plan) >= 2:
             n_steady = sum(1 for pl in plan if not pl[1])
             if wavefront and n_steady >= 2:
-                mel_full, _ = self._flow_mels_wave(token_buf, cache, plan)
+                mel_full, _ = self._flow_mels_wave(token_buf, cache, plan,
+                                                   stepped=wave_stepped)
             else:
                 mel_full, _ = self._flow_mels(token_buf, cache, plan)
             if self._bulk is None:
