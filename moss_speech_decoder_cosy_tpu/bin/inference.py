@@ -74,6 +74,60 @@ def build_codec(args):
     return SpeechCodec(tok_cfg, tok_params, dec)
 
 
+def decode_v1(args, tokens, flow_cfg=None, hift_cfg=None):
+    """CosyVoice-v1 token->wav (offline flow.inference, or the growing-hop
+    StreamSessionV1 when --streaming).  Zero prompt; real prompts come via
+    the session API (pipeline/stream_v1.py)."""
+    from ..models.flow.flow_v1 import MaskedDiffWithXvec
+    from ..models.hift import HiFTGenerator
+    from ..utils import checkpoint as ckpt
+    from ..utils.config import (cosyvoice1_flow_config,
+                                cosyvoice1_hift_config)
+
+    flow_cfg = flow_cfg or cosyvoice1_flow_config()
+    hift_cfg = hift_cfg or cosyvoice1_hift_config()
+    flow = MaskedDiffWithXvec(flow_cfg)
+    hift = HiFTGenerator(hift_cfg)
+    if args.flow_ckpt:
+        sd = ckpt.load_torch_state_dict(args.flow_ckpt)
+        flow_params, _ = ckpt.convert_flow_v1_state_dict(sd, flow_cfg)
+    else:
+        flow_params = flow.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+            jnp.zeros((1, 0), jnp.int32),
+            jnp.zeros((1, 0, flow_cfg.output_size)),
+            jnp.zeros((1, flow_cfg.spk_embed_dim)), 16,
+            method=MaskedDiffWithXvec.inference)
+        print("WARNING: random v1 flow weights (no --flow_ckpt)")
+    if args.hift_ckpt:
+        sd = ckpt.load_torch_state_dict(args.hift_ckpt)
+        sd = ckpt.strip_prefix(sd, "generator.")
+        hift_params, _ = ckpt.convert_hift_state_dict(sd, hift_cfg)
+    else:
+        hift_params = hift.init(jax.random.PRNGKey(1),
+                                jnp.zeros((1, 8, hift_cfg.in_channels)))
+        print("WARNING: random v1 hift weights (no --hift_ckpt)")
+
+    emb = np.zeros((1, flow_cfg.spk_embed_dim), np.float32)
+    pf = np.zeros((1, 0, flow_cfg.output_size), np.float32)
+    if args.streaming:
+        from ..pipeline.stream_v1 import StreamSessionV1
+        sess = StreamSessionV1(flow, flow_params, hift, hift_params,
+                               np.zeros((1, 0), np.int64), pf, emb,
+                               sample_rate=hift_cfg.sampling_rate,
+                               mel_hop=hift_cfg.total_upsample)
+        chunks = sess.push_tokens(tokens[0])
+        chunks.append(sess.finalize())
+        return np.concatenate(chunks)[None]
+    mel_len2 = int(tokens.shape[1] / flow_cfg.input_frame_rate
+                   * hift_cfg.sampling_rate / hift_cfg.total_upsample)
+    mel, _ = flow.apply(flow_params, jnp.asarray(tokens, jnp.int32),
+                        jnp.zeros((1, 0), jnp.int32), jnp.asarray(pf),
+                        jnp.asarray(emb), mel_len2, method=flow.inference)
+    wav, _ = hift.apply(hift_params, mel)
+    return np.asarray(wav)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", choices=["reconstruct", "decode"],
@@ -91,12 +145,31 @@ def main():
                    help="streaming engine: reference-semantics windowed "
                         "re-decode, or the compute-once KV wavefront "
                         "(pipeline/kv_session.py; fastest)")
+    p.add_argument("--flow_version", choices=["v2", "v1"], default="v2",
+                   help="v1 = the CosyVoice-v1 / stock-GLM-4-Voice "
+                        "MaskedDiffWithXvec stack at 22.05 kHz "
+                        "(models/flow/flow_v1.py + StreamSessionV1); "
+                        "decode mode, zero prompt")
     p.add_argument("--block_size", type=int, default=5)
     p.add_argument("--max_token_len", type=int, default=40)
     p.add_argument("--bf16", action="store_true")
     args = p.parse_args()
 
     from ..eval.audio_io import read_wav, write_wav, resample
+
+    if args.flow_version == "v1":
+        if args.mode != "decode":
+            p.error("--flow_version v1 supports --mode decode only "
+                    "(v1 has no WhisperVQ tokenizer; tokens come from files)")
+        if args.input.endswith(".json"):
+            tokens = np.asarray(json.load(open(args.input)))[None]
+        else:
+            tokens = np.load(args.input).reshape(1, -1)
+        out = decode_v1(args, tokens)
+        write_wav(args.output, out[0], 22050)
+        print(f"wrote {args.output}: {out.shape[-1] / 22050:.2f}s")
+        return
+
     codec = build_codec(args)
 
     prompt = None

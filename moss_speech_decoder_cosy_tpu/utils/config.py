@@ -161,6 +161,31 @@ def moss_hift_config() -> HiFTConfig:
     return HiFTConfig()
 
 
+def cosyvoice1_flow_config() -> FlowConfig:
+    """CosyVoice v1 / stock GLM-4-Voice 22.05 kHz flow (MaskedDiffWithXvec,
+    flow.py:24-148): plain 512-d conformer text encoder (rel_pos_espnet),
+    InterpolateRegulator, non-causal matcha U-Net [256,256] estimator."""
+    return FlowConfig(
+        vocab_size=4096, input_size=512, output_size=80, spk_embed_dim=192,
+        input_frame_rate=50, token_mel_ratio=2,  # ~50 Hz -> 86.13 Hz mels
+        encoder=EncoderConfig(
+            input_size=512, output_size=512, attention_heads=8,
+            linear_units=2048, num_blocks=6, macaron_style=False,
+            use_cnn_module=False, dropout_rate=0.0,
+            pos_enc_layer_type="rel_pos_espnet"),
+        estimator=EstimatorConfig(
+            in_channels=320, out_channels=80, channels=(256, 256),
+            attention_head_dim=64, n_blocks=4, num_mid_blocks=12,
+            num_heads=8, act_fn="gelu", causal=False),
+        cfm=CFMConfig(n_timesteps=10, max_noise_len=15000),
+    )
+
+
+def cosyvoice1_hift_config() -> HiFTConfig:
+    """22.05 kHz HiFT (hifigan/generator.py:429 SourceModuleHnNSF branch)."""
+    return HiFTConfig(sampling_rate=22050)
+
+
 def cosyvoice2_flow_config() -> FlowConfig:
     return FlowConfig(
         vocab_size=6561, input_frame_rate=25, token_mel_ratio=2,

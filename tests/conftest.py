@@ -17,3 +17,27 @@ jax.config.update("jax_platforms", "cpu")
 
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# ---------------------------------------------------------------------------
+# fast/slow split: `pytest -m "not slow"` is the quick iteration loop
+# (unit/numerics tests); the full suite (default) adds the golden-parity,
+# session-equivalence and training modules that dominate the ~40 min wall.
+SLOW_MODULES = {
+    "test_golden_parity", "test_golden_lm", "test_kv_stream",
+    "test_stream_v1", "test_pipeline", "test_training",
+    "test_validate_reference", "test_lm_training",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+    for item in items:
+        if item.module.__name__ in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers",
+                            "slow: golden-parity / session / training "
+                            "modules (the bulk of suite wall time)")

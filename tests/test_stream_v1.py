@@ -221,3 +221,21 @@ def test_stream_v1_incremental_feed_equals_bulk(monkeypatch):
     for w, g in zip(bulk, drip):
         assert w.shape == g.shape
         assert _max_abs(w, g) == 0.0
+
+
+def test_decode_v1_cli_helper(tmp_path):
+    """bin/inference decode_v1: offline and streaming v1 decode on tiny
+    configs (the CLI surface for stock v1 checkpoints)."""
+    from types import SimpleNamespace
+    import dataclasses
+    from moss_speech_decoder_cosy_tpu.bin.inference import decode_v1
+    from moss_speech_decoder_cosy_tpu.utils.config import tiny_hift_config
+
+    _, flow, flow_params, flow_cfg = _make_v1_flow_pair()
+    hcfg = dataclasses.replace(tiny_hift_config(), in_channels=80)
+    rng = np.random.RandomState(8)
+    tokens = rng.randint(0, flow_cfg.vocab_size, (1, 24))
+    args = SimpleNamespace(flow_ckpt=None, hift_ckpt=None, streaming=False)
+    out = decode_v1(args, tokens, flow_cfg=flow_cfg, hift_cfg=hcfg)
+    assert out.ndim == 2 and out.shape[-1] > 0
+    assert np.all(np.isfinite(out))
