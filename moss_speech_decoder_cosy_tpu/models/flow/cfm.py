@@ -58,10 +58,12 @@ class CausalConditionalCFM(nn.Module):
         ``cfg.solver_dtype == "float32"``); the estimator runs in the
         compute dtype of ``mu_in``."""
         b = x.shape[0]
-        cd = mu_in.dtype
+        cd = (jnp.dtype(self.cfg.estimator_dtype)
+              if self.cfg.estimator_dtype else mu_in.dtype)
         x_in = jnp.concatenate([x, x], axis=0).astype(cd)
         t_in = jnp.full((2 * b,), t_cur, cd)
-        dphi = self.estimator(x_in, valid_in, mu_in, t_in, spks_in, cond_in,
+        dphi = self.estimator(x_in, valid_in, mu_in.astype(cd), t_in,
+                              spks_in.astype(cd), cond_in.astype(cd),
                               streaming=streaming, attn_mask=attn_mask
                               ).astype(x.dtype)
         rate = jnp.asarray(self.cfg.inference_cfg_rate, x.dtype)

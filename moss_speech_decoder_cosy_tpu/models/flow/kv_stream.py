@@ -568,12 +568,13 @@ class CausalConditionalCFMStep(nn.Module):
 
         def body(mdl, carry, xs):
             t_i, dt_i, k_s, v_s, convs_s = xs
-            cd = mu_in.dtype
+            cd = (jnp.dtype(mdl.cfg.estimator_dtype)
+                  if mdl.cfg.estimator_dtype else mu_in.dtype)
             x_in = jnp.concatenate([carry, carry], axis=0).astype(cd)
             t_in = jnp.full((2 * b,), t_i, cd)
             dphi, ck, cv, new_convs = mdl.estimator(
-                x_in, mu_in, t_in, spks_in, cond_in,
-                {"k": k_s, "v": v_s}, convs_s, n_done)
+                x_in, mu_in.astype(cd), t_in, spks_in.astype(cd),
+                cond_in.astype(cd), {"k": k_s, "v": v_s}, convs_s, n_done)
             dphi = dphi.astype(carry.dtype)
             rate = jnp.asarray(mdl.cfg.inference_cfg_rate, carry.dtype)
             dphi = (1.0 + rate) * dphi[:b] - rate * dphi[b:]
@@ -723,9 +724,13 @@ class CausalConditionalCFMWave(nn.Module):
         S-1 <= w < S-1+k_total —, x_shifted, mu_shifted, new est cache)."""
         c = self.cfg
         s_steps, b, cf, d = x_wave.shape
-        cd = mu_wave.dtype                    # estimator compute dtype
+        # estimator compute dtype: the config override (hybrid bf16-encoder/
+        # f32-estimator recipe) wins; mu_wave arrives in this dtype from
+        # kv_session (the carry dtype must be scan-stable)
+        cd = (jnp.dtype(c.estimator_dtype) if c.estimator_dtype
+              else mu_wave.dtype)
         mu_wave = jnp.concatenate(
-            [mu_new[None].astype(cd), mu_wave[:-1]], axis=0)
+            [mu_new[None].astype(cd), mu_wave[:-1].astype(cd)], axis=0)
         if c.t_scheduler == "cosine":
             t_span = t_span_cosine(c.n_timesteps)
         else:
@@ -748,7 +753,7 @@ class CausalConditionalCFMWave(nn.Module):
         x_in = jnp.stack([x_wave, x_wave], axis=1).reshape(
             s_steps * 2 * b, cf, d).astype(cd)
         spks_in = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
-        spks_in = jnp.tile(spks_in, (s_steps, 1))
+        spks_in = jnp.tile(spks_in, (s_steps, 1)).astype(cd)
         t_in = jnp.repeat(t_cur, 2 * b).astype(cd)
         nd_in = jnp.repeat(n_dones, 2 * b)
 

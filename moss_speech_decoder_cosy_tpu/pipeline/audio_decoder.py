@@ -60,6 +60,12 @@ class AudioDecoder:
         error to the estimator (0.40%% vs 2.9%% rel MAE, BENCH_NOTES), so
         ``compute_dtype=bf16, estimator_dtype=f32`` is the quality/speed
         hybrid recipe."""
+        if estimator_dtype is not None:
+            # thread the override into the model config so the in-model CFM
+            # casts the estimator's inputs to match the recast param subtree
+            flow_cfg = dataclasses.replace(
+                flow_cfg, cfm=dataclasses.replace(
+                    flow_cfg.cfm, estimator_dtype=jnp.dtype(estimator_dtype).name))
         self.flow_cfg = flow_cfg
         self.hift_cfg = hift_cfg
         self.pipe_cfg = pipe_cfg

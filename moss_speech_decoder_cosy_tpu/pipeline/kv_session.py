@@ -403,7 +403,9 @@ class KVStreamDecoder:
         x_wave[0] = noise[:, base_frames: base_frames + cf]
         sd = jnp.float32 if cfg.cfm.solver_dtype == "float32" else dt
         x_wave = jnp.asarray(x_wave, sd)
-        mu_wave = jnp.zeros((s_steps, self.b, cf, n_mel), dt)
+        # mu carry lives in the estimator dtype (scan-stable; the Wave
+        # module casts the incoming encoder chunk to match)
+        mu_wave = jnp.zeros((s_steps, self.b, cf, n_mel), self.est_dt)
 
         need = k + s_steps - 1
         if stepped:

@@ -81,6 +81,13 @@ class CFMConfig:
     # on (B, T, 80).  "compute" follows the input dtype (pre-ablation
     # behavior, kept for the BENCH_NOTES dtype table).
     solver_dtype: str = "float32"
+    # Estimator compute dtype override (None = follow the input/compute
+    # dtype).  "float32" with a bf16 encoder is the hybrid serving recipe:
+    # the round-2 ablation isolated the bf16 mel error to the estimator
+    # (0.40% vs 2.9% rel MAE, BENCH_NOTES).  AudioDecoder sets this when
+    # constructed with ``estimator_dtype=...`` and casts the estimator
+    # param subtree to match.
+    estimator_dtype: str = ""
 
 
 @dataclasses.dataclass(frozen=True)
