@@ -112,7 +112,13 @@ def main():
     first_chunk_kv_ms = None
     if "--no-kv" not in sys.argv:
         print("# warmup kv stream_decode...", file=sys.stderr, flush=True)
-        kv = dec.kv_stream_decoder(token_cap=n_tokens + 16)
+        # --block N: KV hop size override (throughput mode: fewer, larger
+        # hops; the banded-mask granularity and hence the deviation from
+        # the reference's windowed semantics grows with the block)
+        kv_block = (int(sys.argv[sys.argv.index("--block") + 1])
+                    if "--block" in sys.argv else None)
+        kv = dec.kv_stream_decoder(token_cap=n_tokens + 16,
+                                   block_size=kv_block)
         t0 = time.perf_counter()
         kv.stream_decode(tokens)
         kv_compile = time.perf_counter() - t0
@@ -139,6 +145,27 @@ def main():
         for _ in range(runs):
             kv.stream_decode(tokens, output="int16")
         rtf_kv = (time.perf_counter() - t0) / runs / audio_sec
+
+    # --batch N: aggregate throughput of N lockstep KV streams (the
+    # serving question: streams/chip at realtime).  Reported to stderr;
+    # the canonical headline stays the single-stream KV RTF.
+    agg = None
+    if "--batch" in sys.argv:
+        nb = int(sys.argv[sys.argv.index("--batch") + 1])
+        toks_b = rng.randint(0, flow_cfg.vocab_size, (nb, n_tokens))
+        kvb = dec.kv_stream_decoder(token_cap=n_tokens + 16, batch=nb)
+        print(f"# warmup batched kv (batch={nb})...", file=sys.stderr,
+              flush=True)
+        kvb.stream_decode(toks_b, output="int16")
+        t0 = time.perf_counter()
+        for _ in range(runs):
+            kvb.stream_decode(toks_b, output="int16")
+        agg_proc = (time.perf_counter() - t0) / runs
+        agg = nb * audio_sec / agg_proc          # aggregate x-realtime
+        print(f"# batched_kv batch={nb} wall={agg_proc:.3f}s "
+              f"aggregate={agg:.1f}x realtime "
+              f"per_stream_rtf={agg_proc / audio_sec:.4f}",
+              file=sys.stderr)
 
     # headline = the KV engine (the default fast path); the windowed
     # reference-semantics figure goes to stderr alongside it.  (Advisor
