@@ -19,6 +19,12 @@ from typing import Iterable, List, Optional
 OPUS_APPLICATION_VOIP = 2048
 OPUS_APPLICATION_AUDIO = 2049
 OPUS_GET_LOOKAHEAD_REQUEST = 4027
+# encoder CTLs (opus_defines.h)
+OPUS_SET_BITRATE_REQUEST = 4002
+OPUS_SET_COMPLEXITY_REQUEST = 4010
+OPUS_SET_INBAND_FEC_REQUEST = 4012
+OPUS_SET_PACKET_LOSS_PERC_REQUEST = 4014
+OPUS_SET_DTX_REQUEST = 4016
 
 
 def _load():
@@ -56,19 +62,52 @@ def available() -> bool:
 
 
 class OpusEncoder:
-    """Float PCM -> opus packets at a fixed frame size (20 ms default)."""
+    """Float PCM -> opus packets at a fixed frame size (20 ms default).
+
+    Interop knobs (all optional; libopus supports 8/12/16/24/48 kHz input
+    rates, so ``sample_rate=48000`` gives the full coded band):
+
+    - ``bitrate``: target bits/s (default: libopus auto).
+    - ``dtx``: discontinuous transmission — silence frames shrink to
+      1-2 byte no-data packets.
+    - ``fec`` + ``loss_perc``: in-band forward error correction; the
+      decoder can reconstruct a lost frame from the NEXT packet via
+      ``OpusDecoder.decode_fec``.
+    - ``complexity``: 0-10 encoder effort.
+    """
 
     def __init__(self, sample_rate: int = 24000, channels: int = 1,
-                 frame_ms: int = 20):
+                 frame_ms: int = 20, application: int = OPUS_APPLICATION_VOIP,
+                 bitrate: Optional[int] = None, dtx: bool = False,
+                 fec: bool = False, loss_perc: int = 0,
+                 complexity: Optional[int] = None):
         assert _LIB is not None, "libopus not found"
         err = ctypes.c_int(0)
         self.enc = _LIB.opus_encoder_create(sample_rate, channels,
-                                            OPUS_APPLICATION_VOIP,
+                                            application,
                                             ctypes.byref(err))
         assert err.value == 0, f"opus_encoder_create: {err.value}"
         self.frame = sample_rate * frame_ms // 1000
         self.channels = channels
         self._buf: List[float] = []
+        if bitrate is not None:
+            self._ctl(OPUS_SET_BITRATE_REQUEST, bitrate)
+        if dtx:
+            self._ctl(OPUS_SET_DTX_REQUEST, 1)
+        if fec:
+            self._ctl(OPUS_SET_INBAND_FEC_REQUEST, 1)
+        if loss_perc:
+            self._ctl(OPUS_SET_PACKET_LOSS_PERC_REQUEST, loss_perc)
+        if complexity is not None:
+            self._ctl(OPUS_SET_COMPLEXITY_REQUEST, complexity)
+
+    def _ctl(self, request: int, value: int) -> None:
+        # variadic fn without argtypes: wrap explicitly so the handle is
+        # not truncated to a C int
+        rc = _LIB.opus_encoder_ctl(ctypes.c_void_p(self.enc),
+                                   ctypes.c_int(request),
+                                   ctypes.c_int(value))
+        assert rc == 0, f"opus_encoder_ctl({request}, {value}): {rc}"
 
     def lookahead(self) -> int:
         """Encoder algorithmic delay in samples at the coding rate
@@ -121,6 +160,26 @@ class OpusDecoder:
         got = _LIB.opus_decode_float(self.dec, pkt, len(pkt), buf,
                                      self.max_frame, 0)
         assert got > 0, f"opus_decode_float: {got}"
+        return list(buf[: got * self.channels])
+
+    def decode_fec(self, next_pkt: bytes, frame_samples: int) -> List[float]:
+        """Reconstruct a LOST frame from the FOLLOWING packet's in-band
+        FEC data (encoder must have ``fec=True``; ``frame_samples`` is the
+        duration of the lost frame).  Falls back to PLC synthesis when the
+        packet carries no FEC."""
+        buf = (ctypes.c_float * (frame_samples * self.channels))()
+        got = _LIB.opus_decode_float(self.dec, next_pkt, len(next_pkt),
+                                     buf, frame_samples, 1)
+        assert got > 0, f"opus_decode_float(fec): {got}"
+        return list(buf[: got * self.channels])
+
+    def conceal(self, frame_samples: int) -> List[float]:
+        """Packet-loss concealment: synthesize ``frame_samples`` samples
+        for a lost packet with no FEC available (data=NULL PLC mode)."""
+        buf = (ctypes.c_float * (frame_samples * self.channels))()
+        got = _LIB.opus_decode_float(self.dec, None, 0, buf,
+                                     frame_samples, 0)
+        assert got > 0, f"opus_decode_float(plc): {got}"
         return list(buf[: got * self.channels])
 
     def decode(self, data: bytes) -> List[float]:

@@ -33,6 +33,65 @@ def test_opus_roundtrip():
     assert 0.1 < np.std(y[enc.frame:]) < 1.0
 
 
+@pytest.mark.skipif(not opus_mod.available(), reason="libopus missing")
+def test_opus_dtx_shrinks_silence():
+    """DTX: silence frames become 1-2 byte no-data packets, so a mostly
+    silent stream costs a fraction of the non-DTX bytes."""
+    sr = 24000
+    x = np.zeros(sr, np.float32)                  # 1 s of silence
+    plain = sum(len(p) for p in
+                opus_mod.OpusEncoder(sr).encode_packets(x))
+    dtx_pkts = opus_mod.OpusEncoder(sr, dtx=True).encode_packets(x)
+    dtx = sum(len(p) for p in dtx_pkts)
+    assert dtx < plain / 3
+    assert any(len(p) <= 2 for p in dtx_pkts)     # actual DTX packets
+
+
+@pytest.mark.skipif(not opus_mod.available(), reason="libopus missing")
+def test_opus_fec_recovers_lost_packet():
+    """In-band FEC: with fec=True + loss_perc, a dropped packet is
+    reconstructed from the following packet; PLC conceal() also yields a
+    full frame when no FEC is available."""
+    sr = 24000
+    t = np.arange(sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    enc = opus_mod.OpusEncoder(sr, fec=True, loss_perc=20)
+    pkts = enc.encode_packets(x)
+    assert len(pkts) > 10
+    dec = opus_mod.OpusDecoder(sr)
+    out = []
+    lost = 25
+    for i, p in enumerate(pkts):
+        if i == lost:
+            continue                              # dropped on the wire
+        if i == lost + 1:
+            rec = dec.decode_fec(p, enc.frame)    # reconstruct lost frame
+            assert len(rec) == enc.frame
+            out.extend(rec)
+        out.extend(dec.decode_packet(p))
+    y = np.asarray(out, np.float32)
+    assert len(y) == len(pkts) * enc.frame
+    assert 0.1 < np.std(y[enc.frame:]) < 1.0      # still a real signal
+
+    plc = dec.conceal(enc.frame)
+    assert len(plc) == enc.frame
+    assert np.isfinite(plc).all()
+
+
+@pytest.mark.skipif(not opus_mod.available(), reason="libopus missing")
+def test_opus_48k_coded_rate_roundtrip():
+    """48 kHz input rate (the full coded band) round-trips with the same
+    framing; bitrate/complexity knobs apply cleanly."""
+    sr = 48000
+    t = np.arange(sr // 2) / sr
+    x = (0.4 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    enc = opus_mod.OpusEncoder(sr, bitrate=64000, complexity=5)
+    dec = opus_mod.OpusDecoder(sr)
+    y = np.asarray(dec.decode(enc.encode(x)), np.float32)
+    assert len(y) == (len(x) // enc.frame) * enc.frame
+    assert 0.05 < np.std(y[enc.frame:]) < 1.0
+
+
 def test_ogg_crc_known_vector():
     # Ogg CRC (poly 0x04c11db7, init 0, no reflect, no xorout) is
     # CRC-32/POSIX without the final complement: POSIX check("123456789")
