@@ -97,14 +97,20 @@ def main():
     first_chunk_ms = (time.perf_counter() - t0) * 1e3
 
     # timed runs — int16 output (the reference's wire/file format) keeps
-    # the single device->host fetch small
+    # the single device->host fetch small.  Median-of-N: the loopback
+    # relay adds transient multi-hundred-ms stalls to individual runs
+    # (engine-independent, BENCH_NOTES), so the median is the honest
+    # per-run RTF; per-run times go to stderr for drift visibility.
     stream.stream_decode(tokens, output="int16")      # compile pcm16 cast
-    runs = 3
-    t0 = time.perf_counter()
+    runs = 5
+    win_times = []
     for _ in range(runs):
+        t0 = time.perf_counter()
         wav16 = stream.stream_decode(tokens, output="int16")
-    proc = (time.perf_counter() - t0) / runs
-    rtf_win = proc / audio_sec
+        win_times.append(time.perf_counter() - t0)
+    rtf_win = float(np.median(win_times)) / audio_sec
+    print("# windowed runs:", [round(t, 3) for t in win_times],
+          file=sys.stderr)
 
     # KV-cached incremental session (pipeline/kv_session.py): every token
     # through the flow ONCE — removes the reference's 8x windowed re-decode
@@ -141,10 +147,14 @@ def main():
         _jax.block_until_ready(seg)
         first_chunk_kv_ms = (time.perf_counter() - t0) * 1e3
         kv.stream_decode(tokens, output="int16")
-        t0 = time.perf_counter()
+        kv_times = []
         for _ in range(runs):
+            t0 = time.perf_counter()
             kv.stream_decode(tokens, output="int16")
-        rtf_kv = (time.perf_counter() - t0) / runs / audio_sec
+            kv_times.append(time.perf_counter() - t0)
+        rtf_kv = float(np.median(kv_times)) / audio_sec
+        print("# kv runs:", [round(t, 3) for t in kv_times],
+              file=sys.stderr)
 
     # --batch N: aggregate throughput of N lockstep KV streams (the
     # serving question: streams/chip at realtime).  Reported to stderr;
@@ -157,10 +167,12 @@ def main():
         print(f"# warmup batched kv (batch={nb})...", file=sys.stderr,
               flush=True)
         kvb.stream_decode(toks_b, output="int16")
-        t0 = time.perf_counter()
+        bt = []
         for _ in range(runs):
+            t0 = time.perf_counter()
             kvb.stream_decode(toks_b, output="int16")
-        agg_proc = (time.perf_counter() - t0) / runs
+            bt.append(time.perf_counter() - t0)
+        agg_proc = float(np.median(bt))
         agg = nb * audio_sec / agg_proc          # aggregate x-realtime
         print(f"# batched_kv batch={nb} wall={agg_proc:.3f}s "
               f"aggregate={agg:.1f}x realtime "

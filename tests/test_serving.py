@@ -2,6 +2,8 @@
 echo session, token SSE server + chat consumer."""
 
 import asyncio
+import os
+
 import numpy as np
 import pytest
 
@@ -538,45 +540,70 @@ def test_ogg_eos_granule_trims_padding():
     assert eos_granule == expect, (eos_granule, expect)
 
 
-def test_boot_warmup_compiles_hop_programs():
+_BOOT_SCRIPT = r"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from moss_speech_decoder_cosy_tpu.models.flow import CausalMaskedDiffWithXvec
+from moss_speech_decoder_cosy_tpu.models.hift import HiFTGenerator
+from moss_speech_decoder_cosy_tpu.pipeline import AudioDecoder
+from moss_speech_decoder_cosy_tpu.utils.config import (
+    tiny_flow_config, tiny_hift_config, PipelineConfig)
+from moss_speech_decoder_cosy_tpu.serving.boot import boot_warmup
+
+cfg, hcfg = tiny_flow_config(), tiny_hift_config()
+import dataclasses
+hcfg = dataclasses.replace(hcfg, in_channels=cfg.output_size)
+flow = CausalMaskedDiffWithXvec(cfg)
+hift = HiFTGenerator(hcfg)
+fp = flow.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+               jnp.ones((1, 8), bool), jnp.zeros((1, 0, cfg.output_size)),
+               jnp.zeros((1, cfg.spk_embed_dim)))
+hp = hift.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, hcfg.in_channels)))
+dec = AudioDecoder(cfg, hcfg, fp, hp,
+                   PipelineConfig(block_size=3, mel_cache_len=2,
+                                  max_token_len=9))
+boot_warmup(decoder=dec, n_tokens=18, verbose=False)
+n_flow = dec._flow_fn._cache_size()
+n_hift = dec._hift_fn._cache_size()
+assert n_flow >= 1 and n_hift >= 1, (n_flow, n_hift)
+
+# a real first request compiles NOTHING new
+sess = dec.new_session()
+rng = np.random.RandomState(1)
+toks = rng.randint(0, cfg.vocab_size, (18,))
+out = list(sess.push(toks)) + list(sess.finish())
+assert sum(c.shape[-1] for c in out) > 0
+assert dec._flow_fn._cache_size() == n_flow, \
+    (dec._flow_fn._cache_size(), n_flow)
+assert dec._hift_fn._cache_size() == n_hift, \
+    (dec._hift_fn._cache_size(), n_hift)
+print("BOOT_OK", n_flow, n_hift)
+"""
+
+
+@pytest.mark.slow
+def test_boot_warmup_compiles_hop_programs(tmp_path):
     """serving/boot.boot_warmup: after boot, the session hop programs are
     compiled — a first request triggers NO new compilation (the cold-start
-    owner the round-2 verdict asked for)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from moss_speech_decoder_cosy_tpu.models.flow import (
-        CausalMaskedDiffWithXvec)
-    from moss_speech_decoder_cosy_tpu.models.hift import HiFTGenerator
-    from moss_speech_decoder_cosy_tpu.pipeline import AudioDecoder
-    from moss_speech_decoder_cosy_tpu.utils.config import (
-        tiny_flow_config, tiny_hift_config, PipelineConfig)
-    from moss_speech_decoder_cosy_tpu.serving.boot import boot_warmup
+    owner the round-2 verdict asked for).
 
-    cfg, hcfg = tiny_flow_config(), tiny_hift_config()
-    # hift input must match the flow's mel width
-    import dataclasses
-    hcfg = dataclasses.replace(hcfg, in_channels=cfg.output_size)
-    flow = CausalMaskedDiffWithXvec(cfg)
-    hift = HiFTGenerator(hcfg)
-    fp = flow.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
-                   jnp.ones((1, 8), bool), jnp.zeros((1, 0, cfg.output_size)),
-                   jnp.zeros((1, cfg.spk_embed_dim)))
-    hp = hift.init(jax.random.PRNGKey(1),
-                   jnp.zeros((1, 8, hcfg.in_channels)))
-    dec = AudioDecoder(cfg, hcfg, fp, hp,
-                       PipelineConfig(block_size=3, mel_cache_len=2,
-                                      max_token_len=9))
-    boot_warmup(decoder=dec, n_tokens=18, verbose=False)
-    n_flow = dec._flow_fn._cache_size()
-    n_hift = dec._hift_fn._cache_size()
-    assert n_flow >= 1 and n_hift >= 1
+    Runs in a subprocess: cold-process boot is exactly the scenario the
+    feature owns, and jit-cache counting is only meaningful with pristine
+    process-global jax config (in-suite the count was order-dependent)."""
+    import subprocess
+    import sys
 
-    # a real first request compiles NOTHING new
-    sess = dec.new_session()
-    rng = np.random.RandomState(1)
-    toks = rng.randint(0, cfg.vocab_size, (18,))
-    out = list(sess.push(toks)) + list(sess.finish())
-    assert sum(c.shape[-1] for c in out) > 0
-    assert dec._flow_fn._cache_size() == n_flow
-    assert dec._hift_fn._cache_size() == n_hift
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               # share the suite's persistent compile cache: boot loads
+               # AOT results instead of compiling (still populates the
+               # jit caches the assertions count), so warm runs are fast
+               MOSS_TPU_CACHE=os.path.join(repo, ".jax_cache_cpu"),
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    r = subprocess.run([sys.executable, "-c", _BOOT_SCRIPT], env=env,
+                       cwd=repo, capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, r.stdout + "\n" + r.stderr
+    assert "BOOT_OK" in r.stdout, r.stdout
