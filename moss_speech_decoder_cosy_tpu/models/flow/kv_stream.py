@@ -109,8 +109,12 @@ def _ring_mask(ring_len: int, chunk_len: int,
 
 def ring_write_batched(ring: jnp.ndarray, chunk: jnp.ndarray,
                        n_done: jnp.ndarray, enable=None) -> jnp.ndarray:
-    """ring (L, B, R, d), chunk (L, B, C, d), n_done (B,): write each
-    sample's chunk at its own circular position (wavefront batching).
+    """ring (B, R, d), chunk (B, C, d), n_done (B,): write each sample's
+    chunk at its own circular position (wavefront batching); one ring
+    buffer per attention layer (the per-layer pytree keeps each while-
+    carry leaf independently aliasable — a stacked (L, ...) buffer forced
+    a strided 2.9 MB copy per layer per iteration, ~320 MB/iter measured
+    in the optimized TPU HLO).
 
     ``enable`` (B,) bool masks out writes for invalid wavefront slots.
 
@@ -126,18 +130,18 @@ def ring_write_batched(ring: jnp.ndarray, chunk: jnp.ndarray,
     if enable is not None:
         oh = oh * enable[:, None, None].astype(ring.dtype)
     keep = 1.0 - jnp.sum(oh, axis=1)                       # (B, R)
-    contrib = jnp.einsum("lbmd,bmr->lbrd", tail, oh)
-    return ring * keep[None, :, :, None] + contrib
+    contrib = jnp.einsum("bmd,bmr->brd", tail, oh)
+    return ring * keep[:, :, None] + contrib
 
 
 def ring_write_dus(ring: jnp.ndarray, chunk: jnp.ndarray,
                    offset: jnp.ndarray, enable: jnp.ndarray,
                    align: int) -> jnp.ndarray:
-    """Write ``chunk`` (L, B, C, d) into ``ring`` (L, B, R, d) at ONE
-    shared dynamic ``offset`` along the ring axis — the O(chunk)
-    alternative to the O(ring) one-hot RMW (ring * keep + contrib reads
-    and rewrites every ring byte; ~620 MB/iteration on the full-size est
-    cache, the dominant wavefront cost — BENCH_NOTES round 3).
+    """Write ``chunk`` (B, C, d) into ``ring`` (B, R, d) at ONE shared
+    dynamic ``offset`` along the ring axis — the O(chunk) alternative to
+    the O(ring) one-hot RMW (ring * keep + contrib reads and rewrites
+    every ring byte; ~620 MB/iteration on the full-size est cache, the
+    dominant wavefront cost — BENCH_NOTES round 3).
 
     Preconditions (enforced by the caller): R % C == 0 and every write
     offset ≡ ``align`` (mod C) — then the wrap, when it happens, always
@@ -145,16 +149,16 @@ def ring_write_dus(ring: jnp.ndarray, chunk: jnp.ndarray,
     static-size dynamic_update_slices.  Rows with ``enable`` False keep
     their old content (read-modify of just the C-frame slice).
     """
-    l, b, r, d = ring.shape
+    b, r, d = ring.shape
     c = chunk.shape[-2]
     m1 = c - align
-    en = enable[None, :, None, None]
+    en = enable[:, None, None]
 
     def put(ring, part, off):
-        old = jax.lax.dynamic_slice(ring, (0, 0, off, 0),
-                                    (l, b, part.shape[-2], d))
+        old = jax.lax.dynamic_slice(ring, (0, off, 0),
+                                    (b, part.shape[-2], d))
         new = jnp.where(en, part.astype(ring.dtype), old)
-        return jax.lax.dynamic_update_slice(ring, new, (0, 0, off, 0))
+        return jax.lax.dynamic_update_slice(ring, new, (0, off, 0))
 
     ring = put(ring, chunk[..., :m1, :], offset)
     if align:
@@ -167,13 +171,13 @@ def rotate_rings(rings: jnp.ndarray, rot, inverse: bool = False
     """Roll each batch row's ring axis by its static ``rot`` (list of
     python ints per row) — converts canonical slot numbering
     (frame f -> slot f % R) to the rotated numbering the shared-offset
-    DUS scheme uses (slot (f + rot) % R), and back.  One-time cost at
-    wavefront entry/exit."""
+    DUS scheme uses (slot (f + rot) % R), and back.  ``rings`` is one
+    layer's (B, R, d) buffer.  One-time cost at wavefront entry/exit."""
     parts = []
     for i, s in enumerate(rot):
         s = (-s if inverse else s) % rings.shape[-2]
-        parts.append(jnp.roll(rings[:, i], s, axis=-2))
-    return jnp.stack(parts, axis=1)
+        parts.append(jnp.roll(rings[i], s, axis=-2))
+    return jnp.stack(parts, axis=0)
 
 
 # --------------------------------------------------------------------------
@@ -465,10 +469,13 @@ class EstimatorStep(nn.Module):
     """One chunk through CausalConditionalDecoder (estimator.py:123-245) —
     single-level causal configs (the MOSS / CosyVoice2 production shapes).
 
-    rings: {"k": (L, B2, Rf, inner), "v": ...} with L attention layers in
-    walk order; convs: {name: (B2, 2, ch_in)} keyed by
-    ``estimator_conv_cache_names``.  Returns (out, chunk_k, chunk_v,
-    new_convs) — the CFM step owns the ring writes (vectorized over L)."""
+    rings: {"k": tuple of L (B2, Rf, inner) arrays, "v": ...} with L
+    attention layers in walk order — one buffer per layer so XLA can
+    alias each ring independently in loop carries (a stacked (L, ...)
+    buffer forced per-layer strided slice copies); convs: {name:
+    (B2, 2, ch_in)} keyed by ``estimator_conv_cache_names``.  Returns
+    (out, chunk_ks, chunk_vs, new_convs) with chunk_ks/vs tuples of L
+    (B2, C, inner) arrays — the CFM step owns the ring writes."""
 
     cfg: EstimatorConfig
 
@@ -488,7 +495,7 @@ class EstimatorStep(nn.Module):
                                   (x.shape[0], x.shape[1], spks.shape[-1]))
         h = jnp.concatenate([x, mu, spks_b, cond], axis=-1)
         cf = h.shape[1]
-        rf = rings["k"].shape[-2]
+        rf = rings["k"][0].shape[-2]
         mask = _ring_mask(rf, cf, n_done, rot)
 
         new_convs = {}
@@ -531,14 +538,15 @@ class EstimatorStep(nn.Module):
         h, new_convs["final_block"] = CausalBlock1DStep(
             ch, name="final_block")(h, convs["final_block"])
         out = Conv1d(c.out_channels, 1, name="final_proj")(h)
-        return out, jnp.stack(chunk_ks), jnp.stack(chunk_vs), new_convs
+        return out, tuple(chunk_ks), tuple(chunk_vs), new_convs
 
 
 class CausalConditionalCFMStep(nn.Module):
     """CFM Euler solve for one chunk (cfm.py:43-98), per-ODE-step KV rings.
 
-    cache: {"k"/"v": (S, L, 2B, Rf, inner), "convs": {name: (S, 2B, 2, ch)}}
-    — leading axis S = n_timesteps, consumed/produced by the nn.scan."""
+    cache: {"k"/"v": tuple of L (S, 2B, Rf, inner) arrays, "convs":
+    {name: (S, 2B, 2, ch)}} — leading axis S = n_timesteps on every
+    leaf, consumed/produced by the nn.scan."""
 
     cfg: CFMConfig
     estimator_cfg: EstimatorConfig
@@ -578,8 +586,10 @@ class CausalConditionalCFMStep(nn.Module):
             dphi = dphi.astype(carry.dtype)
             rate = jnp.asarray(mdl.cfg.inference_cfg_rate, carry.dtype)
             dphi = (1.0 + rate) * dphi[:b] - rate * dphi[b:]
-            new_k = ring_write(k_s, ck, n_done)
-            new_v = ring_write(v_s, cv, n_done)
+            new_k = tuple(ring_write(r_, c_, n_done)
+                          for r_, c_ in zip(k_s, ck))
+            new_v = tuple(ring_write(r_, c_, n_done)
+                          for r_, c_ in zip(v_s, cv))
             new_convs = jax.tree.map(
                 lambda old, new: new.astype(old.dtype), convs_s, new_convs)
             return carry + dt_i * dphi, (new_k, new_v, new_convs)
@@ -757,14 +767,15 @@ class CausalConditionalCFMWave(nn.Module):
         t_in = jnp.repeat(t_cur, 2 * b).astype(cd)
         nd_in = jnp.repeat(n_dones, 2 * b)
 
-        # est_cache arrives in the FLAT wavefront layout
-        # ({"k"/"v": (L, S*2B, R, d), "convs": {name: (S*2B, 2, ch)}},
-        # see est_cache_to_flat) — per-iteration swapaxes/reshape of the
-        # ~0.3 GB cache was pure transpose traffic (~650 MB/iter measured
-        # as "scan plumbing", BENCH_NOTES round 3)
+        # est_cache arrives in the FLAT wavefront layout ({"k"/"v": tuple
+        # of L (S*2B, R, d) arrays, "convs": {name: (S*2B, 2, ch)}}, see
+        # est_cache_to_flat).  Per-layer buffers: a stacked (L, ...)
+        # carry forced XLA into a strided 2.9 MB copy per layer per
+        # iteration (~320 MB/iter in the optimized TPU HLO); separate
+        # leaves slice nothing and alias in place across the scan.
         flat_rings = {"k": est_cache["k"], "v": est_cache["v"]}
         flat_convs = est_cache["convs"]
-        r = flat_rings["k"].shape[-2]
+        r = flat_rings["k"][0].shape[-2]
         rot = None
         if self.write_mode == "dus":
             rot_slots = np.array([(s * cf) % r for s in range(s_steps)],
@@ -784,17 +795,17 @@ class CausalConditionalCFMWave(nn.Module):
         en = jnp.repeat(valid, 2 * b)
         if self.write_mode == "dus":
             # every slot's rotated write offset coincides at
-            # (base + w*cf) % r — one static-size in-place DUS
+            # (base + w*cf) % r — one static-size in-place DUS per layer
             offset = (base_frames + w * cf) % r
-            new_k = ring_write_dus(flat_rings["k"], ck, offset, en,
-                                   self.align)
-            new_v = ring_write_dus(flat_rings["v"], cv, offset, en,
-                                   self.align)
+            new_k = tuple(ring_write_dus(r_, c_, offset, en, self.align)
+                          for r_, c_ in zip(flat_rings["k"], ck))
+            new_v = tuple(ring_write_dus(r_, c_, offset, en, self.align)
+                          for r_, c_ in zip(flat_rings["v"], cv))
         else:
-            new_k = ring_write_batched(flat_rings["k"], ck, nd_in,
-                                       enable=en)
-            new_v = ring_write_batched(flat_rings["v"], cv, nd_in,
-                                       enable=en)
+            new_k = tuple(ring_write_batched(r_, c_, nd_in, enable=en)
+                          for r_, c_ in zip(flat_rings["k"], ck))
+            new_v = tuple(ring_write_batched(r_, c_, nd_in, enable=en)
+                          for r_, c_ in zip(flat_rings["v"], cv))
         new_convs = jax.tree.map(
             lambda old, new: jnp.where(en[:, None, None],
                                        new.astype(old.dtype), old),
@@ -815,32 +826,29 @@ class CausalConditionalCFMWave(nn.Module):
 
 
 def est_cache_to_flat(est: Dict) -> Dict:
-    """Canonical est cache {"k"/"v": (S, L, B2, R, d), "convs":
-    {name: (S, B2, 2, ch)}} -> the wavefront's flat layout
-    {"k"/"v": (L, S*B2, R, d), "convs": {name: (S*B2, 2, ch)}}.
+    """Canonical est cache {"k"/"v": tuple of L (S, B2, R, d) arrays,
+    "convs": {name: (S, B2, 2, ch)}} -> the wavefront's flat layout
+    {"k"/"v": tuple of L (S*B2, R, d) arrays, "convs":
+    {name: (S*B2, 2, ch)}}.
 
-    One ~cache-size transpose; done ONCE per stream at wavefront entry so
-    the per-iteration loop carries the flat layout unchanged."""
+    With per-layer buffers this is a pure reshape on every leaf (row
+    order s*B2 + b, matching the wavefront's CFG-doubled flat batch) —
+    no transpose traffic at all."""
     def ring(a):
-        s, l = a.shape[0], a.shape[1]
-        return a.swapaxes(0, 1).reshape(l, s * a.shape[2], *a.shape[3:])
-    convs = jax.tree.map(
-        lambda a: a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:]),
-        est["convs"])
-    return {"k": ring(est["k"]), "v": ring(est["v"]), "convs": convs}
+        return a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
+    convs = jax.tree.map(ring, est["convs"])
+    return {"k": tuple(ring(a) for a in est["k"]),
+            "v": tuple(ring(a) for a in est["v"]), "convs": convs}
 
 
 def est_cache_from_flat(flat: Dict, s_steps: int) -> Dict:
     """Inverse of est_cache_to_flat (wavefront exit -> canonical layout
     for the sequential prefill/finalize paths)."""
     def ring(a):
-        l = a.shape[0]
-        b2 = a.shape[1] // s_steps
-        return a.reshape(l, s_steps, b2, *a.shape[2:]).swapaxes(0, 1)
-    convs = jax.tree.map(
-        lambda a: a.reshape((s_steps, a.shape[0] // s_steps) + a.shape[1:]),
-        flat["convs"])
-    return {"k": ring(flat["k"]), "v": ring(flat["v"]), "convs": convs}
+        return a.reshape((s_steps, a.shape[0] // s_steps) + a.shape[1:])
+    convs = jax.tree.map(ring, flat["convs"])
+    return {"k": tuple(ring(a) for a in flat["k"]),
+            "v": tuple(ring(a) for a in flat["v"]), "convs": convs}
 
 
 class KVFlowWaveStep(nn.Module):
@@ -906,8 +914,10 @@ def init_kv_cache(cfg: FlowConfig, ring_tokens: int, batch: int = 1,
         else:
             convs.setdefault(name, {})[sub] = arr
     est = {
-        "k": jnp.zeros((steps, n_attn, b2, rf, inner), dtype),
-        "v": jnp.zeros((steps, n_attn, b2, rf, inner), dtype),
+        "k": tuple(jnp.zeros((steps, b2, rf, inner), dtype)
+                   for _ in range(n_attn)),
+        "v": tuple(jnp.zeros((steps, b2, rf, inner), dtype)
+                   for _ in range(n_attn)),
         "convs": convs,
     }
     return {"enc": enc, "est": est, "n_tok": jnp.zeros((), jnp.int32)}

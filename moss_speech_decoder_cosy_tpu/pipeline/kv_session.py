@@ -297,11 +297,12 @@ class KVStreamDecoder:
         rot = None
         if dus:
             from ..models.flow.kv_stream import rotate_rings
-            r = est["k"].shape[-2]
+            r = est["k"][0].shape[-2]
             rot = [((s * cf) % r) for s in range(s_steps)
                    for _ in range(2 * self.b)]
-            est = dict(est, k=rotate_rings(est["k"], rot),
-                       v=rotate_rings(est["v"], rot))
+            est = dict(est,
+                       k=tuple(rotate_rings(a, rot) for a in est["k"]),
+                       v=tuple(rotate_rings(a, rot) for a in est["v"]))
 
         def body(carry, w):
             x, mu_w, est_c, enc_c, n_tok = carry
@@ -333,8 +334,11 @@ class KVStreamDecoder:
         del x, mu_w
         if dus:
             from ..models.flow.kv_stream import rotate_rings
-            est = dict(est, k=rotate_rings(est["k"], rot, inverse=True),
-                       v=rotate_rings(est["v"], rot, inverse=True))
+            est = dict(est,
+                       k=tuple(rotate_rings(a, rot, inverse=True)
+                               for a in est["k"]),
+                       v=tuple(rotate_rings(a, rot, inverse=True)
+                               for a in est["v"]))
         return mels, est_cache_from_flat(est, s_steps), enc_cache, n_tok
 
     def _wave_step_impl(self, flow_params, token_buf, x, mu_w, est_c,
