@@ -1,0 +1,150 @@
+"""KV block-size quality ablation: how does the banded-mask deviation
+grow with the serving hop?
+
+The KV wavefront computes each frame ONCE under a banded chunk-causal
+mask; the deviation vs the reference's windowed re-decode
+(flow_inference.py:194-204) grows with the chunk granularity (a bigger
+hop = coarser causality boundary AND, under the serving default
+``ring_tokens = max_token_len - block_size``, a smaller left context).
+bench.py --block N measures the throughput side; this harness measures
+the quality side with the SAME session defaults, so the two tables in
+BENCH_NOTES.md line up.
+
+Protocol: 120-token stream after a 4-token prompt; reference = the
+windowed-semantics full forward (streaming=True, finalize=True —
+golden-exact vs the reference torch module per tests/test_golden_parity.py),
+KV = KVStreamDecoder mel at each block size.  Metrics: MCD (dB, DCT
+cepstra 1..12), per-mel-band relative error (max/mean), overall relative
+MAE — matching tests/test_kv_stream.py::test_kv_vs_windowed_deviation_
+quantified, including its weights: CONVERTED torch-init weights at the
+test's production topology when the reference checkout + torch are
+importable (raw ``flow.init`` random weights make the ODE dynamics so
+chaotic that windowed-vs-KV saturates at MCD ~6.9 regardless of hop —
+measured, see BENCH_NOTES — which says nothing about the hop trend).
+
+Run:  python -m moss_speech_decoder_cosy_tpu.bin.ablate_block [--cpu]
+      [--random-init] [block sizes...]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+
+def _mcd_db(a: np.ndarray, b: np.ndarray, k: int = 13) -> float:
+    from scipy.fftpack import dct
+    ca = dct(a, axis=-1, norm="ortho")[..., 1:k]
+    cb = dct(b, axis=-1, norm="ortho")[..., 1:k]
+    d = np.sqrt(2.0 * np.sum((ca - cb) ** 2, axis=-1))
+    return float(np.mean((10.0 / np.log(10)) * d))
+
+
+def main():
+    import jax
+    if "--cpu" in sys.argv:
+        # sitecustomize pre-sets JAX_PLATFORMS=axon; override after import
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from ..models.flow import CausalMaskedDiffWithXvec
+    from ..models.hift import HiFTGenerator
+    from ..pipeline import AudioDecoder
+    from ..utils.config import (moss_flow_config, moss_hift_config,
+                                PipelineConfig, CFMConfig)
+
+    blocks = [int(b) for b in sys.argv[1:] if b.isdigit()] or [5, 10, 15, 20]
+    p, n = 4, 120
+    hcfg = moss_hift_config()
+    hift = HiFTGenerator(hcfg)
+
+    cfg = params = None
+    weights = "random flow.init"
+    if "--random-init" not in sys.argv:
+        try:
+            # the golden suite's matched torch/flax pair (production
+            # topology, converted torch-init weights) — same protocol as
+            # test_kv_vs_windowed_deviation_quantified
+            here = __file__
+            import os
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(here)))), "tests"))
+            from test_golden_parity import _make_flow_pair
+            _, flow, params, cfg, _ = _make_flow_pair(
+                channels=(256,), macaron=False, use_cnn=False)
+            weights = "converted torch-init (test topology)"
+            print(f"# {weights}", file=sys.stderr, flush=True)
+        except Exception as e:  # torch / reference not importable
+            print(f"# torch pair unavailable ({e!r}); falling back to "
+                  "random init", file=sys.stderr, flush=True)
+    if cfg is None:
+        cfg = dataclasses.replace(
+            moss_flow_config(), cfm=CFMConfig(n_timesteps=10,
+                                              max_noise_len=4096))
+        flow = CausalMaskedDiffWithXvec(cfg)
+    r = cfg.token_mel_ratio
+
+    rng = np.random.RandomState(5)
+    tokens = rng.randint(0, cfg.vocab_size, (1, p + n)).astype(np.int32)
+    prompt_feat = rng.randn(1, p * r, cfg.output_size).astype(np.float32)
+    emb = rng.randn(1, cfg.spk_embed_dim).astype(np.float32)
+    valid = np.ones((1, p + n), bool)
+
+    print("# init params...", file=sys.stderr, flush=True)
+    if params is None:
+        params = jax.jit(flow.init)(
+            jax.random.PRNGKey(0), jnp.asarray(tokens), jnp.asarray(valid),
+            jnp.asarray(prompt_feat), jnp.asarray(emb))
+    hift_params = jax.jit(hift.init)(jax.random.PRNGKey(1),
+                                     jnp.zeros((1, 8, 80)))
+
+    print("# windowed-semantics golden (full forward)...", file=sys.stderr,
+          flush=True)
+    win = flow.apply(params, jnp.asarray(tokens), jnp.asarray(valid),
+                     jnp.asarray(prompt_feat), jnp.asarray(emb),
+                     streaming=True, finalize=True)
+    win = np.asarray(win, np.float32)[:, p * r:]
+    scale = float(np.mean(np.abs(win)))
+
+    out = {"protocol": f"p={p} n={n}, weights={weights}",
+           "mean_abs_golden": round(scale, 5), "blocks": {}}
+    for hop in blocks:
+        ring = PipelineConfig().max_token_len - hop   # serving default
+        pipe = PipelineConfig(block_size=hop, mel_cache_len=8,
+                              max_token_len=40)
+        dec = AudioDecoder(cfg, hcfg, params, hift_params, pipe)
+        kv = dec.kv_stream_decoder(tokens[:, :p], prompt_feat, emb,
+                                   block_size=hop, token_cap=p + n + 16)
+        print(f"# kv block={hop} ring={ring}...", file=sys.stderr,
+              flush=True)
+        # flow-side mel only (quality lives in the mel; HiFT is chunk-
+        # agnostic given the same mel)
+        cap = n + hop + kv.la + 1
+        buf = np.zeros((1, cap), np.int32)
+        buf[:, :n] = tokens[:, p:]
+        token_buf = jnp.asarray(buf)
+        cache, _ = kv.init_state()
+        cache = kv._prefill(dec.flow_params, token_buf, cache)
+        mel, _ = kv._flow_mels(token_buf, cache, kv.schedule(n))
+        inc = np.asarray(mel, np.float32)
+        assert inc.shape == win.shape, (inc.shape, win.shape)
+        band = (np.mean(np.abs(win - inc), axis=(0, 1))
+                / (np.mean(np.abs(win), axis=(0, 1)) + 1e-9))
+        out["blocks"][hop] = {
+            "ring_tokens": ring,
+            "mcd_db": round(_mcd_db(win, inc), 3),
+            "band_rel_max": round(float(band.max()), 4),
+            "band_rel_mean": round(float(band.mean()), 4),
+            "rel_mae": round(float(np.mean(np.abs(win - inc)) / scale), 4),
+        }
+        print(json.dumps({str(hop): out["blocks"][hop]}), file=sys.stderr,
+              flush=True)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
