@@ -110,15 +110,25 @@ def main():
     win = np.asarray(win, np.float32)[:, p * r:]
     scale = float(np.mean(np.abs(win)))
 
+    # --rings: sweep the ring (left-context) size at fixed block 5 instead
+    # of sweeping the hop at the serving-default ring — isolates how much
+    # of the deviation is bounded context vs chunk granularity
+    ring_sweep = None
+    if "--rings" in sys.argv:
+        ring_sweep = blocks or [35, 70, 105]
+        blocks = [5] * len(ring_sweep)
+
     out = {"protocol": f"p={p} n={n}, weights={weights}",
            "mean_abs_golden": round(scale, 5), "blocks": {}}
-    for hop in blocks:
-        ring = PipelineConfig().max_token_len - hop   # serving default
+    for bi, hop in enumerate(blocks):
+        ring = (ring_sweep[bi] if ring_sweep
+                else PipelineConfig().max_token_len - hop)  # serving default
         pipe = PipelineConfig(block_size=hop, mel_cache_len=8,
                               max_token_len=40)
         dec = AudioDecoder(cfg, hcfg, params, hift_params, pipe)
         kv = dec.kv_stream_decoder(tokens[:, :p], prompt_feat, emb,
-                                   block_size=hop, token_cap=p + n + 16)
+                                   block_size=hop, ring_tokens=ring,
+                                   token_cap=p + n + 16)
         print(f"# kv block={hop} ring={ring}...", file=sys.stderr,
               flush=True)
         # flow-side mel only (quality lives in the mel; HiFT is chunk-
@@ -134,14 +144,15 @@ def main():
         assert inc.shape == win.shape, (inc.shape, win.shape)
         band = (np.mean(np.abs(win - inc), axis=(0, 1))
                 / (np.mean(np.abs(win), axis=(0, 1)) + 1e-9))
-        out["blocks"][hop] = {
+        key = f"ring{ring}" if ring_sweep else hop
+        out["blocks"][key] = {
             "ring_tokens": ring,
             "mcd_db": round(_mcd_db(win, inc), 3),
             "band_rel_max": round(float(band.max()), 4),
             "band_rel_mean": round(float(band.mean()), 4),
             "rel_mae": round(float(np.mean(np.abs(win - inc)) / scale), 4),
         }
-        print(json.dumps({str(hop): out["blocks"][hop]}), file=sys.stderr,
+        print(json.dumps({str(key): out["blocks"][key]}), file=sys.stderr,
               flush=True)
     print(json.dumps(out, indent=2))
 

@@ -825,6 +825,130 @@ class CausalConditionalCFMWave(nn.Module):
                                             "convs": new_convs}
 
 
+class CausalConditionalCFMWaveLanes(nn.Module):
+    """Per-lane (continuous-batching) variant of CausalConditionalCFMWave.
+
+    CausalConditionalCFMWave advances ONE stream: iteration w holds chunk
+    w-s at ODE slot s for every batch row (lockstep).  Here each LANE is an
+    independent stream at its own position: lane l has entered ``w[l]``
+    chunks, advances only while ``w[l] < avail_iters[l]`` (new encoder
+    chunks available, or drain after finish), and stalls frozen otherwise
+    (rings unwritten, x/mu unshifted, counter unmoved).  Because the
+    estimator's attention has no positional term and every flat batch row
+    (s, cfg, lane) attends only within its own ring rows, lanes at
+    arbitrary positions batch into ONE estimator forward — the audio
+    analogue of continuous LLM batching (serving/lm_server.py).
+
+    Geometry per call:
+      x_wave/mu_wave (S, lanes, Cf, d); mu_buf (lanes, cap, Cf, d) device-
+      resident encoder outputs, chunk w of lane l at mu_buf[l, w % cap];
+      w/avail_iters/k_total/base_frames (lanes,) i32.  est cache in the
+      flat per-layer layout, rows ordered (s, cfg, lane).  Ring writes are
+      one-hot RMW only (per-lane offsets never coincide, so the shared-
+      offset DUS scheme does not apply).
+
+    Returns (exit_mel (lanes, Cf, d) f32, exit_valid (lanes,) bool,
+    x_shift, mu_shift, new est cache, w+advance)."""
+
+    cfg: CFMConfig
+    estimator_cfg: EstimatorConfig
+
+    def setup(self):
+        self.estimator = EstimatorStep(self.estimator_cfg, name="estimator")
+
+    def __call__(self, x_wave, mu_wave, mu_buf, spks, est_cache, w,
+                 avail_iters, k_total, base_frames):
+        c = self.cfg
+        s_steps, lanes, cf, d = x_wave.shape
+        cap = mu_buf.shape[1]
+        cd = (jnp.dtype(c.estimator_dtype) if c.estimator_dtype
+              else mu_wave.dtype)
+
+        advance = w < avail_iters                            # (lanes,)
+        mu_new = mu_buf[jnp.arange(lanes), jnp.clip(w, 0, None) % cap]
+        mu_wave = jnp.where(
+            advance[None, :, None, None],
+            jnp.concatenate([mu_new[None].astype(cd),
+                             mu_wave[:-1].astype(cd)], axis=0),
+            mu_wave.astype(cd))
+
+        if c.t_scheduler == "cosine":
+            t_span = t_span_cosine(c.n_timesteps)
+        else:
+            t_span = np.linspace(0, 1, c.n_timesteps + 1, dtype=np.float32)
+        t_cur = jnp.asarray(t_span[:-1], x_wave.dtype)       # (S,)
+        dts = jnp.asarray(np.diff(t_span), x_wave.dtype)
+
+        h_idx = w[None, :] - jnp.arange(s_steps)[:, None]    # (S, lanes)
+        valid = (h_idx >= 0) & (h_idx < k_total[None, :]) & advance[None, :]
+        n_dones = base_frames[None, :] + jnp.maximum(h_idx, 0) * cf
+
+        def flat(a):                                         # (S,lanes,C,D)
+            a2 = jnp.stack([a, jnp.zeros_like(a)], axis=1)   # (S,2,lanes,..)
+            return a2.reshape(s_steps * 2 * lanes, cf, d)
+
+        mu_in = flat(mu_wave)
+        cond_in = jnp.zeros_like(mu_in)
+        x_in = jnp.stack([x_wave, x_wave], axis=1).reshape(
+            s_steps * 2 * lanes, cf, d).astype(cd)
+        spks_in = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
+        spks_in = jnp.tile(spks_in, (s_steps, 1)).astype(cd)
+        t_in = jnp.repeat(t_cur, 2 * lanes).astype(cd)
+        nd_in = jnp.tile(n_dones[:, None, :], (1, 2, 1)).reshape(-1)
+
+        flat_rings = {"k": est_cache["k"], "v": est_cache["v"]}
+        flat_convs = est_cache["convs"]
+
+        dphi, ck, cv, new_convs = self.estimator(
+            x_in, mu_in, t_in, spks_in, cond_in, flat_rings, flat_convs,
+            nd_in)
+
+        rate = jnp.asarray(c.inference_cfg_rate, x_wave.dtype)
+        dphi = dphi.reshape(s_steps, 2, lanes, cf, d).astype(x_wave.dtype)
+        dphi = (1.0 + rate) * dphi[:, 0] - rate * dphi[:, 1]
+        x_next = x_wave + dts[:, None, None, None] * dphi    # (S,lanes,C,D)
+
+        en = jnp.tile(valid[:, None, :], (1, 2, 1)).reshape(-1)
+        new_k = tuple(ring_write_batched(r_, c_, nd_in, enable=en)
+                      for r_, c_ in zip(flat_rings["k"], ck))
+        new_v = tuple(ring_write_batched(r_, c_, nd_in, enable=en)
+                      for r_, c_ in zip(flat_rings["v"], cv))
+        new_convs = jax.tree.map(
+            lambda old, new: jnp.where(en[:, None, None],
+                                       new.astype(old.dtype), old),
+            flat_convs, new_convs)
+
+        exit_mel = x_next[-1].astype(jnp.float32)            # (lanes, C, D)
+        exit_valid = valid[-1]                               # (lanes,)
+
+        # fresh noise chunk enters slot 0 next tick (per-lane offset)
+        noise = jnp.asarray(_fixed_noise(c.max_noise_len, d))[0]
+        n_enter = base_frames + jnp.clip(w + 1, 0, None) * cf
+        n_enter = jnp.minimum(n_enter, noise.shape[0] - cf)
+        z = jax.vmap(lambda off: jax.lax.dynamic_slice(
+            noise, (off, 0), (cf, d)))(n_enter).astype(x_wave.dtype)
+        x_shift = jnp.where(
+            advance[None, :, None, None],
+            jnp.concatenate([z[None], x_next[:-1]], axis=0), x_wave)
+        return (exit_mel, exit_valid, x_shift, mu_wave,
+                {"k": new_k, "v": new_v, "convs": new_convs},
+                w + advance.astype(w.dtype))
+
+
+class KVLaneWaveStep(nn.Module):
+    """Param-tree wrapper: CausalConditionalCFMWaveLanes under
+    ``decoder/estimator`` (same params as the full flow module)."""
+
+    cfg: FlowConfig
+
+    def setup(self):
+        self.decoder = CausalConditionalCFMWaveLanes(
+            self.cfg.cfm, self.cfg.estimator, name="decoder")
+
+    def __call__(self, *args, **kwargs):
+        return self.decoder(*args, **kwargs)
+
+
 def est_cache_to_flat(est: Dict) -> Dict:
     """Canonical est cache {"k"/"v": tuple of L (S, B2, R, d) arrays,
     "convs": {name: (S, B2, 2, ch)}} -> the wavefront's flat layout

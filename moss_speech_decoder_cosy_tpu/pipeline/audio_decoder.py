@@ -227,6 +227,20 @@ class AudioDecoder:
                                hop, ring_tokens=ring_tokens,
                                token_cap=token_cap, batch=batch)
 
+    def kv_batcher(self, n_lanes: int = 4,
+                   block_size: Optional[int] = None,
+                   ring_tokens: Optional[int] = None,
+                   token_cap: int = 1024):
+        """Continuous-batching KV decoder (pipeline/kv_batcher.py): a fixed
+        pool of lanes shares one batched estimator wavefront; streams are
+        admitted/finished at arbitrary times (the serving counterpart of
+        the lockstep ``kv_stream_decoder(batch=N)``)."""
+        from .kv_batcher import KVContinuousBatcher
+        return KVContinuousBatcher(self, n_lanes=n_lanes,
+                                   block_size=block_size,
+                                   ring_tokens=ring_tokens,
+                                   token_cap=token_cap)
+
 
 class StreamSession:
     """Incremental token -> wav-chunk session.

@@ -1,0 +1,475 @@
+"""Continuous-batching KV flow decoding (slot-pool audio serving).
+
+The lockstep batched KV session (pipeline/kv_session.py, batch=N) requires
+all N streams to start together and advance in step — fine for offline
+fan-out, wrong for a server where requests arrive and finish at arbitrary
+times.  This module is the audio analogue of the LM continuous batcher
+(serving/lm_server.py): a fixed pool of LANES shares one batched estimator
+wavefront; a lane is admitted (prompt prefilled, cache rows scattered in)
+at any time, advances only while it has encoder chunks available, stalls
+frozen otherwise, drains on finish, and is recycled.  The reference's
+serving answer is one uuid-keyed session dict with per-request GPU work
+(cosyvoice/cli/model.py:60-65); here N concurrent streams cost ONE
+wavefront dispatch per tick regardless of their phases.
+
+Design facts making this correct (models/flow/kv_stream.py):
+- the estimator attention has no positional term; each flat batch row
+  (ODE-step s, CFG half, lane) attends only within its own KV ring rows,
+  so lanes at different stream positions batch into one forward;
+- ring writes take per-row positions + enable masks (ring_write_batched),
+  so stalled/invalid lanes keep their rings untouched;
+- encoders ARE position-dependent (rel-pos tables), so encoder hops run
+  per lane (cheap: ~0.8 ms/hop, one hop per 400 ms of audio per lane)
+  into a device-resident per-lane mu buffer the wavefront reads by index.
+
+Host<->device traffic: one token upload per push, one burst scan + one
+emission fetch per pump — bounded per BURST, not per lane or per tick
+(this environment's relay makes per-tick sync prohibitive; production
+attach makes it cheap — BENCH_NOTES.md).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.flow.cfm import _fixed_noise
+from ..models.flow.kv_stream import (KVFlowStep, KVFlowEncodeStep,
+                                     KVLaneWaveStep, init_kv_cache,
+                                     pe_tables, est_cache_to_flat)
+from .kv_session import KVVocState
+
+
+def _flat_view(a, lanes: int):
+    """(S*2*lanes, ...) flat ring leaf -> (S, 2, lanes, ...) lane view."""
+    s2 = a.shape[0] // lanes
+    return a.reshape((s2 // 2, 2, lanes) + a.shape[1:])
+
+
+class _Lane:
+    __slots__ = ("active", "prompt_len", "n_tok", "tokens", "n_pushed",
+                 "enc_cache", "voc", "finished", "k_total", "w_emitted",
+                 "chunks_encoded", "first_voc", "out", "emb_raw",
+                 "ptok", "pfeat", "prefilled")
+
+    def __init__(self):
+        self.active = False
+
+
+class KVContinuousBatcher:
+    """Fixed-lane continuous batcher over one AudioDecoder's params.
+
+    Protocol per lane: ``admit(prompt...) -> lane``, ``push(lane, tokens)``
+    any number of times, ``finish(lane)``, then keep calling ``pump()``
+    until the lane's stream ends (pump returns its final chunks and frees
+    the lane).  ``pump(max_iters)`` advances every active lane by up to
+    ``max_iters`` wavefront ticks and returns {lane: float32 wav chunk}.
+    """
+
+    def __init__(self, dec, n_lanes: int = 4,
+                 block_size: Optional[int] = None,
+                 ring_tokens: Optional[int] = None,
+                 token_cap: int = 1024):
+        self.dec = dec
+        self.lanes = n_lanes
+        self.hop = block_size or dec.pipe_cfg.block_size
+        self.ring_tokens = (ring_tokens if ring_tokens is not None
+                            else dec.pipe_cfg.max_token_len - self.hop)
+        self.la = dec.lookahead
+        self.ratio = dec.ratio
+        self.cap = token_cap
+        cfg = dec.flow_cfg
+        self.cfg = cfg
+        self.n_mel = cfg.output_size
+        self.cf = self.hop * self.ratio
+        self.s_steps = cfg.cfm.n_timesteps
+        self.mel_cache_len = dec.pipe_cfg.mel_cache_len
+        self.scl = dec.source_cache_len
+        dt = dec.compute_dtype or jnp.float32
+        self.dt = dt
+        self.est_dt = getattr(dec, "estimator_dtype", None) or dt
+        self.sd = (jnp.float32 if cfg.cfm.solver_dtype == "float32"
+                   else dt)
+
+        pe_tok, pe_mel = pe_tables(cfg, token_cap + 64)
+        self._pe_tok, self._pe_mel = pe_tok, pe_mel
+        win = np.hamming(2 * self.scl).astype(np.float32)
+        self._fade_in = jnp.asarray(win[: self.scl])
+        self._fade_out = jnp.asarray(win[self.scl:])
+
+        self._kv = KVFlowStep(cfg)                 # per-lane prefill (b=1)
+        self._enc_model = KVFlowEncodeStep(cfg)
+        self._wave_model = KVLaneWaveStep(cfg)
+
+        self._prefill = jax.jit(self._prefill_impl)
+        self._enc_hops = jax.jit(self._enc_hops_impl,
+                                 static_argnames=("n_hops",))
+        self._burst = jax.jit(self._burst_impl, static_argnames=("n_iters",))
+        self._admit_scatter = jax.jit(self._admit_scatter_impl)
+        self._lane_slice = jax.jit(self._lane_slice_impl)
+        self._lane_clear = jax.jit(self._lane_clear_impl)
+        self._voc = jax.jit(self._voc_impl,
+                            static_argnames=("first", "finalize"))
+        self._spk = jax.jit(
+            lambda p, e: self._enc_model.apply(p, e,
+                                               method=self._enc_model.spk))
+
+        # ---------------- device-resident shared state -------------------
+        # per-lane flat est rings (rows (s, cfg, lane)); x/mu wavefront;
+        # per-lane mu chunk buffer; per-lane counters as device arrays
+        est = init_kv_cache(cfg, self.ring_tokens, batch=n_lanes,
+                            dtype=dt, est_dtype=self.est_dt)["est"]
+        self._est = est_cache_to_flat(est)
+        self._x = jnp.zeros((self.s_steps, n_lanes, self.cf, self.n_mel),
+                            self.sd)
+        self._mu = jnp.zeros((self.s_steps, n_lanes, self.cf, self.n_mel),
+                             self.est_dt)
+        self.mu_cap = max(2 * self.s_steps,
+                          (token_cap + self.hop - 1) // self.hop + 2)
+        self._mu_buf = jnp.zeros((n_lanes, self.mu_cap, self.cf,
+                                  self.n_mel), self.est_dt)
+        self._w = jnp.zeros((n_lanes,), jnp.int32)
+        self._spks = jnp.zeros((n_lanes, self.n_mel), dt)
+        self._base = jnp.zeros((n_lanes,), jnp.int32)
+        self._token_buf = jnp.zeros((n_lanes, token_cap + self.hop
+                                     + self.la + 1), jnp.int32)
+        self._lanes: List[_Lane] = [_Lane() for _ in range(n_lanes)]
+
+    # ------------------------------------------------------------ jits
+    def _prefill_impl(self, flow_params, prompt_tok, ctx, prompt_feat,
+                      emb):
+        cache = init_kv_cache(self.cfg, self.ring_tokens, batch=1,
+                              dtype=self.dt, est_dtype=self.est_dt)
+        _, cache = self._kv.apply(flow_params, prompt_tok, ctx,
+                                  prompt_feat, emb, cache,
+                                  self._pe_tok, self._pe_mel,
+                                  finalize=False)
+        return cache
+
+    def _admit_scatter_impl(self, est, x, mu_buf, w, spks, base,
+                            lane_est, lane_spk, lane, lane_base):
+        """Scatter a freshly prefilled lane's est cache + wavefront slots
+        into the shared pools at lane index ``lane`` (device scalar)."""
+        lane_flat = est_cache_to_flat(lane_est)
+
+        def put_ring(pool, single):
+            v = _flat_view(pool, self.lanes)
+            s = _flat_view(single, 1)
+            return jax.lax.dynamic_update_slice(
+                v, s.astype(v.dtype), (0, 0, lane) + (0,) * (v.ndim - 3)
+            ).reshape(pool.shape)
+
+        est = {
+            "k": tuple(put_ring(p, s)
+                       for p, s in zip(est["k"], lane_flat["k"])),
+            "v": tuple(put_ring(p, s)
+                       for p, s in zip(est["v"], lane_flat["v"])),
+            "convs": jax.tree.map(lambda p, s: put_ring(p, s),
+                                  est["convs"], lane_flat["convs"]),
+        }
+        # x slot 0 <- deterministic noise at the lane's base offset;
+        # other slots zero for this lane
+        noise = jnp.asarray(_fixed_noise(self.cfg.cfm.max_noise_len,
+                                         self.n_mel))[0]
+        z = jax.lax.dynamic_slice(noise, (lane_base, 0),
+                                  (self.cf, self.n_mel)).astype(x.dtype)
+        lane_x = jnp.zeros((self.s_steps, 1, self.cf, self.n_mel), x.dtype)
+        lane_x = lane_x.at[0, 0].set(z)
+        x = jax.lax.dynamic_update_slice(x, lane_x, (0, lane, 0, 0))
+        mu_buf = jax.lax.dynamic_update_slice(
+            mu_buf, jnp.zeros((1,) + mu_buf.shape[1:], mu_buf.dtype),
+            (lane, 0, 0, 0))
+        w = w.at[lane].set(0)
+        spks = jax.lax.dynamic_update_slice(spks, lane_spk.astype(spks.dtype),
+                                            (lane, 0))
+        base = base.at[lane].set(lane_base)
+        return est, x, mu_buf, w, spks, base
+
+    def _enc_hops_impl(self, flow_params, token_buf, enc_cache, mu_buf,
+                       n_tok, p_len, lane, n_hops: int):
+        """Run ``n_hops`` encoder hops for one lane (lax.scan), writing mu
+        chunks into the lane's mu ring at their chunk indices."""
+
+        def body(carry, _):
+            enc_c, mu_b, nt = carry
+            off = nt - p_len
+            chunk = jax.lax.dynamic_slice(token_buf, (lane, off),
+                                          (1, self.hop))
+            ctx = jax.lax.dynamic_slice(token_buf, (lane, off + self.hop),
+                                        (1, self.la))
+            mu, enc_c = self._enc_model.apply(
+                flow_params, chunk, ctx, enc_c, nt,
+                self._pe_tok, self._pe_mel, finalize=False)
+            k_idx = (nt - p_len) // self.hop
+            mu_b = jax.lax.dynamic_update_slice(
+                mu_b, mu[None].astype(mu_b.dtype),
+                (lane, k_idx % self.mu_cap, 0, 0))
+            return (enc_c, mu_b, nt + self.hop), None
+
+        (enc_cache, mu_buf, n_tok), _ = jax.lax.scan(
+            body, (enc_cache, mu_buf, n_tok), None, length=n_hops)
+        return enc_cache, mu_buf, n_tok
+
+    def _burst_impl(self, flow_params, x, mu_w, mu_buf, spks, est, w,
+                    avail_iters, k_total, base, n_iters: int):
+        """n_iters wavefront ticks in one lax.scan; returns per-tick
+        (mels (n_iters, lanes, Cf, n_mel), valid (n_iters, lanes)).
+        ``base`` is already in mel FRAMES (prompt_len * ratio, set at
+        admit time)."""
+
+        def body(carry, _):
+            x, mu_w, est_c, w = carry
+            mel, ok, x, mu_w, est_c, w = self._wave_model.apply(
+                flow_params, x, mu_w, mu_buf, spks, est_c, w,
+                avail_iters, k_total, base)
+            return (x, mu_w, est_c, w), (mel, ok)
+
+        (x, mu_w, est, w), (mels, oks) = jax.lax.scan(
+            body, (x, mu_w, est, w), None, length=n_iters)
+        return x, mu_w, est, w, mels, oks
+
+    def _lane_slice_impl(self, est, lane):
+        """Extract one lane's est cache (canonical b=1 layout) for the
+        sequential finalize hop."""
+        def take(pool):
+            v = _flat_view(pool, self.lanes)
+            s = jax.lax.dynamic_slice(
+                v, (0, 0, lane) + (0,) * (v.ndim - 3),
+                v.shape[:2] + (1,) + v.shape[3:])
+            return s.reshape((v.shape[0], 2) + pool.shape[1:])
+        return {"k": tuple(take(p) for p in est["k"]),
+                "v": tuple(take(p) for p in est["v"]),
+                "convs": jax.tree.map(take, est["convs"])}
+
+    def _lane_clear_impl(self, est, lane):
+        def clear(pool):
+            v = _flat_view(pool, self.lanes)
+            z = jnp.zeros(v.shape[:2] + (1,) + v.shape[3:], v.dtype)
+            return jax.lax.dynamic_update_slice(
+                v, z, (0, 0, lane) + (0,) * (v.ndim - 3)).reshape(pool.shape)
+        return {"k": tuple(clear(p) for p in est["k"]),
+                "v": tuple(clear(p) for p in est["v"]),
+                "convs": jax.tree.map(clear, est["convs"])}
+
+    def _voc_impl(self, hift_params, emit_mel, voc: KVVocState,
+                  first: bool, finalize: bool):
+        d = self.dec
+        dt = self.dt
+        if first:
+            mel_in = emit_mel
+            cache_source = jnp.zeros((emit_mel.shape[0], 0, 1), dt)
+        else:
+            mel_in = jnp.concatenate(
+                [voc.mel_cache.astype(emit_mel.dtype), emit_mel], axis=1)
+            cache_source = voc.source_cache.astype(dt)
+        wav, source = d.hift.apply(hift_params, mel_in.astype(dt),
+                                   cache_source, jax.random.PRNGKey(0))
+        if not first:
+            head = (wav[:, : self.scl] * self._fade_in
+                    + voc.speech_cache * self._fade_out)
+            wav = jnp.concatenate([head, wav[:, self.scl:]], axis=1)
+        if finalize:
+            return wav, voc
+        emit = wav[:, : wav.shape[1] - self.scl]
+        new_voc = KVVocState(
+            mel_cache=mel_in[:, mel_in.shape[1] - self.mel_cache_len:]
+            .astype(jnp.float32),
+            source_cache=source[:, source.shape[1] - self.scl:]
+            .astype(jnp.float32),
+            speech_cache=wav[:, wav.shape[1] - self.scl:]
+            .astype(jnp.float32),
+        )
+        return emit, new_voc
+
+    # ------------------------------------------------------------ lifecycle
+    def admit(self, prompt_token: np.ndarray, prompt_feat: np.ndarray,
+              embedding: np.ndarray) -> int:
+        """Claim a free lane for a new stream; returns the lane id.  The
+        prompt prefill itself is deferred until the first ``la`` stream
+        tokens arrive — the prompt's pre-lookahead conv consumes them as
+        context (exactly the sequential KVStreamDecoder prefill contract,
+        kv_session.py::_prefill_impl)."""
+        lane = next((i for i, l in enumerate(self._lanes) if not l.active),
+                    None)
+        if lane is None:
+            raise RuntimeError("no free lane")
+        st = self._lanes[lane]
+        p = int(prompt_token.shape[1])
+        st.active = True
+        st.prompt_len = p
+        st.n_tok = p
+        st.tokens = np.zeros((self.cap,), np.int32)
+        st.n_pushed = 0
+        st.finished = False
+        st.k_total = None
+        st.chunks_encoded = 0
+        st.w_emitted = 0
+        st.first_voc = True
+        st.prefilled = False
+        st.out = []
+        st.ptok = jnp.asarray(prompt_token, jnp.int32)
+        st.pfeat = jnp.asarray(prompt_feat).astype(self.dt)
+        st.emb_raw = jnp.asarray(embedding).astype(self.dt)
+        st.voc = KVVocState(
+            mel_cache=jnp.zeros((1, self.mel_cache_len, self.n_mel)),
+            source_cache=jnp.zeros((1, self.scl, 1)),
+            speech_cache=jnp.zeros((1, self.scl)),
+        )
+        return lane
+
+    def _maybe_prefill(self, lane: int, st: _Lane) -> None:
+        """Run the deferred prompt prefill once >= la stream tokens (or
+        finish) arrived, and scatter the lane state into the pools."""
+        if st.prefilled:
+            return
+        if st.n_pushed < self.la and not st.finished:
+            return
+        if st.prompt_len:
+            ctx = jnp.asarray(st.tokens[: self.la][None], jnp.int32)
+            cache = self._prefill(self.dec.flow_params, st.ptok, ctx,
+                                  st.pfeat, st.emb_raw)
+        else:
+            cache = init_kv_cache(self.cfg, self.ring_tokens, batch=1,
+                                  dtype=self.dt, est_dtype=self.est_dt)
+        st.enc_cache = cache["enc"]
+        lane_spk = self._spk(self.dec.flow_params, st.emb_raw)
+        (self._est, self._x, self._mu_buf, self._w, self._spks,
+         self._base) = self._admit_scatter(
+            self._est, self._x, self._mu_buf, self._w, self._spks,
+            self._base, cache["est"], lane_spk,
+            jnp.asarray(lane, jnp.int32),
+            jnp.asarray(st.prompt_len * self.ratio, jnp.int32))
+        # zero this lane's mu wavefront rows
+        self._mu = self._mu.at[:, lane].set(0.0)
+        st.prefilled = True
+
+    def push(self, lane: int, tokens: np.ndarray) -> None:
+        st = self._lanes[lane]
+        assert st.active and not st.finished
+        tokens = np.asarray(tokens).reshape(-1).astype(np.int32)
+        n0 = st.n_pushed
+        assert n0 + len(tokens) <= self.cap, "token_cap exceeded"
+        st.tokens[n0: n0 + len(tokens)] = tokens
+        st.n_pushed = n0 + len(tokens)
+        self._token_buf = jax.lax.dynamic_update_slice(
+            self._token_buf, jnp.asarray(tokens)[None],
+            (jnp.asarray(lane), jnp.asarray(n0)))
+
+    def finish(self, lane: int) -> None:
+        st = self._lanes[lane]
+        assert st.active and not st.finished
+        st.finished = True
+        st.k_total = max(0, (st.n_pushed - self.la) // self.hop)
+
+    # ------------------------------------------------------------ pump
+    def _encode_available(self) -> None:
+        """Per-lane encoder hops for every newly encodable chunk."""
+        for lane, st in enumerate(self._lanes):
+            if not st.active:
+                continue
+            self._maybe_prefill(lane, st)
+            if not st.prefilled:
+                continue
+            if st.finished:
+                encodable = st.k_total
+            else:
+                encodable = max(0, (st.n_pushed - self.la) // self.hop)
+            n_new = encodable - st.chunks_encoded
+            if n_new <= 0:
+                continue
+            assert st.chunks_encoded + n_new <= self.mu_cap - self.s_steps,\
+                "mu ring overrun (pump more often or raise token_cap)"
+            nt = jnp.asarray(st.n_tok, jnp.int32)
+            done = 0
+            for bucket in (8, 4, 1):
+                while n_new - done >= bucket:
+                    st.enc_cache, self._mu_buf, nt = self._enc_hops(
+                        self.dec.flow_params, self._token_buf,
+                        st.enc_cache, self._mu_buf, nt, st.prompt_len,
+                        jnp.asarray(lane, jnp.int32), n_hops=bucket)
+                    done += bucket
+            st.n_tok += n_new * self.hop
+            st.chunks_encoded = encodable
+
+    def pump(self, max_iters: int = 8) -> Dict[int, np.ndarray]:
+        """Advance all lanes by up to ``max_iters`` wavefront ticks; returns
+        {lane: wav float32 (1, samples)} for lanes that emitted audio.
+        Frees lanes whose stream fully drained (their last chunk includes
+        the finalize tail)."""
+        self._encode_available()
+        avail = np.zeros((self.lanes,), np.int32)
+        k_tot = np.full((self.lanes,), 1 << 30, np.int32)
+        any_active = False
+        for lane, st in enumerate(self._lanes):
+            if not st.active or not st.prefilled:
+                continue
+            any_active = True
+            if st.finished:
+                avail[lane] = st.k_total + self.s_steps - 1  # drain
+                k_tot[lane] = st.k_total
+            else:
+                avail[lane] = st.chunks_encoded
+        if not any_active:
+            return {}
+
+        (self._x, self._mu, self._est, self._w, mels, oks) = self._burst(
+            self.dec.flow_params, self._x, self._mu, self._mu_buf,
+            self._spks, self._est, self._w,
+            jnp.asarray(avail), jnp.asarray(k_tot), self._base,
+            n_iters=max_iters)
+        oks_np = np.asarray(oks)                        # (iters, lanes)
+        out: Dict[int, np.ndarray] = {}
+        for lane, st in enumerate(self._lanes):
+            if not st.active:
+                continue
+            idx = np.nonzero(oks_np[:, lane])[0]
+            segs = []
+            for i in idx:
+                mel = mels[i, lane][None]               # (1, Cf, n_mel)
+                seg, st.voc = self._voc(self.dec.hift_params, mel, st.voc,
+                                        first=st.first_voc, finalize=False)
+                st.first_voc = False
+                segs.append(seg)
+                st.w_emitted += 1
+            # drained? run the finalize tail and free the lane
+            if (st.finished and st.k_total is not None
+                    and st.w_emitted >= st.k_total):
+                segs.extend(self._finalize_lane(lane, st))
+                st.active = False
+            if segs:
+                out[lane] = np.concatenate(
+                    [np.asarray(s, np.float32) for s in segs], axis=1)
+        return out
+
+    def _finalize_lane(self, lane: int, st: _Lane) -> List[jnp.ndarray]:
+        """Tail tokens (< hop + la) through the sequential KV step with
+        finalize semantics, using the lane's sliced-out est cache."""
+        tail = st.n_pushed - st.k_total * self.hop
+        segs = []
+        if tail > 0:
+            est1 = self._lane_slice(self._est,
+                                    jnp.asarray(lane, jnp.int32))
+            cache = {"enc": st.enc_cache, "est": est1,
+                     "n_tok": jnp.asarray(st.n_tok, jnp.int32)}
+            off = st.k_total * self.hop
+            chunk = jnp.asarray(
+                st.tokens[off: off + tail][None], jnp.int32)
+            ctx = jnp.zeros((1, self.la), jnp.int32)
+            cond = jnp.zeros((1, tail * self.ratio, self.n_mel), self.dt)
+            mel, _ = self._kv.apply(
+                self.dec.flow_params, chunk, ctx, cond, st.emb_raw, cache,
+                self._pe_tok, self._pe_mel, finalize=True)
+            seg, st.voc = self._voc(self.dec.hift_params, mel, st.voc,
+                                    first=st.first_voc, finalize=True)
+            st.first_voc = False
+            segs.append(seg)
+        self._est = self._lane_clear(self._est,
+                                     jnp.asarray(lane, jnp.int32))
+        return segs
+
+    @property
+    def free_lanes(self) -> int:
+        return sum(1 for l in self._lanes if not l.active)

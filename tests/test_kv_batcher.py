@@ -1,0 +1,152 @@
+"""Continuous-batching KV flow decoder (pipeline/kv_batcher.py): lanes
+admitted/pushed/finished at arbitrary times must produce EXACTLY the same
+audio as independent per-stream KVStreamDecoder sessions — the audio
+analogue of serving/lm_server.py's batcher-equals-generate test."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from moss_speech_decoder_cosy_tpu.models.flow import CausalMaskedDiffWithXvec
+from moss_speech_decoder_cosy_tpu.models.hift import HiFTGenerator
+from moss_speech_decoder_cosy_tpu.pipeline import AudioDecoder
+from moss_speech_decoder_cosy_tpu.utils.config import (
+    tiny_flow_config, tiny_hift_config, PipelineConfig, CFMConfig)
+
+import dataclasses
+import jax
+
+
+@pytest.fixture(scope="module")
+def dec():
+    cfg = dataclasses.replace(
+        tiny_flow_config(),
+        cfm=CFMConfig(n_timesteps=3, max_noise_len=2048))
+    hcfg = tiny_hift_config()
+    flow = CausalMaskedDiffWithXvec(cfg)
+    hift = HiFTGenerator(hcfg)
+    rng = np.random.RandomState(0)
+    tok0 = jnp.zeros((1, 8), jnp.int32)
+    params = jax.jit(flow.init)(
+        jax.random.PRNGKey(0), tok0, jnp.ones((1, 8), bool),
+        jnp.zeros((1, 0, cfg.output_size)),
+        jnp.zeros((1, cfg.spk_embed_dim)))
+    hift_params = jax.jit(hift.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, 8, cfg.output_size)))
+    pipe = PipelineConfig(block_size=2, mel_cache_len=2, max_token_len=9)
+    del rng
+    return AudioDecoder(cfg, hcfg, params, hift_params, pipe)
+
+
+def _stream(dec, prompt_token, prompt_feat, emb, tokens, hop, ring):
+    """Reference: one independent sequential KV session, per-hop vocoding
+    (the batcher vocodes per hop, so compare against bulk_voc=False)."""
+    kv = dec.kv_stream_decoder(prompt_token, prompt_feat, emb,
+                               block_size=hop, ring_tokens=ring,
+                               token_cap=128)
+    return kv.stream_decode(tokens, bulk_voc=False)
+
+
+def _mk_stream(dec, rng, n_prompt, n_tokens):
+    cfg = dec.flow_cfg
+    r = cfg.token_mel_ratio
+    ptok = rng.randint(0, cfg.vocab_size, (1, n_prompt)).astype(np.int32)
+    pfeat = rng.randn(1, n_prompt * r, cfg.output_size).astype(np.float32)
+    emb = rng.randn(1, cfg.spk_embed_dim).astype(np.float32)
+    toks = rng.randint(0, cfg.vocab_size, (1, n_tokens)).astype(np.int32)
+    return ptok, pfeat, emb, toks
+
+
+def _drain(b, lane, chunks):
+    """Pump until the lane frees, collecting its chunks."""
+    for _ in range(64):
+        out = b.pump(max_iters=4)
+        for k, v in out.items():
+            chunks.setdefault(k, []).append(v)
+        if not b._lanes[lane].active:
+            return
+    raise AssertionError("lane never drained")
+
+
+def test_staggered_lanes_match_independent_sessions(dec):
+    rng = np.random.RandomState(7)
+    # ring NOT a multiple of hop: the sequential reference session then
+    # uses the same one-hot ring writes as the lanes wavefront (with
+    # ring % hop == 0 it silently switches to rotated-DUS writes, which
+    # are only reassociation-equal — the ODE amplifies that to ~1e-4)
+    hop, ring = 2, 7
+    A = _mk_stream(dec, rng, 3, 17)
+    B = _mk_stream(dec, rng, 2, 11)
+    C = _mk_stream(dec, rng, 4, 9)
+
+    b = dec.kv_batcher(n_lanes=2, block_size=hop, ring_tokens=ring,
+                       token_cap=64)
+    chunks = {}
+
+    la = b.admit(A[0], A[1], A[2])
+    b.push(la, A[3][0, :5])
+    out = b.pump(max_iters=2)
+    for k, v in out.items():
+        chunks.setdefault(k, []).append(v)
+
+    lb = b.admit(B[0], B[1], B[2])          # admit B mid-stream of A
+    b.push(lb, B[3][0, :4])
+    b.push(la, A[3][0, 5:])
+    b.finish(la)
+    out = b.pump(max_iters=3)
+    for k, v in out.items():
+        chunks.setdefault(k, []).append(v)
+
+    b.push(lb, B[3][0, 4:])
+    b.finish(lb)
+    _drain(b, la, chunks)
+    _drain(b, lb, chunks)
+    assert b.free_lanes == 2
+
+    # lane reuse: admit C into the freed pool (gets a recycled lane id, so
+    # collect its chunks separately from A's)
+    lc = b.admit(C[0], C[1], C[2])
+    assert lc in (la, lb)
+    chunks_c = {}
+    b.push(lc, C[3])
+    b.finish(lc)
+    _drain(b, lc, chunks_c)
+
+    for bucket, lane, (ptok, pfeat, emb, toks) in (
+            (chunks, la, A), (chunks, lb, B), (chunks_c, lc, C)):
+        got = np.concatenate(bucket[lane], axis=1)
+        want = _stream(dec, ptok, pfeat, emb, toks, hop, ring)
+        assert got.shape == want.shape, (lane, got.shape, want.shape)
+        np.testing.assert_allclose(got, want, atol=2e-5,
+                                   err_msg=f"lane {lane}")
+
+
+def test_promptless_and_short_stream(dec):
+    """A lane with no prompt, and a stream shorter than hop+lookahead
+    (finalize-only, zero steady chunks)."""
+    rng = np.random.RandomState(9)
+    cfg = dec.flow_cfg
+    hop, ring = 2, 7
+    emb = rng.randn(1, cfg.spk_embed_dim).astype(np.float32)
+    toks = rng.randint(0, cfg.vocab_size, (1, 13)).astype(np.int32)
+    short = rng.randint(0, cfg.vocab_size, (1, 3)).astype(np.int32)
+    zp_tok = np.zeros((1, 0), np.int32)
+    zp_feat = np.zeros((1, 0, cfg.output_size), np.float32)
+
+    b = dec.kv_batcher(n_lanes=2, block_size=hop, ring_tokens=ring,
+                       token_cap=64)
+    l0 = b.admit(zp_tok, zp_feat, emb)
+    l1 = b.admit(zp_tok, zp_feat, emb)
+    b.push(l0, toks)
+    b.finish(l0)
+    b.push(l1, short)
+    b.finish(l1)
+    chunks = {}
+    _drain(b, l0, chunks)
+    _drain(b, l1, chunks)
+
+    for lane, t in ((l0, toks), (l1, short)):
+        got = np.concatenate(chunks[lane], axis=1)
+        want = _stream(dec, zp_tok, zp_feat, emb, t, hop, ring)
+        np.testing.assert_allclose(got, want, atol=2e-5,
+                                   err_msg=f"lane {lane}")
