@@ -53,7 +53,7 @@ class _Lane:
     __slots__ = ("active", "prompt_len", "n_tok", "tokens", "n_pushed",
                  "enc_cache", "voc", "finished", "k_total", "w_emitted",
                  "chunks_encoded", "first_voc", "out", "emb_raw",
-                 "ptok", "pfeat", "prefilled")
+                 "ptok", "pfeat", "prefilled", "w_host")
 
     def __init__(self):
         self.active = False
@@ -309,6 +309,7 @@ class KVContinuousBatcher:
         st.w_emitted = 0
         st.first_voc = True
         st.prefilled = False
+        st.w_host = 0
         st.out = []
         st.ptok = jnp.asarray(prompt_token, jnp.int32)
         st.pfeat = jnp.asarray(prompt_feat).astype(self.dt)
@@ -414,6 +415,10 @@ class KVContinuousBatcher:
                 avail[lane] = st.chunks_encoded
         if not any_active:
             return {}
+        for lane, st in enumerate(self._lanes):
+            if st.active and st.prefilled:
+                # host mirror of the device advance rule (w += w < avail)
+                st.w_host = min(st.w_host + max_iters, int(avail[lane]))
 
         (self._x, self._mu, self._est, self._w, mels, oks) = self._burst(
             self.dec.flow_params, self._x, self._mu, self._mu_buf,
@@ -473,3 +478,25 @@ class KVContinuousBatcher:
     @property
     def free_lanes(self) -> int:
         return sum(1 for l in self._lanes if not l.active)
+
+    def has_work(self) -> bool:
+        """True when a pump() call would make progress — a pending prefill,
+        unencoded pushed chunks, or wavefront ticks left to advance
+        (``w_host`` mirrors the device advance rule exactly, so an engine
+        can idle-sleep instead of dispatching no-op bursts)."""
+        for st in self._lanes:
+            if not st.active:
+                continue
+            if not st.prefilled:
+                if st.n_pushed >= self.la or st.finished:
+                    return True
+                continue
+            encodable = (st.k_total if st.finished
+                         else max(0, (st.n_pushed - self.la) // self.hop))
+            if encodable > st.chunks_encoded:
+                return True
+            avail = (st.k_total + self.s_steps - 1 if st.finished
+                     else st.chunks_encoded)
+            if st.w_host < avail:
+                return True
+        return False

@@ -34,7 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # session-equivalence and training modules that dominate the ~40 min wall.
 SLOW_MODULES = {
     "test_golden_parity", "test_golden_lm", "test_kv_stream",
-    "test_kv_batcher", "test_stream_v1", "test_pipeline", "test_training",
+    "test_kv_batcher", "test_audio_batcher", "test_stream_v1",
+    "test_pipeline", "test_training",
     "test_validate_reference", "test_lm_training",
 }
 
