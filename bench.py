@@ -123,8 +123,14 @@ def main():
         # the reference's windowed semantics grows with the block)
         kv_block = (int(sys.argv[sys.argv.index("--block") + 1])
                     if "--block" in sys.argv else None)
+        # --ring N: left-context ring override (quality-serving point:
+        # ring 70 halves the MCD deviation vs the windowed goldens at 2x
+        # est-cache HBM — BENCH_NOTES ring sweep; this prices its RTF)
+        kv_ring = (int(sys.argv[sys.argv.index("--ring") + 1])
+                   if "--ring" in sys.argv else None)
         kv = dec.kv_stream_decoder(token_cap=n_tokens + 16,
-                                   block_size=kv_block)
+                                   block_size=kv_block,
+                                   ring_tokens=kv_ring)
         t0 = time.perf_counter()
         kv.stream_decode(tokens)
         kv_compile = time.perf_counter() - t0
@@ -177,6 +183,45 @@ def main():
         print(f"# batched_kv batch={nb} wall={agg_proc:.3f}s "
               f"aggregate={agg:.1f}x realtime "
               f"per_stream_rtf={agg_proc / audio_sec:.4f}",
+              file=sys.stderr)
+
+    # --batcher N: aggregate throughput of N CONTINUOUSLY-batched streams
+    # (serving/audio_batcher role: staggered admission, shared wavefront).
+    # Unlike --batch this pays the real per-burst host sync + per-lane
+    # encoder hops of the serving engine.
+    if "--batcher" in sys.argv:
+        nb = int(sys.argv[sys.argv.index("--batcher") + 1])
+        b = dec.kv_batcher(n_lanes=nb, token_cap=n_tokens + 16)
+        lane_toks = [rng.randint(0, flow_cfg.vocab_size, (1, n_tokens))
+                     for _ in range(nb)]
+
+        def run_batcher():
+            for i in range(nb):
+                lane = b.admit(np.zeros((1, 0), np.int32),
+                               np.zeros((1, 0, 80), np.float32),
+                               rng.randn(1, 192).astype(np.float32))
+                b.push(lane, lane_toks[i])
+                b.finish(lane)
+            n = 0
+            while b.free_lanes < nb:
+                for v in b.pump(max_iters=16).values():
+                    n += v.shape[1]
+            return n
+
+        print(f"# warmup continuous batcher (lanes={nb})...",
+              file=sys.stderr, flush=True)
+        run_batcher()
+        bt = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n_samp = run_batcher()
+            bt.append(time.perf_counter() - t0)
+        wall = float(np.median(bt))
+        agg_audio = n_samp / pipe_cfg.sample_rate
+        print(f"# continuous_batcher lanes={nb} wall={wall:.3f}s "
+              f"audio={agg_audio:.1f}s "
+              f"aggregate={agg_audio / wall:.1f}x realtime "
+              f"stream_completion_rtf={wall / (agg_audio / nb):.4f}",
               file=sys.stderr)
 
     # headline = the KV engine (the default fast path); the windowed

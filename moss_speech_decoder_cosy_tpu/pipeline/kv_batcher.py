@@ -381,7 +381,10 @@ class KVContinuousBatcher:
             n_new = encodable - st.chunks_encoded
             if n_new <= 0:
                 continue
-            assert st.chunks_encoded + n_new <= self.mu_cap - self.s_steps,\
+            # chunk k lives at mu slot k % mu_cap until the wavefront
+            # consumes it (w passes k); only OUTSTANDING chunks can clash
+            assert (st.chunks_encoded + n_new - st.w_host
+                    <= self.mu_cap), \
                 "mu ring overrun (pump more often or raise token_cap)"
             nt = jnp.asarray(st.n_tok, jnp.int32)
             done = 0
