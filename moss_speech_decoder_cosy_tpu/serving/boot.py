@@ -74,3 +74,56 @@ def boot_warmup(codec=None, decoder=None, prompt=None,
     if verbose:
         print(f"# boot_warmup: serving programs ready in {dt:.1f}s")
     return dt
+
+
+def boot_warmup_batcher(batcher, prompt=None, pump_iters: int = 8,
+                        warm_tails: bool = True,
+                        verbose: bool = True) -> float:
+    """Compile the continuous-batcher (pipeline/kv_batcher.py) serving
+    programs before traffic: lane prefill with the SAME prompt geometry
+    real requests will use (the prefill program is shaped by the prompt
+    length), the promptless admit path, every encoder-hop scan bucket
+    (8/4/1), the burst wavefront at ``pump_iters``, the per-chunk vocoder
+    (first / steady / finalize), the lane scatter/slice/clear programs,
+    and — when ``warm_tails`` — one finalize program per possible tail
+    token count (a static shape; tail = lookahead + (n - lookahead) % hop).
+
+    Warm the INSTANCE that will serve: the batcher's jits are
+    per-instance, so a throwaway batcher would only prime the on-disk
+    cache, not the dispatch caches."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    enable_persistent_cache()
+    d = batcher.dec
+    hop, la = batcher.hop, batcher.la
+    rng = np.random.RandomState(0)
+
+    def run_stream(n_tokens: int, use_prompt: bool) -> None:
+        if use_prompt and prompt is not None:
+            lane = batcher.admit(prompt.token, prompt.feat,
+                                 prompt.embedding)
+        else:
+            lane = batcher.admit(
+                np.zeros((1, 0), np.int32),
+                np.zeros((1, 0, d.flow_cfg.output_size), np.float32),
+                np.zeros((1, d.flow_cfg.spk_embed_dim), np.float32))
+        toks = rng.randint(0, d.flow_cfg.vocab_size,
+                           (1, n_tokens)).astype(np.int32)
+        batcher.push(lane, toks)
+        batcher.finish(lane)
+        while batcher._lanes[lane].active:
+            batcher.pump(max_iters=pump_iters)
+
+    # 13 steady chunks exercises every encoder-hop bucket (8 + 4 + 1);
+    # covers tail length la (r = 0)
+    run_stream(la + hop * 13, prompt is not None)
+    # promptless admit path + remaining tail lengths la+1 .. la+hop-1
+    run_stream(la + hop, False)
+    if warm_tails:
+        for r in range(1, hop):
+            run_stream(la + hop + r, prompt is not None)
+    dt = time.perf_counter() - t0
+    if verbose:
+        print(f"# boot_warmup_batcher: serving programs ready in {dt:.1f}s")
+    return dt

@@ -163,6 +163,93 @@ def test_http_decode_stream_oggopus(dec):
     assert np.isfinite(got).all()
 
 
+_BATCHER_BOOT_SCRIPT = r"""
+import dataclasses
+import numpy as np
+import jax
+# sitecustomize (PYTHONPATH=.axon_site) bakes JAX_PLATFORMS=axon into the
+# config defaults of every python process — override AFTER import (same
+# dance as conftest.py) or this subprocess tries to init the TPU relay.
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from moss_speech_decoder_cosy_tpu.models.flow import CausalMaskedDiffWithXvec
+from moss_speech_decoder_cosy_tpu.models.hift import HiFTGenerator
+from moss_speech_decoder_cosy_tpu.pipeline import AudioDecoder
+from moss_speech_decoder_cosy_tpu.utils.config import (
+    tiny_flow_config, tiny_hift_config, PipelineConfig, CFMConfig)
+from moss_speech_decoder_cosy_tpu.serving.boot import boot_warmup_batcher
+
+cfg = dataclasses.replace(tiny_flow_config(),
+                          cfm=CFMConfig(n_timesteps=3, max_noise_len=2048))
+hcfg = tiny_hift_config()
+flow, hift = CausalMaskedDiffWithXvec(cfg), HiFTGenerator(hcfg)
+fp = flow.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+               jnp.ones((1, 8), bool), jnp.zeros((1, 0, cfg.output_size)),
+               jnp.zeros((1, cfg.spk_embed_dim)))
+hp = hift.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, cfg.output_size)))
+dec = AudioDecoder(cfg, hcfg, fp, hp,
+                   PipelineConfig(block_size=2, mel_cache_len=2,
+                                  max_token_len=9))
+
+class P:
+    token = np.arange(3, dtype=np.int32)[None] % cfg.vocab_size
+    feat = np.zeros((1, 3 * cfg.token_mel_ratio, cfg.output_size),
+                    np.float32)
+    embedding = np.zeros((1, cfg.spk_embed_dim), np.float32)
+
+b = dec.kv_batcher(n_lanes=2, ring_tokens=7, token_cap=64)
+boot_warmup_batcher(b, prompt=P, verbose=False)
+jits = {n: getattr(b, n) for n in
+        ("_prefill", "_enc_hops", "_burst", "_admit_scatter",
+         "_lane_slice", "_lane_clear", "_voc", "_spk")}
+sizes = {n: j._cache_size() for n, j in jits.items()}
+assert all(v >= 1 for v in sizes.values()), sizes
+
+# first real requests (same prompt geometry + promptless, tail lengths
+# inside the warmed range) compile NOTHING new
+rng = np.random.RandomState(1)
+for use_p, n in ((True, 12), (False, 9), (True, 10)):
+    if use_p:
+        lane = b.admit(P.token, P.feat, P.embedding)
+    else:
+        lane = b.admit(np.zeros((1, 0), np.int32),
+                       np.zeros((1, 0, cfg.output_size), np.float32),
+                       np.zeros((1, cfg.spk_embed_dim), np.float32))
+    b.push(lane, rng.randint(0, cfg.vocab_size, (1, n)).astype(np.int32))
+    b.finish(lane)
+    got = 0
+    while b._lanes[lane].active:
+        for v in b.pump(max_iters=8).values():
+            got += v.shape[1]
+    assert got > 0
+after = {n: j._cache_size() for n, j in jits.items()}
+assert after == sizes, (sizes, after)
+print("BATCHER_BOOT_OK", sizes)
+"""
+
+
+@pytest.mark.slow
+def test_boot_warmup_batcher_no_new_compiles():
+    """serving/boot.boot_warmup_batcher: after boot, real requests (with
+    the warmed prompt geometry, promptless, any tail length) trigger NO
+    new compilation on any of the batcher's per-instance jits.  Cold
+    subprocess for pristine dispatch-cache counting."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               MOSS_TPU_CACHE=os.path.join(repo, ".jax_cache_cpu"),
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    r = subprocess.run([sys.executable, "-c", _BATCHER_BOOT_SCRIPT],
+                       env=env, cwd=repo, capture_output=True, text=True,
+                       timeout=1800)
+    assert r.returncode == 0, r.stdout + "\n" + r.stderr
+    assert "BATCHER_BOOT_OK" in r.stdout, r.stdout
+
+
 def test_http_bad_format_rejected(dec):
     from aiohttp.test_utils import TestServer
     import aiohttp

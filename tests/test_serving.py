@@ -542,6 +542,10 @@ def test_ogg_eos_granule_trims_padding():
 
 _BOOT_SCRIPT = r"""
 import jax
+# sitecustomize (PYTHONPATH=.axon_site) bakes JAX_PLATFORMS=axon into the
+# config defaults of every python process — override AFTER import (same
+# dance as conftest.py) or this subprocess tries to init the TPU relay.
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 from moss_speech_decoder_cosy_tpu.models.flow import CausalMaskedDiffWithXvec
