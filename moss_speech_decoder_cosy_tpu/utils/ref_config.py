@@ -74,6 +74,8 @@ def flow_config_from_reference(cfg: Dict[str, Any]) -> FlowConfig:
         use_cnn_module=enc.get("use_cnn_module", False),
         key_bias=enc.get("key_bias", True),
         dropout_rate=enc.get("dropout_rate", 0.1),
+        pos_enc_layer_type=enc.get("pos_enc_layer_type", "rel_pos"),
+        num_up_blocks=enc.get("num_up_blocks", 4),
     )
     estimator = EstimatorConfig(
         in_channels=est.get("in_channels", 320),
@@ -108,7 +110,10 @@ def flow_config_from_reference(cfg: Dict[str, Any]) -> FlowConfig:
 def hift_config_from_reference(cfg: Dict[str, Any]) -> HiFTConfig:
     h = cfg["hift"]
     istft = h.get("istft_params", {})
+    f0 = h.get("f0_predictor", {})
     return HiFTConfig(
+        f0_cond_channels=(f0.get("cond_channels", 512)
+                          if isinstance(f0, dict) else 512),
         in_channels=h.get("in_channels", 80),
         base_channels=h.get("base_channels", 512),
         nb_harmonics=h.get("nb_harmonics", 8),

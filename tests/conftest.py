@@ -36,7 +36,7 @@ SLOW_MODULES = {
     "test_golden_parity", "test_golden_lm", "test_kv_stream",
     "test_kv_batcher", "test_audio_batcher", "test_stream_v1",
     "test_pipeline", "test_training",
-    "test_validate_reference", "test_lm_training",
+    "test_validate_reference", "test_lm_training", "test_model_dir",
 }
 
 
