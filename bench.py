@@ -128,9 +128,13 @@ def main():
         # est-cache HBM — BENCH_NOTES ring sweep; this prices its RTF)
         kv_ring = (int(sys.argv[sys.argv.index("--ring") + 1])
                    if "--ring" in sys.argv else None)
+        # --onehot: force the one-hot RMW ring-write scheme (A/B against
+        # the default shared-offset DUS writes; both exact)
         kv = dec.kv_stream_decoder(token_cap=n_tokens + 16,
                                    block_size=kv_block,
-                                   ring_tokens=kv_ring)
+                                   ring_tokens=kv_ring,
+                                   write_mode=("onehot" if "--onehot"
+                                               in sys.argv else "auto"))
         t0 = time.perf_counter()
         kv.stream_decode(tokens)
         kv_compile = time.perf_counter() - t0

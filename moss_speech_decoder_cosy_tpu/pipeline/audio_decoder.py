@@ -209,7 +209,8 @@ class AudioDecoder:
     def kv_stream_decoder(self, prompt_token=None, prompt_feat=None,
                           embedding=None, block_size: Optional[int] = None,
                           ring_tokens: Optional[int] = None,
-                          token_cap: int = 2048, batch: int = 1):
+                          token_cap: int = 2048, batch: int = 1,
+                          write_mode: str = "auto"):
         """Incremental KV-cached streaming decoder (pipeline/kv_session.py):
         every token runs through the flow ONCE (vs the reference's 8x
         windowed re-decode); ``ring_tokens`` sets the banded attention left
@@ -225,7 +226,8 @@ class AudioDecoder:
             ring_tokens = self.pipe_cfg.max_token_len - hop
         return KVStreamDecoder(self, prompt_token, prompt_feat, embedding,
                                hop, ring_tokens=ring_tokens,
-                               token_cap=token_cap, batch=batch)
+                               token_cap=token_cap, batch=batch,
+                               write_mode=write_mode)
 
     def kv_batcher(self, n_lanes: int = 4,
                    block_size: Optional[int] = None,

@@ -48,7 +48,8 @@ class KVStreamDecoder:
     def __init__(self, dec, prompt_token: np.ndarray,
                  prompt_feat: np.ndarray, embedding: np.ndarray,
                  block_size: int, ring_tokens: int = 35,
-                 token_cap: int = 2048, batch: int = 1):
+                 token_cap: int = 2048, batch: int = 1,
+                 write_mode: str = "auto"):
         self.dec = dec
         self.hop = block_size
         self.ring_tokens = ring_tokens
@@ -94,7 +95,11 @@ class KVStreamDecoder:
         # instead of the O(ring) one-hot RMW — BENCH_NOTES round 3).
         self._enc_model = KVFlowEncodeStep(cfg)
         cf = block_size * self.ratio
-        self._dus_ok = (ring_tokens % block_size == 0)
+        # write_mode: "auto" = DUS when the geometry allows; "onehot"
+        # forces the one-hot RMW scheme (perf A/B; both are exact)
+        assert write_mode in ("auto", "onehot"), write_mode
+        self._dus_ok = (write_mode == "auto"
+                        and ring_tokens % block_size == 0)
         self._align = (self.p * self.ratio) % cf
         self._wave_model = KVFlowWaveStep(
             cfg, write_mode="dus" if self._dus_ok else "onehot",

@@ -243,6 +243,15 @@ def test_wavefront_matches_sequential_kv():
     # and the one-hot scan agrees with the DUS scan the same way
     # (p=2 with cf=12 makes align=8 — exercises the two-part DUS split)
     assert kv._dus_ok and kv._align != 0
+    # the write_mode perf knob: forcing onehot in the SCAN form matches
+    # the DUS scan (same op set as stepped, exercised via the public API)
+    kv1 = dec.kv_stream_decoder(tokens[:, :p], prompt_feat, emb,
+                                block_size=hop, ring_tokens=ring_t,
+                                token_cap=64, write_mode="onehot")
+    assert not kv1._dus_ok
+    onehot = kv1.stream_decode(tokens[:, p:], bulk_voc=True,
+                               wavefront=True, wave_stepped=False)
+    np.testing.assert_allclose(onehot, wave, atol=1e-6)
 
 
 def test_wavefront_hop_aligned_prompts_match_sequential():
