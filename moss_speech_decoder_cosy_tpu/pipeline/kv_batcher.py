@@ -105,6 +105,9 @@ class KVContinuousBatcher:
         self._wave_model = KVLaneWaveStep(cfg)
 
         self._prefill = jax.jit(self._prefill_impl)
+        self._init_cache = jax.jit(
+            lambda: init_kv_cache(self.cfg, self.ring_tokens, batch=1,
+                                  dtype=self.dt, est_dtype=self.est_dt))
         self._enc_hops = jax.jit(self._enc_hops_impl,
                                  static_argnames=("n_hops",))
         self._burst = jax.jit(self._burst_impl, static_argnames=("n_iters",))
@@ -333,8 +336,9 @@ class KVContinuousBatcher:
             cache = self._prefill(self.dec.flow_params, st.ptok, ctx,
                                   st.pfeat, st.emb_raw)
         else:
-            cache = init_kv_cache(self.cfg, self.ring_tokens, batch=1,
-                                  dtype=self.dt, est_dtype=self.est_dt)
+            # single jitted dispatch (eager init_kv_cache is ~115 device
+            # calls — ~160 ms of dispatch through the relay per admit)
+            cache = self._init_cache()
         st.enc_cache = cache["enc"]
         lane_spk = self._spk(self.dec.flow_params, st.emb_raw)
         (self._est, self._x, self._mu_buf, self._w, self._spks,

@@ -79,6 +79,7 @@ class KVStreamDecoder:
         self._fade_out = jnp.asarray(win[self.scl:])
 
         self._kv = KVFlowStep(cfg)
+        self._init_state_jit = jax.jit(self._init_state_impl)
         self._prefill = jax.jit(self._prefill_impl)
         self._hop = jax.jit(self._hop_impl,
                             static_argnames=("emit_tokens", "finalize"))
@@ -120,6 +121,33 @@ class KVStreamDecoder:
         self._spk = jax.jit(
             lambda p, e: self._enc_model.apply(p, e,
                                                method=self._enc_model.spk))
+        # per-session constants of the wavefront: the projected speaker
+        # vector (params + embedding are fixed at construction) and the
+        # (x, mu) wavefront init built ON DEVICE (the eager host build +
+        # upload costs two relay crossings per stream otherwise)
+        self._spks_cached = None
+        self._wave_init = jax.jit(self._wave_init_impl)
+
+    def _wave_init_impl(self):
+        """Device-side (x_wave, mu_wave) init: zeros except step-0 seeded
+        with the deterministic CFM noise slice at this session's prompt
+        offset (exact same values the sequential KV path uses)."""
+        from ..models.flow.cfm import _fixed_noise
+        cfg = self.dec.flow_cfg
+        s_steps = cfg.cfm.n_timesteps
+        cf = self.hop * self.ratio
+        sd = (jnp.float32 if cfg.cfm.solver_dtype == "float32"
+              else self.dt)
+        noise = jnp.asarray(_fixed_noise(cfg.cfm.max_noise_len,
+                                         self.n_mel))
+        base = self.p * self.ratio
+        x0 = jnp.broadcast_to(noise[:, base: base + cf],
+                              (self.b, cf, self.n_mel)).astype(sd)
+        x_wave = jnp.zeros((s_steps, self.b, cf, self.n_mel),
+                           sd).at[0].set(x0)
+        mu_wave = jnp.zeros((s_steps, self.b, cf, self.n_mel),
+                            self.est_dt)
+        return x_wave, mu_wave
 
     def _enc_hop_impl(self, flow_params, token_buf, enc_cache, n_tok,
                       emit_tokens: int):
@@ -134,7 +162,7 @@ class KVStreamDecoder:
                                      finalize=False)
 
     # ------------------------------------------------------------------
-    def init_state(self) -> Tuple[dict, KVVocState]:
+    def _init_state_impl(self) -> Tuple[dict, KVVocState]:
         cache = init_kv_cache(self.dec.flow_cfg, self.ring_tokens,
                               batch=self.b, dtype=self.dt,
                               est_dtype=self.est_dt)
@@ -144,6 +172,13 @@ class KVStreamDecoder:
             speech_cache=jnp.zeros((self.b, self.scl)),
         )
         return cache, voc
+
+    def init_state(self) -> Tuple[dict, KVVocState]:
+        # one jitted dispatch for the whole ~115-leaf zero pytree: eager
+        # jnp.zeros would issue one device call per leaf, which costs
+        # ~160 ms/stream through this environment's dispatch relay
+        # (BENCH_NOTES round-3 tail profile)
+        return self._init_state_jit()
 
     def _prefill_impl(self, flow_params, token_buf, cache):
         """Prompt prefill: one chunk of p tokens with the first `la` stream
@@ -395,26 +430,21 @@ class KVStreamDecoder:
         ``stepped=True`` runs the loop as per-iteration donated-buffer jit
         dispatches instead of one lax.scan (no carry double-buffering, no
         dead bucket-padding iterations)."""
-        from ..models.flow.cfm import _fixed_noise
         d = self.dec
         cfg = d.flow_cfg
         s_steps = cfg.cfm.n_timesteps
-        cf = self.hop * self.ratio
         steady = [pl for pl in plan if not pl[1]]
         k = len(steady)
-        dt = self.dt
         n_mel = self.n_mel
         base_frames = self.p * self.ratio
 
-        spks = self._spk(d.flow_params, self._emb)
-        noise = _fixed_noise(cfg.cfm.max_noise_len, n_mel)
-        x_wave = np.zeros((s_steps, self.b, cf, n_mel), np.float32)
-        x_wave[0] = noise[:, base_frames: base_frames + cf]
-        sd = jnp.float32 if cfg.cfm.solver_dtype == "float32" else dt
-        x_wave = jnp.asarray(x_wave, sd)
-        # mu carry lives in the estimator dtype (scan-stable; the Wave
-        # module casts the incoming encoder chunk to match)
-        mu_wave = jnp.zeros((s_steps, self.b, cf, n_mel), self.est_dt)
+        if self._spks_cached is None:
+            self._spks_cached = self._spk(d.flow_params, self._emb)
+        spks = self._spks_cached
+        # x seeded with the deterministic noise, mu zeros in the estimator
+        # dtype (scan-stable; the Wave module casts the incoming encoder
+        # chunk to match) — both built device-side, no per-stream upload
+        x_wave, mu_wave = self._wave_init()
 
         need = k + s_steps - 1
         if stepped:
