@@ -135,8 +135,16 @@ def main():
                                    ring_tokens=kv_ring,
                                    write_mode=("onehot" if "--onehot"
                                                in sys.argv else "auto"))
+        # --seg [N]: segmented wavefront (per-segment vocode + threaded
+        # fetch overlapping the next segment's scan; default 32 iters)
+        seg_kw = {}
+        if "--seg" in sys.argv:
+            i = sys.argv.index("--seg")
+            si = (int(sys.argv[i + 1]) if i + 1 < len(sys.argv)
+                  and sys.argv[i + 1].isdigit() else 32)
+            seg_kw = dict(segmented=True, seg_iters=si)
         t0 = time.perf_counter()
-        kv.stream_decode(tokens)
+        kv.stream_decode(tokens, **seg_kw)
         kv_compile = time.perf_counter() - t0
         print(f"# kv warmup done in {kv_compile:.1f}s", file=sys.stderr,
               flush=True)
@@ -156,11 +164,11 @@ def main():
                          finalize=False)
         _jax.block_until_ready(seg)
         first_chunk_kv_ms = (time.perf_counter() - t0) * 1e3
-        kv.stream_decode(tokens, output="int16")
+        kv.stream_decode(tokens, output="int16", **seg_kw)
         kv_times = []
         for _ in range(runs):
             t0 = time.perf_counter()
-            kv.stream_decode(tokens, output="int16")
+            kv.stream_decode(tokens, output="int16", **seg_kw)
             kv_times.append(time.perf_counter() - t0)
         rtf_kv = float(np.median(kv_times)) / audio_sec
         print("# kv runs:", [round(t, 3) for t in kv_times],

@@ -110,6 +110,17 @@ class KVStreamDecoder:
                                 static_argnames=("emit_tokens",))
         self._wave_scan = jax.jit(self._wave_scan_impl,
                                   static_argnames=("n_iters", "dus"))
+        # segmented wavefront: the same scan split into fixed-size
+        # segments so vocode/pcm/fetch of finished chunks OVERLAP the
+        # later segments' scan time (the final fetch is ~90 ms of wire
+        # time through the relay — BENCH_NOTES tail attribution).  State
+        # buffers are donated: segment boundaries alias the 0.3 GB est
+        # rings in place instead of copying.
+        self._wave_seg = jax.jit(self._wave_seg_impl,
+                                 static_argnames=("n_iters", "dus"),
+                                 donate_argnums=(2, 3, 4, 5, 6))
+        self._prep_est = jax.jit(self._prep_est_impl)
+        self._fin_est = jax.jit(self._fin_est_impl)
         # stepped wavefront: one jitted iteration with DONATED ring/state
         # buffers (x, mu_w, est, enc, n_tok, w) — lets XLA alias the big
         # KV rings in place instead of double-buffering a scan carry
@@ -381,6 +392,79 @@ class KVStreamDecoder:
                                for a in est["v"]))
         return mels, est_cache_from_flat(est, s_steps), enc_cache, n_tok
 
+    def _rot_offsets(self, est_flat):
+        r = est_flat["k"][0].shape[-2]
+        s_steps = self.dec.flow_cfg.cfm.n_timesteps
+        cf = self.hop * self.ratio
+        return [((s * cf) % r) for s in range(s_steps)
+                for _ in range(2 * self.b)]
+
+    def _prep_est_impl(self, est):
+        """Canonical est cache -> the wavefront's flat layout, rotated
+        for the shared-offset DUS write scheme when active."""
+        est = est_cache_to_flat(est)
+        if self._dus_ok:
+            from ..models.flow.kv_stream import rotate_rings
+            rot = self._rot_offsets(est)
+            est = dict(est,
+                       k=tuple(rotate_rings(a, rot) for a in est["k"]),
+                       v=tuple(rotate_rings(a, rot) for a in est["v"]))
+        return est
+
+    def _fin_est_impl(self, est):
+        """Inverse of _prep_est (wavefront exit -> canonical layout)."""
+        if self._dus_ok:
+            from ..models.flow.kv_stream import rotate_rings
+            rot = self._rot_offsets(est)
+            est = dict(est,
+                       k=tuple(rotate_rings(a, rot, inverse=True)
+                               for a in est["k"]),
+                       v=tuple(rotate_rings(a, rot, inverse=True)
+                               for a in est["v"]))
+        return est_cache_from_flat(est,
+                                   self.dec.flow_cfg.cfm.n_timesteps)
+
+    def _wave_seg_impl(self, flow_params, token_buf, x, mu_w, est, enc_c,
+                       n_tok, w0, spks, k_total, base_frames,
+                       n_iters: int, dus: bool = False):
+        """n_iters wavefront iterations starting at global iteration
+        ``w0`` — the scan body of _wave_scan_impl, but resumable: est
+        arrives already flat (and rotated when dus), the carry leaves in
+        the same layout for the next segment."""
+        hop = self.hop
+        cf = hop * self.ratio
+        n_mel = self.n_mel
+        wave_model = self._wave_model if dus else self._wave_model_onehot
+
+        def body(carry, w):
+            x, mu_w, est_c, enc_c, n_tok = carry
+
+            def run_enc(args):
+                enc_c, n_tok = args
+                mu, enc2 = self._enc_model.apply(
+                    flow_params, *self._slices(token_buf, n_tok, hop),
+                    enc_c, n_tok, self._pe_tok, self._pe_mel,
+                    finalize=False)
+                return mu, enc2, n_tok + hop
+
+            def skip_enc(args):
+                enc_c, n_tok = args
+                return (jnp.zeros((self.b, cf, n_mel), self.dt),
+                        enc_c, n_tok)
+
+            mu_new, enc_c, n_tok = jax.lax.cond(
+                w < k_total, run_enc, skip_enc, (enc_c, n_tok))
+            exit_mel, x, mu_w, est_c = wave_model.apply(
+                flow_params, x, mu_w, mu_new, spks, est_c, w, k_total,
+                base_frames)
+            return (x, mu_w, est_c, enc_c, n_tok), exit_mel
+
+        carry0 = (x, mu_w, est, enc_c, n_tok)
+        ws = w0 + jnp.arange(n_iters, dtype=jnp.int32)
+        (x, mu_w, est, enc_c, n_tok), mels = jax.lax.scan(
+            body, carry0, ws)
+        return mels, x, mu_w, est, enc_c, n_tok
+
     def _wave_step_impl(self, flow_params, token_buf, x, mu_w, est_c,
                         enc_c, n_tok, w, spks, k_total, base_frames):
         """ONE wavefront iteration (the scan body of _wave_scan_impl) as a
@@ -485,11 +569,127 @@ class KVStreamDecoder:
         mel_full = jnp.concatenate(mels, axis=1)
         return mel_full, cache
 
+    def _stream_decode_segmented(self, token_buf, cache, plan,
+                                 output: str, seg_iters: int = 32):
+        """Wavefront decode in fixed-size scan SEGMENTS with per-segment
+        vocode + pcm + threaded fetch: the device queue stays packed
+        (seg1-scan, seg1-voc, seg2-scan, ...) while each segment's ~45 ms
+        of fetch wire time rides UNDER the next segment's scan instead of
+        after the whole stream.  Bit-identical to the unsegmented path
+        (same scan body; the bulk vocoder's carry tails reproduce the
+        one-pass chain exactly — tests/test_kv_stream.py).
+
+        Consumes ``cache`` (enc leaves are donated to the segment
+        program); callers must not reuse it."""
+        import threading
+        d = self.dec
+        s_steps = d.flow_cfg.cfm.n_timesteps
+        cf = self.hop * self.ratio
+        C = self.mel_cache_len
+        k = sum(1 for pl in plan if not pl[1])
+        has_tail = bool(plan and plan[-1][1])
+        tail_tok = plan[-1][0] if has_tail else 0
+        n_mel = self.n_mel
+        if self._spks_cached is None:
+            self._spks_cached = self._spk(d.flow_params, self._emb)
+        spks = self._spks_cached
+        x, mu_w = self._wave_init()
+        est = self._prep_est(cache["est"])
+        enc_cache = cache["enc"]
+        n_tok = jnp.asarray(self.p, jnp.int32)
+        k_dev = jnp.asarray(k, jnp.int32)
+        base_dev = jnp.asarray(self.p * self.ratio, jnp.int32)
+
+        need = k + s_steps - 1
+        q = min(16, seg_iters)             # tail-segment bucket quantum
+        sizes = []
+        r = need
+        while r > 0:
+            s = seg_iters if r >= seg_iters else q * ((r + q - 1) // q)
+            sizes.append(s)
+            r -= s
+
+        if self._bulk is None:
+            from .bulk_voc import BulkVocoder
+            self._bulk = BulkVocoder(d, cf)
+        results: List = [None] * len(sizes)
+        threads = []
+        done_chunks = 0
+        s_tail = w_tail = None
+        mel_ctx = None
+        w0 = 0
+        for si, size in enumerate(sizes):
+            mels, x, mu_w, est, enc_cache, n_tok = self._wave_seg(
+                d.flow_params, token_buf, x, mu_w, est, enc_cache, n_tok,
+                jnp.asarray(w0, jnp.int32), spks, k_dev, base_dev,
+                n_iters=size, dus=self._dus_ok)
+            lo = max(w0, s_steps - 1)
+            hi = min(w0 + size, k + s_steps - 1)
+            n_new = max(hi - lo, 0)
+            last_seg = (si == len(sizes) - 1)
+            if n_new == 0 and not last_seg:
+                w0 += size
+                continue
+            seg_mel = (mels[lo - w0: hi - w0]
+                       .transpose(1, 0, 2, 3).reshape(self.b, -1, n_mel))
+            w0 += size
+            tail_mel = None
+            tf = 0
+            n_hops = n_new                 # steady hops in this segment
+            if last_seg:
+                if has_tail:
+                    fin_cache = {"enc": enc_cache,
+                                 "est": self._fin_est(est),
+                                 "n_tok": n_tok}
+                    tail_mel, _ = self._hop(d.flow_params, token_buf,
+                                            fin_cache,
+                                            emit_tokens=tail_tok,
+                                            finalize=True)
+                    tf = tail_tok * self.ratio
+                else:
+                    # no finalize chunk: the stream's LAST steady chunk
+                    # plays the tail-hop role (emits everything, like
+                    # the unsegmented vocode plan)
+                    tf = cf
+                    n_hops = n_new - 1
+            if done_chunks == 0:
+                mel_in = (seg_mel if tail_mel is None
+                          else jnp.concatenate([seg_mel, tail_mel],
+                                               axis=1))
+                wav, s_tail, w_tail = self._bulk.vocode_first(
+                    d.hift_params, mel_in, n_steady=n_hops - 1,
+                    tail_frames=tf, hold=not last_seg)
+            else:
+                parts = [mel_ctx, seg_mel]
+                if tail_mel is not None:
+                    parts.append(tail_mel)
+                mel_in = jnp.concatenate(parts, axis=1)
+                wav, s_tail, w_tail = self._bulk.vocode_cont(
+                    d.hift_params, mel_in, s_tail, w_tail,
+                    n_steady=n_hops, tail_frames=tf)
+            mel_ctx = seg_mel[:, -C:]
+            done_chunks += n_new
+            pcm = _pcm16_device(wav) if output == "int16" else wav
+
+            def fetch(i=si, arr=pcm):
+                results[i] = _parallel_fetch(arr)
+
+            th = threading.Thread(target=fetch, daemon=True)
+            th.start()
+            threads.append(th)
+        for th in threads:
+            th.join()
+        out = np.concatenate([r for r in results if r is not None],
+                             axis=1)
+        return out if output == "int16" else out.astype(np.float32)
+
     def stream_decode(self, tokens: np.ndarray,
                       output: str = "float32",
                       bulk_voc: bool = True,
                       wavefront: bool = True,
-                      wave_stepped: bool = False) -> np.ndarray:
+                      wave_stepped: bool = False,
+                      segmented: bool = False,
+                      seg_iters: int = 32) -> np.ndarray:
         """Full-stream decode: one upload, incremental KV hops (bucketed
         into lax.scan dispatches), one parallel fetch.
 
@@ -514,6 +714,10 @@ class KVStreamDecoder:
         if bulk_voc and len(plan) >= 2:
             n_steady = sum(1 for pl in plan if not pl[1])
             if wavefront and n_steady >= 2:
+                if segmented and self.b == 1:
+                    return self._stream_decode_segmented(
+                        token_buf, cache, plan, output,
+                        seg_iters=seg_iters)
                 mel_full, _ = self._flow_mels_wave(token_buf, cache, plan,
                                                    stepped=wave_stepped)
             else:

@@ -286,6 +286,46 @@ def test_wavefront_hop_aligned_prompts_match_sequential():
                                    err_msg=f"p={p}")
 
 
+def test_segmented_wavefront_matches_unsegmented():
+    """stream_decode(segmented=True): the wavefront scan split into
+    fixed-size resumable segments with per-segment bulk vocode + carry
+    tails == the one-pass wavefront decode, for every segment size
+    (incl. sizes that leave whole segments with no finished chunk and a
+    first segment bearing a single chunk)."""
+    from moss_speech_decoder_cosy_tpu.utils.config import (
+        tiny_hift_config, PipelineConfig)
+    from moss_speech_decoder_cosy_tpu.models.hift import HiFTGenerator
+    from moss_speech_decoder_cosy_tpu.pipeline import AudioDecoder
+
+    p, n, hop, ring_t = 2, 30, 3, 6
+    cfg, flow, params, tokens, prompt_feat, emb, valid = _setup(p=p, n=n)
+    hcfg = tiny_hift_config()
+    hift = HiFTGenerator(hcfg)
+    hift_params = hift.init(jax.random.PRNGKey(2),
+                            jnp.zeros((1, 8, hcfg.in_channels)))
+    pipe = PipelineConfig(block_size=hop, mel_cache_len=2, max_token_len=9)
+    dec = AudioDecoder(cfg, hcfg, params, hift_params, pipe)
+    kv = dec.kv_stream_decoder(tokens[:, :p], prompt_feat, emb,
+                               block_size=hop, ring_tokens=ring_t,
+                               token_cap=64)
+    want = kv.stream_decode(tokens[:, p:])
+    for seg_iters in (2, 3, 5, 16):
+        got = kv.stream_decode(tokens[:, p:], segmented=True,
+                               seg_iters=seg_iters)
+        assert got.shape == want.shape, (seg_iters, got.shape, want.shape)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+    # int16 output path + promptless session
+    w16 = kv.stream_decode(tokens[:, p:], output="int16")
+    g16 = kv.stream_decode(tokens[:, p:], output="int16",
+                           segmented=True, seg_iters=3)
+    np.testing.assert_array_equal(w16, g16)
+    kvn = dec.kv_stream_decoder(block_size=hop, ring_tokens=ring_t,
+                                token_cap=64)
+    wn = kvn.stream_decode(tokens[:, p:])
+    gn = kvn.stream_decode(tokens[:, p:], segmented=True, seg_iters=3)
+    np.testing.assert_allclose(gn, wn, atol=1e-6)
+
+
 def test_kv_batched_streams_match_independent():
     """kv_stream_decoder(batch=B): B lockstep streams with distinct token
     sequences and speakers produce the SAME waveforms as B independent
