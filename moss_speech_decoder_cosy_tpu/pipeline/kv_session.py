@@ -569,19 +569,38 @@ class KVStreamDecoder:
         mel_full = jnp.concatenate(mels, axis=1)
         return mel_full, cache
 
-    def _stream_decode_segmented(self, token_buf, cache, plan,
-                                 output: str, seg_iters: int = 32):
-        """Wavefront decode in fixed-size scan SEGMENTS with per-segment
-        vocode + pcm + threaded fetch: the device queue stays packed
-        (seg1-scan, seg1-voc, seg2-scan, ...) while each segment's ~45 ms
-        of fetch wire time rides UNDER the next segment's scan instead of
-        after the whole stream.  Bit-identical to the unsegmented path
-        (same scan body; the bulk vocoder's carry tails reproduce the
-        one-pass chain exactly — tests/test_kv_stream.py).
+    def _seg_sizes(self, need: int, seg_iters: int,
+                   grow: bool = False) -> List[int]:
+        """Segment-size schedule covering ``need`` wavefront iterations.
+        Fixed mode: seg_iters chunks with a bucketed tail.  ``grow``:
+        a first segment of exactly s_steps iterations (the first chunk
+        exits as early as possible), then doubling up to seg_iters —
+        the incremental-streaming schedule (first-chunk latency first,
+        throughput once the stream is running)."""
+        s_steps = self.dec.flow_cfg.cfm.n_timesteps
+        q = min(16, seg_iters)             # tail-segment bucket quantum
+        sizes = []
+        r = need
+        if grow:
+            first = min(s_steps, seg_iters)
+            sizes.append(first)
+            r -= first
+            nxt = 8
+            while r > max(q, nxt):
+                sizes.append(nxt)
+                r -= nxt
+                nxt = min(nxt * 2, seg_iters)
+        while r > 0:
+            s = seg_iters if r >= seg_iters else q * ((r + q - 1) // q)
+            sizes.append(s)
+            r -= s
+        return sizes
 
-        Consumes ``cache`` (enc leaves are donated to the segment
-        program); callers must not reuse it."""
-        import threading
+    def _segment_wavs(self, token_buf, cache, plan, sizes):
+        """Yield per-segment f32 device wav arrays (the wavefront scan
+        run segment by segment with the bulk vocoder's carry tails —
+        exactly the one-pass chain, tests/test_kv_stream.py).  Consumes
+        ``cache`` (enc leaves are donated); callers must not reuse it."""
         d = self.dec
         s_steps = d.flow_cfg.cfm.n_timesteps
         cf = self.hop * self.ratio
@@ -600,20 +619,9 @@ class KVStreamDecoder:
         k_dev = jnp.asarray(k, jnp.int32)
         base_dev = jnp.asarray(self.p * self.ratio, jnp.int32)
 
-        need = k + s_steps - 1
-        q = min(16, seg_iters)             # tail-segment bucket quantum
-        sizes = []
-        r = need
-        while r > 0:
-            s = seg_iters if r >= seg_iters else q * ((r + q - 1) // q)
-            sizes.append(s)
-            r -= s
-
         if self._bulk is None:
             from .bulk_voc import BulkVocoder
             self._bulk = BulkVocoder(d, cf)
-        results: List = [None] * len(sizes)
-        threads = []
         done_chunks = 0
         s_tail = w_tail = None
         mel_ctx = None
@@ -669,6 +677,25 @@ class KVStreamDecoder:
                     n_steady=n_hops, tail_frames=tf)
             mel_ctx = seg_mel[:, -C:]
             done_chunks += n_new
+            yield wav
+
+    def _stream_decode_segmented(self, token_buf, cache, plan,
+                                 output: str, seg_iters: int = 32):
+        """Wavefront decode in fixed-size scan SEGMENTS with per-segment
+        vocode + pcm + threaded fetch: the device queue stays packed
+        (seg1-scan, seg1-voc, seg2-scan, ...) so each segment's fetch
+        wire time can ride UNDER the next segment's scan instead of after
+        the whole stream (measured a wash through this environment's
+        relay, which serializes fetches behind queued compute — kept for
+        production attaches where D2H DMA overlaps compute)."""
+        import threading
+        s_steps = self.dec.flow_cfg.cfm.n_timesteps
+        k = sum(1 for pl in plan if not pl[1])
+        sizes = self._seg_sizes(k + s_steps - 1, seg_iters)
+        results: List = [None] * len(sizes)
+        threads = []
+        for si, wav in enumerate(
+                self._segment_wavs(token_buf, cache, plan, sizes)):
             pcm = _pcm16_device(wav) if output == "int16" else wav
 
             def fetch(i=si, arr=pcm):
@@ -765,8 +792,18 @@ class KVStreamDecoder:
             return _parallel_fetch(_pcm16_device(wav))
         return _parallel_fetch(wav).astype(np.float32)
 
-    def stream_chunks(self, tokens: np.ndarray):
-        """Yield per-hop float32 wav chunks (pipelined fetches)."""
+    def stream_chunks(self, tokens: np.ndarray, wavefront: bool = False,
+                      seg_iters: int = 32):
+        """Yield float32 wav chunks (pipelined fetches).
+
+        Default: one chunk per hop (per-hop flow + vocoder dispatches —
+        finest granularity).  ``wavefront=True``: the segmented wavefront
+        scan with a GROWING segment schedule (first segment = s_steps
+        iterations so the first chunk exits as early as the ODE depth
+        allows, then doubling up to ``seg_iters``) — chunk sizes grow but
+        total decode time drops to the wavefront's (same growing-emission
+        idea as the reference v1's stream_scale_factor schedule,
+        cli/model.py:129-176, applied to catch-up decoding)."""
         import queue
         import threading
 
@@ -779,16 +816,24 @@ class KVStreamDecoder:
         cache, voc = self.init_state()
         if self.p:
             cache = self._prefill(self.dec.flow_params, token_buf, cache)
-        segs = []
-        first = True
-        for emit_tokens, finalize in self.schedule(n):
-            mel, cache = self._hop(self.dec.flow_params, token_buf, cache,
-                                   emit_tokens=emit_tokens,
-                                   finalize=finalize)
-            seg, voc = self._voc(self.dec.hift_params, mel, voc,
-                                 first=first, finalize=finalize)
-            segs.append(seg)
-            first = False
+        plan = self.schedule(n)
+        n_steady = sum(1 for pl in plan if not pl[1])
+        if wavefront and self.b == 1 and n_steady >= 2:
+            s_steps = self.dec.flow_cfg.cfm.n_timesteps
+            sizes = self._seg_sizes(n_steady + s_steps - 1, seg_iters,
+                                    grow=True)
+            segs = list(self._segment_wavs(token_buf, cache, plan, sizes))
+        else:
+            segs = []
+            first = True
+            for emit_tokens, finalize in plan:
+                mel, cache = self._hop(self.dec.flow_params, token_buf,
+                                       cache, emit_tokens=emit_tokens,
+                                       finalize=finalize)
+                seg, voc = self._voc(self.dec.hift_params, mel, voc,
+                                     first=first, finalize=finalize)
+                segs.append(seg)
+                first = False
 
         q: "queue.Queue" = queue.Queue(maxsize=8)
 

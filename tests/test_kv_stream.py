@@ -324,6 +324,14 @@ def test_segmented_wavefront_matches_unsegmented():
     wn = kvn.stream_decode(tokens[:, p:])
     gn = kvn.stream_decode(tokens[:, p:], segmented=True, seg_iters=3)
     np.testing.assert_allclose(gn, wn, atol=1e-6)
+    # incremental wavefront streaming: growing-segment chunk generator
+    # concatenates to the same stream, first chunk after s_steps iters
+    for seg_iters in (4, 8):
+        chunks = list(kv.stream_chunks(tokens[:, p:], wavefront=True,
+                                       seg_iters=seg_iters))
+        assert len(chunks) >= 2
+        np.testing.assert_allclose(np.concatenate(chunks, axis=1), want,
+                                   atol=1e-6)
 
 
 def test_kv_batched_streams_match_independent():
