@@ -130,11 +130,15 @@ def main():
                    if "--ring" in sys.argv else None)
         # --onehot: force the one-hot RMW ring-write scheme (A/B against
         # the default shared-offset DUS writes; both exact)
+        # --fused: write-then-attend estimator rings (extended capacity,
+        # no [ring ++ chunk] concat; ~440 MB/iter of XLA copies removed —
+        # BENCH_NOTES "fused write-then-attend")
         kv = dec.kv_stream_decoder(token_cap=n_tokens + 16,
                                    block_size=kv_block,
                                    ring_tokens=kv_ring,
                                    write_mode=("onehot" if "--onehot"
-                                               in sys.argv else "auto"))
+                                               in sys.argv else "auto"),
+                                   fused="--fused" in sys.argv)
         # --seg [N]: segmented wavefront (per-segment vocode + threaded
         # fetch overlapping the next segment's scan; default 32 iters)
         seg_kw = {}

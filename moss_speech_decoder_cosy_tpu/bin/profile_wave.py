@@ -75,12 +75,16 @@ def main():
     tokens = rng.randint(0, flow_cfg.vocab_size, (1, n_tokens))
 
     for spec in configs:
-        write, block, ring = spec.split(":")
-        block, ring = int(block), int(ring)
+        parts = spec.split(":")
+        write, block, ring = parts[0], int(parts[1]), int(parts[2])
+        unroll = int(parts[3]) if len(parts) > 3 else 1
+        # "fused" = write-then-attend estimator rings (extended capacity,
+        # no [ring ++ chunk] concat); uses DUS writes when geometry allows
         kv = dec.kv_stream_decoder(token_cap=n_tokens + 16,
                                    block_size=block, ring_tokens=ring,
                                    write_mode=("onehot" if write == "onehot"
-                                               else "auto"))
+                                               else "auto"),
+                                   fused=(write == "fused"))
         if write == "dus":
             assert kv._dus_ok, f"geometry {spec} cannot use DUS"
 
@@ -111,7 +115,7 @@ def main():
                 cache["est"], cache["enc"], n_iters=n_iters,
                 k_total=jnp.asarray(k, jnp.int32),
                 base_frames=jnp.asarray(0, jnp.int32),
-                dus=kv._dus_ok)
+                dus=kv._dus_ok, unroll=unroll, fused=kv._fused)
             jax.block_until_ready(mels)
             return mels
 
@@ -127,7 +131,7 @@ def main():
             times.append(time.perf_counter() - t0)
         med = float(np.median(times))
         print(json.dumps({
-            "write": write, "block": block, "ring": ring,
+            "write": write, "block": block, "ring": ring, "unroll": unroll,
             "iters": n_iters, "scan_s": round(med, 4),
             "ms_per_iter": round(med / n_iters * 1e3, 3),
             "scan_rtf": round(med / seconds, 5),

@@ -82,7 +82,8 @@ def ring_write(ring: jnp.ndarray, chunk: jnp.ndarray,
 
 def _ring_mask(ring_len: int, chunk_len: int,
                n_done: jnp.ndarray,
-               rot: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+               rot: Optional[jnp.ndarray] = None,
+               fused: bool = False) -> jnp.ndarray:
     """(B|1, 1, chunk, ring+chunk) bool attend-mask: ring slots are valid
     only where already written (fewer than ``ring_len`` frames seen so
     far); the current chunk is fully visible (chunk-causal semantics).
@@ -91,7 +92,12 @@ def _ring_mask(ring_len: int, chunk_len: int,
 
     ``rot`` (B,) rotates each sample's slot numbering: sample b's frame f
     lives at slot ``(f + rot[b]) % ring_len`` instead of ``f % ring_len``
-    (the shared-offset DUS write scheme — see ring_write_dus)."""
+    (the shared-offset DUS write scheme — see ring_write_dus).
+
+    ``fused``: write-then-attend layout — the current chunk has already
+    been written INTO the ring (capacity ring_len = left context + chunk),
+    so no chunk columns are appended; callers pass ``n_done`` already
+    including the chunk's frames.  Shape (B, 1, chunk, ring_len)."""
     n_done = jnp.asarray(n_done)
     if n_done.ndim == 0:
         n_done = n_done[None]
@@ -100,6 +106,9 @@ def _ring_mask(ring_len: int, chunk_len: int,
     if rot is not None:
         pos = (pos - rot[:, None]) % ring_len
     ring_ok = pos < n_done[:, None]                             # (B, R)
+    if fused:
+        return jnp.broadcast_to(ring_ok[:, None, None, :],
+                                (b, 1, chunk_len, ring_len))
     key_ok = jnp.concatenate(
         [jnp.broadcast_to(ring_ok, (b, ring_len)),
          jnp.ones((b, chunk_len), bool)], axis=1)
@@ -405,30 +414,61 @@ class CausalResnetBlock1DStep(nn.Module):
 
 class UNetAttentionStep(nn.Module):
     """UNetAttention (attention.py:89-129) over [KV ring ++ chunk].  No
-    positional term -> key slots are order-free, rings are circular."""
+    positional term -> key slots are order-free, rings are circular.
+
+    Two dataflows, same math:
+    - concat (``write=None``): keys = [ring ++ chunk]; returns the chunk
+      K/V for the caller to write into the ring afterwards.
+    - fused write-then-attend (``write`` dict): the chunk K/V are written
+      INTO the ring (capacity = left context + chunk) FIRST, then
+      attention reads the ring directly.  This removes the per-layer
+      (B, R+C, inner) concat materialization — measured 367 MB/iter of
+      writes plus 367 MB/iter of XLA copies on the full-size wavefront
+      (bin/analyze_wave_hlo.py) — and leaves the ring with the single
+      DUS-update chain XLA aliases in place inside loop carries (the LLM
+      KV-cache decode pattern).  Returns the UPDATED rings instead of the
+      chunk K/V.  Bit-exact vs concat when the ring dtype equals the
+      compute dtype (all supported serving recipes keep them equal)."""
 
     heads: int
     head_dim: int
 
     @nn.compact
-    def __call__(self, x, ring_k, ring_v, mask):
+    def __call__(self, x, ring_k, ring_v, mask, write=None):
         b, c, dim = x.shape
         inner = self.heads * self.head_dim
         q = nn.Dense(inner, use_bias=False, name="to_q")(x)
         k_c = nn.Dense(inner, use_bias=False, name="to_k")(x)
         v_c = nn.Dense(inner, use_bias=False, name="to_v")(x)
-        keys = jnp.concatenate([ring_k.astype(k_c.dtype), k_c], axis=1)
-        vals = jnp.concatenate([ring_v.astype(v_c.dtype), v_c], axis=1)
+        if write is None:
+            keys = jnp.concatenate([ring_k.astype(k_c.dtype), k_c], axis=1)
+            vals = jnp.concatenate([ring_v.astype(v_c.dtype), v_c], axis=1)
+            ret_k, ret_v = k_c, v_c
+        elif write["mode"] == "dus":
+            ret_k = ring_write_dus(ring_k, k_c, write["offset"],
+                                   write["enable"], write["align"])
+            ret_v = ring_write_dus(ring_v, v_c, write["offset"],
+                                   write["enable"], write["align"])
+            keys = ret_k.astype(k_c.dtype)
+            vals = ret_v.astype(v_c.dtype)
+        else:
+            ret_k = ring_write_batched(ring_k, k_c, write["nd"],
+                                       enable=write["enable"])
+            ret_v = ring_write_batched(ring_v, v_c, write["nd"],
+                                       enable=write["enable"])
+            keys = ret_k.astype(k_c.dtype)
+            vals = ret_v.astype(v_c.dtype)
         tk = keys.shape[1]
         q = q.reshape(b, c, self.heads, self.head_dim).transpose(0, 2, 1, 3)
         kt = keys.reshape(b, tk, self.heads, self.head_dim
                           ).transpose(0, 2, 3, 1)
+        vt = vals.reshape(b, tk, self.heads, self.head_dim
+                          ).transpose(0, 2, 1, 3)
         scores = (q @ kt) * (self.head_dim ** -0.5)
         attn = masked_softmax(scores, mask)
-        out = attn @ vals.reshape(b, tk, self.heads, self.head_dim
-                                  ).transpose(0, 2, 1, 3)
+        out = attn @ vt
         out = out.transpose(0, 2, 1, 3).reshape(b, c, inner)
-        return nn.Dense(dim, name="to_out")(out), k_c, v_c
+        return nn.Dense(dim, name="to_out")(out), ret_k, ret_v
 
 
 class TransformerBlockStep(nn.Module):
@@ -441,11 +481,11 @@ class TransformerBlockStep(nn.Module):
     ff_mult: int = 4
 
     @nn.compact
-    def __call__(self, x, ring_k, ring_v, mask):
+    def __call__(self, x, ring_k, ring_v, mask, write=None):
         h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         a, k_c, v_c = UNetAttentionStep(self.num_heads, self.head_dim,
                                         name="attn1")(h, ring_k, ring_v,
-                                                      mask)
+                                                      mask, write)
         x = x + a
         h = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
         ff = nn.Dense(self.dim * self.ff_mult, name="ff_proj")(h)
@@ -475,13 +515,18 @@ class EstimatorStep(nn.Module):
     buffer forced per-layer strided slice copies); convs: {name:
     (B2, 2, ch_in)} keyed by ``estimator_conv_cache_names``.  Returns
     (out, chunk_ks, chunk_vs, new_convs) with chunk_ks/vs tuples of L
-    (B2, C, inner) arrays — the CFM step owns the ring writes."""
+    (B2, C, inner) arrays — the CFM step owns the ring writes.
+
+    ``write`` (fused write-then-attend, see UNetAttentionStep): rings
+    arrive with capacity Rf = left context + chunk, each layer writes its
+    chunk K/V into its ring BEFORE attending, and the returned tuples are
+    the UPDATED rings instead of the chunk K/V."""
 
     cfg: EstimatorConfig
 
     @nn.compact
     def __call__(self, x, mu, t, spks, cond, rings, convs, n_done,
-                 rot=None):
+                 rot=None, write=None):
         c = self.cfg
         assert c.causal and len(c.channels) == 1, \
             "KV streaming supports the single-level causal U-Net"
@@ -496,7 +541,10 @@ class EstimatorStep(nn.Module):
         h = jnp.concatenate([x, mu, spks_b, cond], axis=-1)
         cf = h.shape[1]
         rf = rings["k"][0].shape[-2]
-        mask = _ring_mask(rf, cf, n_done, rot)
+        if write is None:
+            mask = _ring_mask(rf, cf, n_done, rot)
+        else:
+            mask = _ring_mask(rf, cf, n_done + cf, rot, fused=True)
 
         new_convs = {}
         chunk_ks, chunk_vs = [], []
@@ -506,7 +554,7 @@ class EstimatorStep(nn.Module):
             nonlocal li
             h, k_c, v_c = TransformerBlockStep(
                 h.shape[-1], c.num_heads, c.attention_head_dim, c.act_fn,
-                name=name)(h, rings["k"][li], rings["v"][li], mask)
+                name=name)(h, rings["k"][li], rings["v"][li], mask, write)
             chunk_ks.append(k_c)
             chunk_vs.append(v_c)
             li += 1
@@ -717,6 +765,12 @@ class CausalConditionalCFMWave(nn.Module):
     # position-free RMW (works for any geometry; O(ring) traffic).
     write_mode: str = "onehot"
     align: int = 0                      # (prompt_frames % chunk_frames)
+    # fused write-then-attend: rings arrive EXTENDED to capacity
+    # (left context + chunk) and each estimator layer writes its chunk
+    # K/V into its ring before attending (no [ring ++ chunk] concat —
+    # see UNetAttentionStep).  Requires extend_rings_for_fused at
+    # wavefront entry / shrink_rings_from_fused at exit.
+    fused: bool = False
 
     def setup(self):
         self.estimator = EstimatorStep(self.estimator_cfg, name="estimator")
@@ -782,18 +836,30 @@ class CausalConditionalCFMWave(nn.Module):
                                  np.int32)
             rot = jnp.asarray(np.repeat(rot_slots, 2 * b))
 
+        en = jnp.repeat(valid, 2 * b)
+        write = None
+        if self.fused:
+            if self.write_mode == "dus":
+                write = {"mode": "dus",
+                         "offset": (base_frames + w * cf) % r,
+                         "align": self.align, "enable": en}
+            else:
+                write = {"mode": "onehot", "nd": nd_in, "enable": en}
+
         dphi, ck, cv, new_convs = self.estimator(
             x_in, mu_in, t_in, spks_in, cond_in, flat_rings, flat_convs,
-            nd_in, rot)
+            nd_in, rot, write)
 
         rate = jnp.asarray(c.inference_cfg_rate, x_wave.dtype)
         dphi = dphi.reshape(s_steps, 2, b, cf, d).astype(x_wave.dtype)
         dphi = (1.0 + rate) * dphi[:, 0] - rate * dphi[:, 1]
         x_next = x_wave + dts[:, None, None, None] * dphi    # (S,B,C,D)
 
-        # masked ring/conv writes
-        en = jnp.repeat(valid, 2 * b)
-        if self.write_mode == "dus":
+        # masked ring/conv writes (fused mode: the estimator already
+        # wrote the rings layer by layer — ck/cv ARE the updated rings)
+        if self.fused:
+            new_k, new_v = ck, cv
+        elif self.write_mode == "dus":
             # every slot's rotated write offset coincides at
             # (base + w*cf) % r — one static-size in-place DUS per layer
             offset = (base_frames + w * cf) % r
@@ -965,6 +1031,69 @@ def est_cache_to_flat(est: Dict) -> Dict:
             "v": tuple(ring(a) for a in est["v"]), "convs": convs}
 
 
+def _fused_regather(est: Dict, slots_out: int, idx, ok) -> Dict:
+    """Shared gather core of extend/shrink: per-row re-modulo of ring
+    contents.  idx (rows, slots_out) i32 source slots, ok bool validity
+    (invalid -> zeros).  conv caches pass through unchanged.
+
+    Implemented as a {0,1} one-hot matmul shared across all L layers —
+    TPU gathers with computed indices serialize (measured ~20 ms per
+    full-size ring leaf, x224 leaves = seconds per stream), while the
+    one-hot contraction rides the MXU and is bit-exact (each output row
+    has at most one contribution)."""
+    r_in = est["k"][0].shape[-2]
+    perm = jax.nn.one_hot(idx, r_in, dtype=jnp.bfloat16)  # (rows, out, in)
+    perm = perm * ok[..., None].astype(perm.dtype)
+
+    def go(a):
+        return jnp.einsum("bor,brd->bod", perm.astype(a.dtype), a)
+
+    return {"k": tuple(go(a) for a in est["k"]),
+            "v": tuple(go(a) for a in est["v"]),
+            "convs": est["convs"]}
+
+
+def extend_rings_for_fused(est_flat: Dict, n_frames, cf: int,
+                           rot) -> Dict:
+    """Canonical-flat est cache ({"k"/"v": tuple of L (rows, R, d)}) ->
+    the fused write-then-attend layout: capacity R + cf, per-row rotated
+    slot numbering (frame f at slot (f + rot[row]) % (R + cf)).  Content-
+    aware: the last min(n_frames, R) frames are re-moduloed from the
+    canonical rings (slot f % R); everything else zeros.  ``n_frames``
+    (may be traced) is the number of frames written so far (wavefront
+    entry = prompt frames); ``rot`` a (rows,) array/list.  One-time
+    gather per stream."""
+    r = est_flat["k"][0].shape[-2]
+    rp = r + cf
+    rows = est_flat["k"][0].shape[0]
+    n = jnp.asarray(n_frames, jnp.int32)
+    rot = jnp.broadcast_to(jnp.asarray(rot, jnp.int32), (rows,))
+    sp = jnp.arange(rp, dtype=jnp.int32)[None, :]            # dest slots
+    # frame at dest slot sp: largest f < n with (f + rot) == sp (mod rp)
+    f = (n - 1) - ((n - 1 - (sp - rot[:, None])) % rp)       # (rows, rp)
+    ok = f >= jnp.maximum(n - r, 0)
+    idx = jnp.where(ok, f % r, 0)
+    return _fused_regather(est_flat, rp, idx, ok)
+
+
+def shrink_rings_from_fused(est_ext: Dict, n_frames, cf: int,
+                            rot) -> Dict:
+    """Inverse of extend_rings_for_fused at wavefront exit: the last
+    min(n_frames, R) frames (``n_frames`` = total frames written, may be
+    traced) move back to canonical-flat capacity-R slots (frame f at
+    slot f % R) for the sequential finalize/prefill paths."""
+    rp = est_ext["k"][0].shape[-2]
+    r = rp - cf
+    rows = est_ext["k"][0].shape[0]
+    n = jnp.asarray(n_frames, jnp.int32)
+    rot = jnp.broadcast_to(jnp.asarray(rot, jnp.int32), (rows,))
+    s = jnp.arange(r, dtype=jnp.int32)[None, :]              # dest slots
+    f = (n - 1) - ((n - 1 - s) % r)                          # (rows, r)
+    ok = f >= jnp.maximum(n - r, 0)
+    idx = jnp.where(ok, (f + rot[:, None]) % rp, 0)
+    return _fused_regather(est_ext, r, idx, ok)
+
+
 def est_cache_from_flat(flat: Dict, s_steps: int) -> Dict:
     """Inverse of est_cache_to_flat (wavefront exit -> canonical layout
     for the sequential prefill/finalize paths)."""
@@ -982,12 +1111,14 @@ class KVFlowWaveStep(nn.Module):
     cfg: FlowConfig
     write_mode: str = "onehot"
     align: int = 0
+    fused: bool = False
 
     def setup(self):
         self.decoder = CausalConditionalCFMWave(self.cfg.cfm,
                                                 self.cfg.estimator,
                                                 write_mode=self.write_mode,
                                                 align=self.align,
+                                                fused=self.fused,
                                                 name="decoder")
 
     def __call__(self, *args, **kwargs):

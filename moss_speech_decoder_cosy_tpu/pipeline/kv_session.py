@@ -31,7 +31,9 @@ import jax.numpy as jnp
 from ..models.flow.kv_stream import (KVFlowStep, KVFlowEncodeStep,
                                      KVFlowWaveStep, init_kv_cache,
                                      pe_tables, est_cache_to_flat,
-                                     est_cache_from_flat)
+                                     est_cache_from_flat,
+                                     extend_rings_for_fused,
+                                     shrink_rings_from_fused)
 from .device_session import _parallel_fetch, _pcm16_device
 
 
@@ -49,7 +51,7 @@ class KVStreamDecoder:
                  prompt_feat: np.ndarray, embedding: np.ndarray,
                  block_size: int, ring_tokens: int = 35,
                  token_cap: int = 2048, batch: int = 1,
-                 write_mode: str = "auto"):
+                 write_mode: str = "auto", fused: bool = False):
         self.dec = dec
         self.hop = block_size
         self.ring_tokens = ring_tokens
@@ -106,10 +108,20 @@ class KVStreamDecoder:
             cfg, write_mode="dus" if self._dus_ok else "onehot",
             align=self._align if self._dus_ok else 0)
         self._wave_model_onehot = KVFlowWaveStep(cfg)
+        # fused write-then-attend wavefront: rings extended to capacity
+        # (ring + chunk), chunk K/V written into the ring inside the
+        # estimator BEFORE attention (no [ring ++ chunk] concat — the
+        # HLO copy audit measured the per-layer concat at 367 MB/iter of
+        # writes + 367 MB/iter of XLA copies, bin/analyze_wave_hlo.py)
+        self._fused = bool(fused)
+        self._wave_model_fused = KVFlowWaveStep(
+            cfg, write_mode="dus" if self._dus_ok else "onehot",
+            align=self._align if self._dus_ok else 0, fused=True)
         self._enc_hop = jax.jit(self._enc_hop_impl,
                                 static_argnames=("emit_tokens",))
         self._wave_scan = jax.jit(self._wave_scan_impl,
-                                  static_argnames=("n_iters", "dus"))
+                                  static_argnames=("n_iters", "dus",
+                                                   "unroll", "fused"))
         # segmented wavefront: the same scan split into fixed-size
         # segments so vocode/pcm/fetch of finished chunks OVERLAP the
         # later segments' scan time (the final fetch is ~90 ms of wire
@@ -323,7 +335,8 @@ class KVStreamDecoder:
 
     def _wave_scan_impl(self, flow_params, token_buf, x_wave, mu_wave,
                         spks, est, enc_cache, n_iters: int, k_total,
-                        base_frames, dus: bool = False):
+                        base_frames, dus: bool = False, unroll: int = 1,
+                        fused: bool = False):
         """The ENTIRE wavefront loop as one lax.scan dispatch: encoder hop
         under lax.cond while chunks remain, then the batched pipelined-ODE
         iteration.  No per-iteration host traffic — the round-trip relay in
@@ -344,9 +357,19 @@ class KVStreamDecoder:
         n_mel = self.n_mel
         s_steps = self.dec.flow_cfg.cfm.n_timesteps
         est = est_cache_to_flat(est)       # flat layout across the scan
-        wave_model = self._wave_model if dus else self._wave_model_onehot
         rot = None
-        if dus:
+        if fused:
+            # write-then-attend: rings extended to (ring + chunk) capacity,
+            # contents re-moduloed (and slot-rotated when the shared-offset
+            # DUS scheme is active) in one entry gather
+            wave_model = self._wave_model_fused
+            rp = est["k"][0].shape[-2] + cf
+            rot_f = ([((s * cf) % rp) for s in range(s_steps)
+                      for _ in range(2 * self.b)] if dus
+                     else [0] * (s_steps * 2 * self.b))
+            est = extend_rings_for_fused(est, base_frames, cf, rot_f)
+        elif dus:
+            wave_model = self._wave_model
             from ..models.flow.kv_stream import rotate_rings
             r = est["k"][0].shape[-2]
             rot = [((s * cf) % r) for s in range(s_steps)
@@ -354,6 +377,8 @@ class KVStreamDecoder:
             est = dict(est,
                        k=tuple(rotate_rings(a, rot) for a in est["k"]),
                        v=tuple(rotate_rings(a, rot) for a in est["v"]))
+        else:
+            wave_model = self._wave_model_onehot
 
         def body(carry, w):
             x, mu_w, est_c, enc_c, n_tok = carry
@@ -381,9 +406,13 @@ class KVStreamDecoder:
         carry0 = (x_wave, mu_wave, est, enc_cache,
                   jnp.asarray(self.p, jnp.int32))
         (x, mu_w, est, enc_cache, n_tok), mels = jax.lax.scan(
-            body, carry0, jnp.arange(n_iters, dtype=jnp.int32))
+            body, carry0, jnp.arange(n_iters, dtype=jnp.int32),
+            unroll=unroll)
         del x, mu_w
-        if dus:
+        if fused:
+            est = shrink_rings_from_fused(
+                est, base_frames + k_total * cf, cf, rot_f)
+        elif dus:
             from ..models.flow.kv_stream import rotate_rings
             est = dict(est,
                        k=tuple(rotate_rings(a, rot, inverse=True)
@@ -556,7 +585,7 @@ class KVStreamDecoder:
                 cache["est"], cache["enc"], n_iters=n_iters,
                 k_total=jnp.asarray(k, jnp.int32),
                 base_frames=jnp.asarray(base_frames, jnp.int32),
-                dus=self._dus_ok)
+                dus=self._dus_ok, fused=self._fused)
             mels = [mels_all[s_steps - 1: s_steps - 1 + k]
                     .transpose(1, 0, 2, 3).reshape(self.b, -1, n_mel)]
 

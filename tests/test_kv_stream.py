@@ -252,6 +252,27 @@ def test_wavefront_matches_sequential_kv():
     onehot = kv1.stream_decode(tokens[:, p:], bulk_voc=True,
                                wavefront=True, wave_stepped=False)
     np.testing.assert_allclose(onehot, wave, atol=1e-6)
+    # fused write-then-attend wavefront (rings extended to ring+chunk,
+    # chunk K/V written into the ring inside the estimator, no
+    # [ring ++ chunk] concat): same math up to the key-slot permutation
+    # in the softmax reduction order.  DUS geometry with align != 0
+    # exercises the split write; the onehot-fused variant covers
+    # arbitrary geometry.
+    kvf = dec.kv_stream_decoder(tokens[:, :p], prompt_feat, emb,
+                                block_size=hop, ring_tokens=ring_t,
+                                token_cap=64, fused=True)
+    assert kvf._dus_ok and kvf._fused
+    fused = kvf.stream_decode(tokens[:, p:], bulk_voc=True,
+                              wavefront=True, wave_stepped=False)
+    np.testing.assert_allclose(fused, wave, atol=1e-5)
+    kvf1 = dec.kv_stream_decoder(tokens[:, :p], prompt_feat, emb,
+                                 block_size=hop, ring_tokens=ring_t,
+                                 token_cap=64, write_mode="onehot",
+                                 fused=True)
+    assert not kvf1._dus_ok and kvf1._fused
+    fused1 = kvf1.stream_decode(tokens[:, p:], bulk_voc=True,
+                                wavefront=True, wave_stepped=False)
+    np.testing.assert_allclose(fused1, wave, atol=1e-5)
 
 
 def test_wavefront_hop_aligned_prompts_match_sequential():
