@@ -129,7 +129,8 @@ class KVStreamDecoder:
         # buffers are donated: segment boundaries alias the 0.3 GB est
         # rings in place instead of copying.
         self._wave_seg = jax.jit(self._wave_seg_impl,
-                                 static_argnames=("n_iters", "dus"),
+                                 static_argnames=("n_iters", "dus",
+                                                  "fused"),
                                  donate_argnums=(2, 3, 4, 5, 6))
         self._prep_est = jax.jit(self._prep_est_impl)
         self._fin_est = jax.jit(self._fin_est_impl)
@@ -421,17 +422,30 @@ class KVStreamDecoder:
                                for a in est["v"]))
         return mels, est_cache_from_flat(est, s_steps), enc_cache, n_tok
 
-    def _rot_offsets(self, est_flat):
-        r = est_flat["k"][0].shape[-2]
+    def _rot_list(self, r: int):
+        """Per-flat-row slot rotations for the shared-offset DUS scheme
+        at ring capacity ``r`` (canonical for the concat wavefront,
+        ring+chunk for the fused write-then-attend one)."""
         s_steps = self.dec.flow_cfg.cfm.n_timesteps
         cf = self.hop * self.ratio
         return [((s * cf) % r) for s in range(s_steps)
                 for _ in range(2 * self.b)]
 
+    def _rot_offsets(self, est_flat):
+        return self._rot_list(est_flat["k"][0].shape[-2])
+
     def _prep_est_impl(self, est):
         """Canonical est cache -> the wavefront's flat layout, rotated
-        for the shared-offset DUS write scheme when active."""
+        for the shared-offset DUS write scheme when active (fused mode:
+        extended to ring+chunk capacity with contents re-moduloed)."""
         est = est_cache_to_flat(est)
+        cf = self.hop * self.ratio
+        if self._fused:
+            rp = est["k"][0].shape[-2] + cf
+            rot = (self._rot_list(rp) if self._dus_ok
+                   else [0] * len(self._rot_list(rp)))
+            return extend_rings_for_fused(est, self.p * self.ratio, cf,
+                                          rot)
         if self._dus_ok:
             from ..models.flow.kv_stream import rotate_rings
             rot = self._rot_offsets(est)
@@ -440,9 +454,17 @@ class KVStreamDecoder:
                        v=tuple(rotate_rings(a, rot) for a in est["v"]))
         return est
 
-    def _fin_est_impl(self, est):
-        """Inverse of _prep_est (wavefront exit -> canonical layout)."""
-        if self._dus_ok:
+    def _fin_est_impl(self, est, n_total=None):
+        """Inverse of _prep_est (wavefront exit -> canonical layout).
+        Fused mode needs ``n_total`` (frames written so far) to re-modulo
+        the extended rings back to canonical capacity."""
+        cf = self.hop * self.ratio
+        if self._fused:
+            rp = est["k"][0].shape[-2]
+            rot = (self._rot_list(rp) if self._dus_ok
+                   else [0] * len(self._rot_list(rp)))
+            est = shrink_rings_from_fused(est, n_total, cf, rot)
+        elif self._dus_ok:
             from ..models.flow.kv_stream import rotate_rings
             rot = self._rot_offsets(est)
             est = dict(est,
@@ -455,7 +477,8 @@ class KVStreamDecoder:
 
     def _wave_seg_impl(self, flow_params, token_buf, x, mu_w, est, enc_c,
                        n_tok, w0, spks, k_total, base_frames,
-                       n_iters: int, dus: bool = False):
+                       n_iters: int, dus: bool = False,
+                       fused: bool = False):
         """n_iters wavefront iterations starting at global iteration
         ``w0`` — the scan body of _wave_scan_impl, but resumable: est
         arrives already flat (and rotated when dus), the carry leaves in
@@ -463,7 +486,9 @@ class KVStreamDecoder:
         hop = self.hop
         cf = hop * self.ratio
         n_mel = self.n_mel
-        wave_model = self._wave_model if dus else self._wave_model_onehot
+        wave_model = (self._wave_model_fused if fused
+                      else self._wave_model if dus
+                      else self._wave_model_onehot)
 
         def body(carry, w):
             x, mu_w, est_c, enc_c, n_tok = carry
@@ -659,7 +684,7 @@ class KVStreamDecoder:
             mels, x, mu_w, est, enc_cache, n_tok = self._wave_seg(
                 d.flow_params, token_buf, x, mu_w, est, enc_cache, n_tok,
                 jnp.asarray(w0, jnp.int32), spks, k_dev, base_dev,
-                n_iters=size, dus=self._dus_ok)
+                n_iters=size, dus=self._dus_ok, fused=self._fused)
             lo = max(w0, s_steps - 1)
             hi = min(w0 + size, k + s_steps - 1)
             n_new = max(hi - lo, 0)
@@ -675,8 +700,11 @@ class KVStreamDecoder:
             n_hops = n_new                 # steady hops in this segment
             if last_seg:
                 if has_tail:
+                    n_total = (self.p + k * self.hop) * self.ratio
                     fin_cache = {"enc": enc_cache,
-                                 "est": self._fin_est(est),
+                                 "est": self._fin_est(
+                                     est, jnp.asarray(n_total,
+                                                      jnp.int32)),
                                  "n_tok": n_tok}
                     tail_mel, _ = self._hop(d.flow_params, token_buf,
                                             fin_cache,

@@ -345,6 +345,18 @@ def test_segmented_wavefront_matches_unsegmented():
     wn = kvn.stream_decode(tokens[:, p:])
     gn = kvn.stream_decode(tokens[:, p:], segmented=True, seg_iters=3)
     np.testing.assert_allclose(gn, wn, atol=1e-6)
+    # fused write-then-attend session: segmented == unsegmented == the
+    # concat-form stream (extended rings carry across donated segment
+    # boundaries; _fin_est re-modulos them for the finalize hop)
+    kvf = dec.kv_stream_decoder(tokens[:, :p], prompt_feat, emb,
+                                block_size=hop, ring_tokens=ring_t,
+                                token_cap=64, fused=True)
+    wf = kvf.stream_decode(tokens[:, p:])
+    np.testing.assert_allclose(wf, want, atol=1e-5)
+    for seg_iters in (3, 16):
+        gf = kvf.stream_decode(tokens[:, p:], segmented=True,
+                               seg_iters=seg_iters)
+        np.testing.assert_allclose(gf, wf, atol=1e-5)
     # incremental wavefront streaming: growing-segment chunk generator
     # concatenates to the same stream, first chunk after s_steps iters
     for seg_iters in (4, 8):
