@@ -156,13 +156,13 @@ def main():
         # (warm the per-hop programs first — the bulk path doesn't use them)
         cache, voc = kv.init_state()
         kbuf = jnp.asarray(np.pad(tokens, ((0, 0), (0, kv.hop + kv.la + 1))))
-        mel, _ = kv._hop(dec.flow_params, kbuf, cache,
+        mel, _ = kv._hop(kv._fp, kbuf, cache,
                          emit_tokens=kv.hop, finalize=False)
         seg, _ = kv._voc(dec.hift_params, mel, voc, first=True,
                          finalize=False)
         _jax.block_until_ready((kbuf, seg, cache["n_tok"]))
         t0 = time.perf_counter()
-        mel, cache = kv._hop(dec.flow_params, kbuf, cache,
+        mel, cache = kv._hop(kv._fp, kbuf, cache,
                              emit_tokens=kv.hop, finalize=False)
         seg, _ = kv._voc(dec.hift_params, mel, voc, first=True,
                          finalize=False)
@@ -185,7 +185,8 @@ def main():
     if "--batch" in sys.argv:
         nb = int(sys.argv[sys.argv.index("--batch") + 1])
         toks_b = rng.randint(0, flow_cfg.vocab_size, (nb, n_tokens))
-        kvb = dec.kv_stream_decoder(token_cap=n_tokens + 16, batch=nb)
+        kvb = dec.kv_stream_decoder(token_cap=n_tokens + 16, batch=nb,
+                                    fused="--fused" in sys.argv)
         print(f"# warmup batched kv (batch={nb})...", file=sys.stderr,
               flush=True)
         kvb.stream_decode(toks_b, output="int16")

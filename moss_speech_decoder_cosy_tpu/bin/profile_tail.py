@@ -82,7 +82,7 @@ def main():
         jax.block_until_ready(token_buf)
         lap("upload")
         cache, voc = kv.init_state()
-        jax.block_until_ready(cache["est"]["k"][0])
+        jax.block_until_ready(cache["est"]["kv"][0])
         lap("init_state")
         plan = kv.schedule(n)
         # --- _flow_mels_wave body, phased (keep in sync with
@@ -94,7 +94,7 @@ def main():
         k = len(steady)
         base_frames = kv.p * kv.ratio
         if kv._spks_cached is None:
-            kv._spks_cached = kv._spk(dec.flow_params, kv._emb)
+            kv._spks_cached = kv._spk(kv._fp, kv._emb)
         spks = kv._spks_cached
         jax.block_until_ready(spks)
         lap("spk")
@@ -104,7 +104,7 @@ def main():
         need = k + s_steps - 1
         n_iters = max(16, ((need + 15) // 16) * 16)
         mels_all, est, enc_cache, n_tok = kv._wave_scan(
-            dec.flow_params, token_buf, x_wave, mu_wave, spks,
+            kv._fp, token_buf, x_wave, mu_wave, spks,
             cache["est"], cache["enc"], n_iters=n_iters,
             k_total=jnp.asarray(k, jnp.int32),
             base_frames=jnp.asarray(base_frames, jnp.int32),
@@ -116,7 +116,7 @@ def main():
         cache = {"enc": enc_cache, "est": est, "n_tok": n_tok}
         if plan and plan[-1][1]:
             tail, _ = plan[-1]
-            mel, cache = kv._hop(dec.flow_params, token_buf, cache,
+            mel, cache = kv._hop(kv._fp, token_buf, cache,
                                  emit_tokens=tail, finalize=True)
             mels.append(mel)
         mel_full = jnp.concatenate(mels, axis=1)

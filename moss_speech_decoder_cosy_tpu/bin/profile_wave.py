@@ -102,7 +102,7 @@ def main():
         n_iters = max(16, ((need + 15) // 16) * 16)
 
         from ..models.flow.cfm import _fixed_noise
-        spks = kv._spk(dec.flow_params, kv._emb)
+        spks = kv._spk(kv._fp, kv._emb)
         noise = _fixed_noise(flow_cfg.cfm.max_noise_len, kv.n_mel)
         x_wave = np.zeros((s_steps, 1, cf, kv.n_mel), np.float32)
         x_wave[0] = noise[:, :cf]
@@ -111,7 +111,7 @@ def main():
 
         def run():
             mels, est, enc, n_tok = kv._wave_scan(
-                dec.flow_params, token_buf, x_wave, mu_wave, spks,
+                kv._fp, token_buf, x_wave, mu_wave, spks,
                 cache["est"], cache["enc"], n_iters=n_iters,
                 k_total=jnp.asarray(k, jnp.int32),
                 base_frames=jnp.asarray(0, jnp.int32),

@@ -27,10 +27,16 @@ Key TPU-first facts exploited:
 - the whole hop is two static-shape jitted programs (flow chunk, vocoder
   chunk) — see pipeline/kv_session.py.
 
-All mirror modules reuse the exact parameter names of the full modules in
-encoder.py / estimator.py / cfm.py / flow.py, so they apply with the SAME
-params pytree (and torch-converted checkpoints) — any structural drift
-fails loudly as a missing-parameter error.
+All mirror modules reuse the parameter names of the full modules in
+encoder.py / estimator.py / cfm.py / flow.py, with ONE re-pack applied by
+``fuse_qkv_params``: the per-layer q/k/v projections are concatenated into
+single ``to_qkv`` / ``linear_qkv`` kernels (one matmul instead of three —
+the wavefront scan body is op-dispatch-bound at ~2.7 us per HLO op on this
+chip, BENCH_NOTES round 3, so op count IS the cost model).  Sessions apply
+the transform once at init; any other structural drift still fails loudly
+as a missing-parameter error.  K and V share one ring buffer per layer
+(feature-concatenated) for the same reason: half the ring writes and carry
+leaves.
 """
 
 from __future__ import annotations
@@ -51,6 +57,46 @@ from ...ops.embeddings import SinusoidalPosEmb, TimestepEmbedding, \
     _abs_pe_table
 from ...utils.config import (FlowConfig, EncoderConfig, EstimatorConfig,
                              CFMConfig)
+
+
+# --------------------------------------------------------------------------
+# param re-pack: per-layer q/k/v projections -> one fused qkv matmul
+# --------------------------------------------------------------------------
+
+def fuse_qkv_params(params):
+    """Re-pack a canonical CausalMaskedDiffWithXvec param tree for the KV
+    step modules: every estimator ``attn1.{to_q,to_k,to_v}`` becomes one
+    ``to_qkv`` kernel and every encoder ``self_attn.{linear_q,linear_k,
+    linear_v}`` one ``linear_qkv`` kernel+bias (zeros where torch had no
+    k-bias).  Column-block concatenation only — each output column's dot
+    product is unchanged, so the fused matmul is numerically identical.
+
+    Applied once per session (sessions cache the fused tree); converters
+    and the full modules keep the canonical torch-compatible layout."""
+
+    def walk(d):
+        if not isinstance(d, dict):
+            return d
+        out = {k: walk(v) for k, v in d.items()}
+        if {"to_q", "to_k", "to_v"} <= set(out):
+            kern = jnp.concatenate([out.pop("to_q")["kernel"],
+                                    out.pop("to_k")["kernel"],
+                                    out.pop("to_v")["kernel"]], axis=-1)
+            out["to_qkv"] = {"kernel": kern}
+        if {"linear_q", "linear_k", "linear_v"} <= set(out):
+            q, k, v = (out.pop(n) for n in
+                       ("linear_q", "linear_k", "linear_v"))
+            kern = jnp.concatenate([q["kernel"], k["kernel"], v["kernel"]],
+                                   axis=-1)
+            dim = q["kernel"].shape[-1]
+            zero = jnp.zeros((dim,), q["kernel"].dtype)
+            bias = jnp.concatenate([q.get("bias", zero),
+                                    k.get("bias", zero),
+                                    v.get("bias", zero)], axis=-1)
+            out["linear_qkv"] = {"kernel": kern, "bias": bias}
+        return out
+
+    return walk(params)
 
 
 # --------------------------------------------------------------------------
@@ -198,7 +244,12 @@ class RelPosAttentionStep(nn.Module):
 
     wenet 'rel_pos' flavor only: matrix_bd is key-indexed
     ((q+v)·linear_pos(pe[abs_key_pos])) so the projected position vector is
-    cached per ring slot alongside k/v (attention.py:73-78)."""
+    cached per ring slot alongside k/v (attention.py:73-78).
+
+    q/k/v run as ONE fused matmul (``linear_qkv``, see fuse_qkv_params)
+    and the K/V ring is one feature-concatenated buffer (B, R, 2D) —
+    ``ring_kv`` — written once per hop.  ``pos_bias_u/v`` keep the
+    canonical names."""
 
     heads: int
     dim: int
@@ -206,23 +257,23 @@ class RelPosAttentionStep(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pos_emb: jnp.ndarray,
-                 ring_k: jnp.ndarray, ring_v: jnp.ndarray,
-                 ring_pk: jnp.ndarray, mask: jnp.ndarray
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
-                            jnp.ndarray]:
+                 ring_kv: jnp.ndarray, ring_pk: jnp.ndarray,
+                 mask: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         b, c, _ = x.shape
         h, dk = self.heads, self.dim // self.heads
-        q = nn.Dense(self.dim, name="linear_q")(x)
-        k_c = nn.Dense(self.dim, use_bias=self.key_bias, name="linear_k")(x)
-        v_c = nn.Dense(self.dim, name="linear_v")(x)
+        qkv = nn.Dense(3 * self.dim, name="linear_qkv")(x)
+        q = qkv[..., : self.dim]
+        kv_c = qkv[..., self.dim:]                      # [k | v] merged
         pk_c = nn.Dense(self.dim, use_bias=False, name="linear_pos")(pos_emb)
 
         init = nn.initializers.xavier_uniform()
         pos_bias_u = self.param("pos_bias_u", init, (h, dk))
         pos_bias_v = self.param("pos_bias_v", init, (h, dk))
 
-        keys = jnp.concatenate([ring_k.astype(k_c.dtype), k_c], axis=1)
-        vals = jnp.concatenate([ring_v.astype(v_c.dtype), v_c], axis=1)
+        kvs = jnp.concatenate([ring_kv.astype(kv_c.dtype), kv_c], axis=1)
+        keys = kvs[..., : self.dim]
+        vals = kvs[..., self.dim:]
         pks = jnp.concatenate([ring_pk.astype(pk_c.dtype), pk_c], axis=1)
         tk = keys.shape[1]
 
@@ -235,7 +286,7 @@ class RelPosAttentionStep(nn.Module):
         attn = masked_softmax(scores, mask)
         out = attn @ vals.reshape(b, tk, h, dk).transpose(0, 2, 1, 3)
         out = out.transpose(0, 2, 1, 3).reshape(b, c, self.dim)
-        return nn.Dense(self.dim, name="linear_out")(out), k_c, v_c, pk_c
+        return nn.Dense(self.dim, name="linear_out")(out), kv_c, pk_c
 
 
 class ConformerLayerStep(nn.Module):
@@ -245,7 +296,7 @@ class ConformerLayerStep(nn.Module):
     cfg: EncoderConfig
 
     @nn.compact
-    def __call__(self, x, pos_emb, ring_k, ring_v, ring_pk, mask):
+    def __call__(self, x, pos_emb, ring_kv, ring_pk, mask):
         c = self.cfg
         assert not c.use_cnn_module, "KV streaming: cnn module unsupported"
         if c.macaron_style:
@@ -253,15 +304,15 @@ class ConformerLayerStep(nn.Module):
             x = x + 0.5 * FeedForward(c.linear_units, c.activation,
                                       c.dropout_rate, name="ff_macaron")(h)
         h = nn.LayerNorm(epsilon=1e-12, name="norm_mha")(x)
-        a, k_c, v_c, pk_c = RelPosAttentionStep(
+        a, kv_c, pk_c = RelPosAttentionStep(
             c.attention_heads, c.output_size, c.key_bias,
-            name="self_attn")(h, pos_emb, ring_k, ring_v, ring_pk, mask)
+            name="self_attn")(h, pos_emb, ring_kv, ring_pk, mask)
         x = x + a
         h = nn.LayerNorm(epsilon=1e-12, name="norm_ff")(x)
         ff_scale = 0.5 if c.macaron_style else 1.0
         x = x + ff_scale * FeedForward(c.linear_units, c.activation,
                                        c.dropout_rate, name="feed_forward")(h)
-        return x, k_c, v_c, pk_c
+        return x, kv_c, pk_c
 
 
 class PreLookaheadStep(nn.Module):
@@ -303,9 +354,9 @@ class Upsample1DStep(nn.Module):
 class UpsampleConformerEncoderStep(nn.Module):
     """One chunk through the UpsampleConformerEncoder with KV rings.
 
-    cache keys: pre (B, 2, D) conv2 state; k/v (Nb, B, Rt, D) and
-    pk (Nb, 1, Rt, D) token-rate rings; up_conv (B, 2*stride, D);
-    uk/uv (Nu, B, Rm, D), upk (Nu, 1, Rm, D) mel-rate rings."""
+    cache keys: pre (B, 2, D) conv2 state; kv (Nb, B, Rt, 2D) merged K/V
+    and pk (Nb, 1, Rt, D) token-rate rings; up_conv (B, 2*stride, D);
+    ukv (Nu, B, Rm, 2D), upk (Nu, 1, Rm, D) mel-rate rings."""
 
     cfg: EncoderConfig
 
@@ -334,18 +385,16 @@ class UpsampleConformerEncoderStep(nn.Module):
             c.output_size, la, name="pre_lookahead_layer")(
                 x, ctx, cache["pre"])
 
-        rt = cache["k"].shape[-2]
+        rt = cache["kv"].shape[-2]
         mask = _ring_mask(rt, ct, n_tok)
-        ks, vs, pks = [], [], []
+        kvs, pks = [], []
         for i in range(c.num_blocks):
-            x, k_c, v_c, pk_c = ConformerLayerStep(
-                c, name=f"encoders_{i}")(x, pos, cache["k"][i],
-                                         cache["v"][i], cache["pk"][i], mask)
-            ks.append(k_c)
-            vs.append(v_c)
+            x, kv_c, pk_c = ConformerLayerStep(
+                c, name=f"encoders_{i}")(x, pos, cache["kv"][i],
+                                         cache["pk"][i], mask)
+            kvs.append(kv_c)
             pks.append(pk_c)
-        new_k = ring_write(cache["k"], jnp.stack(ks), n_tok)
-        new_v = ring_write(cache["v"], jnp.stack(vs), n_tok)
+        new_kv = ring_write(cache["kv"], jnp.stack(kvs), n_tok)
         new_pk = ring_write(cache["pk"], jnp.stack(pks), n_tok)
 
         x, new_up_conv = Upsample1DStep(c.output_size, s, name="up_layer")(
@@ -356,23 +405,20 @@ class UpsampleConformerEncoderStep(nn.Module):
         x = LinearEmbed(c.output_size, c.dropout_rate, name="up_embed")(x)
         pos_up = jax.lax.dynamic_slice(
             pe_mel, (n_mel, 0), (cm, pe_mel.shape[1]))[None].astype(x.dtype)
-        rm = cache["uk"].shape[-2]
+        rm = cache["ukv"].shape[-2]
         mask_up = _ring_mask(rm, cm, n_mel)
-        uks, uvs, upks = [], [], []
+        ukvs, upks = [], []
         for i in range(c.num_up_blocks):
-            x, k_c, v_c, pk_c = ConformerLayerStep(
-                c, name=f"up_encoders_{i}")(x, pos_up, cache["uk"][i],
-                                            cache["uv"][i], cache["upk"][i],
-                                            mask_up)
-            uks.append(k_c)
-            uvs.append(v_c)
+            x, kv_c, pk_c = ConformerLayerStep(
+                c, name=f"up_encoders_{i}")(x, pos_up, cache["ukv"][i],
+                                            cache["upk"][i], mask_up)
+            ukvs.append(kv_c)
             upks.append(pk_c)
         new_cache = {
             "pre": new_pre.astype(cache["pre"].dtype),
-            "k": new_k, "v": new_v, "pk": new_pk,
+            "kv": new_kv, "pk": new_pk,
             "up_conv": new_up_conv.astype(cache["up_conv"].dtype),
-            "uk": ring_write(cache["uk"], jnp.stack(uks), n_mel),
-            "uv": ring_write(cache["uv"], jnp.stack(uvs), n_mel),
+            "ukv": ring_write(cache["ukv"], jnp.stack(ukvs), n_mel),
             "upk": ring_write(cache["upk"], jnp.stack(upks), n_mel),
         }
         x = nn.LayerNorm(epsilon=1e-5, name="after_norm")(x)
@@ -416,48 +462,48 @@ class UNetAttentionStep(nn.Module):
     """UNetAttention (attention.py:89-129) over [KV ring ++ chunk].  No
     positional term -> key slots are order-free, rings are circular.
 
+    q/k/v run as ONE fused matmul (``to_qkv``, see fuse_qkv_params) whose
+    k/v halves are ALREADY the feature-concatenated chunk for the merged
+    (B, R, 2*inner) ``ring_kv`` buffer — one ring write per layer instead
+    of two, and half the while-carry leaves.
+
     Two dataflows, same math:
-    - concat (``write=None``): keys = [ring ++ chunk]; returns the chunk
-      K/V for the caller to write into the ring afterwards.
-    - fused write-then-attend (``write`` dict): the chunk K/V are written
+    - concat (``write=None``): keys/vals = [ring ++ chunk]; returns the
+      merged chunk KV for the caller to write into the ring afterwards.
+    - fused write-then-attend (``write`` dict): the chunk KV is written
       INTO the ring (capacity = left context + chunk) FIRST, then
       attention reads the ring directly.  This removes the per-layer
-      (B, R+C, inner) concat materialization — measured 367 MB/iter of
+      (B, R+C, ·) concat materialization — measured 367 MB/iter of
       writes plus 367 MB/iter of XLA copies on the full-size wavefront
       (bin/analyze_wave_hlo.py) — and leaves the ring with the single
       DUS-update chain XLA aliases in place inside loop carries (the LLM
-      KV-cache decode pattern).  Returns the UPDATED rings instead of the
-      chunk K/V.  Bit-exact vs concat when the ring dtype equals the
+      KV-cache decode pattern).  Returns the UPDATED ring instead of the
+      chunk KV.  Bit-exact vs concat when the ring dtype equals the
       compute dtype (all supported serving recipes keep them equal)."""
 
     heads: int
     head_dim: int
 
     @nn.compact
-    def __call__(self, x, ring_k, ring_v, mask, write=None):
+    def __call__(self, x, ring_kv, mask, write=None):
         b, c, dim = x.shape
         inner = self.heads * self.head_dim
-        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
-        k_c = nn.Dense(inner, use_bias=False, name="to_k")(x)
-        v_c = nn.Dense(inner, use_bias=False, name="to_v")(x)
+        qkv = nn.Dense(3 * inner, use_bias=False, name="to_qkv")(x)
+        q = qkv[..., :inner]
+        kv_c = qkv[..., inner:]                          # [k | v] merged
         if write is None:
-            keys = jnp.concatenate([ring_k.astype(k_c.dtype), k_c], axis=1)
-            vals = jnp.concatenate([ring_v.astype(v_c.dtype), v_c], axis=1)
-            ret_k, ret_v = k_c, v_c
+            kvs = jnp.concatenate([ring_kv.astype(kv_c.dtype), kv_c], axis=1)
+            ret = kv_c
         elif write["mode"] == "dus":
-            ret_k = ring_write_dus(ring_k, k_c, write["offset"],
-                                   write["enable"], write["align"])
-            ret_v = ring_write_dus(ring_v, v_c, write["offset"],
-                                   write["enable"], write["align"])
-            keys = ret_k.astype(k_c.dtype)
-            vals = ret_v.astype(v_c.dtype)
+            ret = ring_write_dus(ring_kv, kv_c, write["offset"],
+                                 write["enable"], write["align"])
+            kvs = ret.astype(kv_c.dtype)
         else:
-            ret_k = ring_write_batched(ring_k, k_c, write["nd"],
-                                       enable=write["enable"])
-            ret_v = ring_write_batched(ring_v, v_c, write["nd"],
-                                       enable=write["enable"])
-            keys = ret_k.astype(k_c.dtype)
-            vals = ret_v.astype(v_c.dtype)
+            ret = ring_write_batched(ring_kv, kv_c, write["nd"],
+                                     enable=write["enable"])
+            kvs = ret.astype(kv_c.dtype)
+        keys = kvs[..., :inner]
+        vals = kvs[..., inner:]
         tk = keys.shape[1]
         q = q.reshape(b, c, self.heads, self.head_dim).transpose(0, 2, 1, 3)
         kt = keys.reshape(b, tk, self.heads, self.head_dim
@@ -468,7 +514,7 @@ class UNetAttentionStep(nn.Module):
         attn = masked_softmax(scores, mask)
         out = attn @ vt
         out = out.transpose(0, 2, 1, 3).reshape(b, c, inner)
-        return nn.Dense(dim, name="to_out")(out), ret_k, ret_v
+        return nn.Dense(dim, name="to_out")(out), ret
 
 
 class TransformerBlockStep(nn.Module):
@@ -481,17 +527,16 @@ class TransformerBlockStep(nn.Module):
     ff_mult: int = 4
 
     @nn.compact
-    def __call__(self, x, ring_k, ring_v, mask, write=None):
+    def __call__(self, x, ring_kv, mask, write=None):
         h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-        a, k_c, v_c = UNetAttentionStep(self.num_heads, self.head_dim,
-                                        name="attn1")(h, ring_k, ring_v,
-                                                      mask, write)
+        a, kv_c = UNetAttentionStep(self.num_heads, self.head_dim,
+                                    name="attn1")(h, ring_kv, mask, write)
         x = x + a
         h = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
         ff = nn.Dense(self.dim * self.ff_mult, name="ff_proj")(h)
         ff = get_activation(self.act_fn)(ff)
         x = x + nn.Dense(self.dim, name="ff_out")(ff)
-        return x, k_c, v_c
+        return x, kv_c
 
 
 def estimator_conv_cache_names(cfg: EstimatorConfig):
@@ -509,18 +554,18 @@ class EstimatorStep(nn.Module):
     """One chunk through CausalConditionalDecoder (estimator.py:123-245) —
     single-level causal configs (the MOSS / CosyVoice2 production shapes).
 
-    rings: {"k": tuple of L (B2, Rf, inner) arrays, "v": ...} with L
+    rings: {"kv": tuple of L (B2, Rf, 2*inner) merged K/V arrays} with L
     attention layers in walk order — one buffer per layer so XLA can
     alias each ring independently in loop carries (a stacked (L, ...)
     buffer forced per-layer strided slice copies); convs: {name:
     (B2, 2, ch_in)} keyed by ``estimator_conv_cache_names``.  Returns
-    (out, chunk_ks, chunk_vs, new_convs) with chunk_ks/vs tuples of L
-    (B2, C, inner) arrays — the CFM step owns the ring writes.
+    (out, chunk_kvs, new_convs) with chunk_kvs a tuple of L
+    (B2, C, 2*inner) arrays — the CFM step owns the ring writes.
 
     ``write`` (fused write-then-attend, see UNetAttentionStep): rings
     arrive with capacity Rf = left context + chunk, each layer writes its
-    chunk K/V into its ring BEFORE attending, and the returned tuples are
-    the UPDATED rings instead of the chunk K/V."""
+    chunk KV into its ring BEFORE attending, and the returned tuple is
+    the UPDATED rings instead of the chunk KV."""
 
     cfg: EstimatorConfig
 
@@ -540,23 +585,22 @@ class EstimatorStep(nn.Module):
                                   (x.shape[0], x.shape[1], spks.shape[-1]))
         h = jnp.concatenate([x, mu, spks_b, cond], axis=-1)
         cf = h.shape[1]
-        rf = rings["k"][0].shape[-2]
+        rf = rings["kv"][0].shape[-2]
         if write is None:
             mask = _ring_mask(rf, cf, n_done, rot)
         else:
             mask = _ring_mask(rf, cf, n_done + cf, rot, fused=True)
 
         new_convs = {}
-        chunk_ks, chunk_vs = [], []
+        chunk_kvs = []
         li = 0
 
         def tf(h, name):
             nonlocal li
-            h, k_c, v_c = TransformerBlockStep(
+            h, kv_c = TransformerBlockStep(
                 h.shape[-1], c.num_heads, c.attention_head_dim, c.act_fn,
-                name=name)(h, rings["k"][li], rings["v"][li], mask, write)
-            chunk_ks.append(k_c)
-            chunk_vs.append(v_c)
+                name=name)(h, rings["kv"][li], mask, write)
+            chunk_kvs.append(kv_c)
             li += 1
             return h
 
@@ -586,15 +630,15 @@ class EstimatorStep(nn.Module):
         h, new_convs["final_block"] = CausalBlock1DStep(
             ch, name="final_block")(h, convs["final_block"])
         out = Conv1d(c.out_channels, 1, name="final_proj")(h)
-        return out, tuple(chunk_ks), tuple(chunk_vs), new_convs
+        return out, tuple(chunk_kvs), new_convs
 
 
 class CausalConditionalCFMStep(nn.Module):
     """CFM Euler solve for one chunk (cfm.py:43-98), per-ODE-step KV rings.
 
-    cache: {"k"/"v": tuple of L (S, 2B, Rf, inner) arrays, "convs":
-    {name: (S, 2B, 2, ch)}} — leading axis S = n_timesteps on every
-    leaf, consumed/produced by the nn.scan."""
+    cache: {"kv": tuple of L (S, 2B, Rf, 2*inner) merged K/V arrays,
+    "convs": {name: (S, 2B, 2, ch)}} — leading axis S = n_timesteps on
+    every leaf, consumed/produced by the nn.scan."""
 
     cfg: CFMConfig
     estimator_cfg: EstimatorConfig
@@ -623,31 +667,28 @@ class CausalConditionalCFMStep(nn.Module):
         cond_in = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
 
         def body(mdl, carry, xs):
-            t_i, dt_i, k_s, v_s, convs_s = xs
+            t_i, dt_i, kv_s, convs_s = xs
             cd = (jnp.dtype(mdl.cfg.estimator_dtype)
                   if mdl.cfg.estimator_dtype else mu_in.dtype)
             x_in = jnp.concatenate([carry, carry], axis=0).astype(cd)
             t_in = jnp.full((2 * b,), t_i, cd)
-            dphi, ck, cv, new_convs = mdl.estimator(
+            dphi, ckv, new_convs = mdl.estimator(
                 x_in, mu_in.astype(cd), t_in, spks_in.astype(cd),
-                cond_in.astype(cd), {"k": k_s, "v": v_s}, convs_s, n_done)
+                cond_in.astype(cd), {"kv": kv_s}, convs_s, n_done)
             dphi = dphi.astype(carry.dtype)
             rate = jnp.asarray(mdl.cfg.inference_cfg_rate, carry.dtype)
             dphi = (1.0 + rate) * dphi[:b] - rate * dphi[b:]
-            new_k = tuple(ring_write(r_, c_, n_done)
-                          for r_, c_ in zip(k_s, ck))
-            new_v = tuple(ring_write(r_, c_, n_done)
-                          for r_, c_ in zip(v_s, cv))
+            new_kv = tuple(ring_write(r_, c_, n_done)
+                           for r_, c_ in zip(kv_s, ckv))
             new_convs = jax.tree.map(
                 lambda old, new: new.astype(old.dtype), convs_s, new_convs)
-            return carry + dt_i * dphi, (new_k, new_v, new_convs)
+            return carry + dt_i * dphi, (new_kv, new_convs)
 
         scan = nn.scan(body, variable_broadcast="params",
                        split_rngs={"params": False})
-        x, (new_k, new_v, new_convs) = scan(
-            self, z, (t_cur, dts, cache["k"], cache["v"], cache["convs"]))
-        return x.astype(jnp.float32), {"k": new_k, "v": new_v,
-                                       "convs": new_convs}
+        x, (new_kv, new_convs) = scan(
+            self, z, (t_cur, dts, cache["kv"], cache["convs"]))
+        return x.astype(jnp.float32), {"kv": new_kv, "convs": new_convs}
 
 
 # --------------------------------------------------------------------------
@@ -821,15 +862,15 @@ class CausalConditionalCFMWave(nn.Module):
         t_in = jnp.repeat(t_cur, 2 * b).astype(cd)
         nd_in = jnp.repeat(n_dones, 2 * b)
 
-        # est_cache arrives in the FLAT wavefront layout ({"k"/"v": tuple
-        # of L (S*2B, R, d) arrays, "convs": {name: (S*2B, 2, ch)}}, see
+        # est_cache arrives in the FLAT wavefront layout ({"kv": tuple
+        # of L (S*2B, R, 2d) arrays, "convs": {name: (S*2B, 2, ch)}}, see
         # est_cache_to_flat).  Per-layer buffers: a stacked (L, ...)
         # carry forced XLA into a strided 2.9 MB copy per layer per
         # iteration (~320 MB/iter in the optimized TPU HLO); separate
         # leaves slice nothing and alias in place across the scan.
-        flat_rings = {"k": est_cache["k"], "v": est_cache["v"]}
+        flat_rings = {"kv": est_cache["kv"]}
         flat_convs = est_cache["convs"]
-        r = flat_rings["k"][0].shape[-2]
+        r = flat_rings["kv"][0].shape[-2]
         rot = None
         if self.write_mode == "dus":
             rot_slots = np.array([(s * cf) % r for s in range(s_steps)],
@@ -846,7 +887,7 @@ class CausalConditionalCFMWave(nn.Module):
             else:
                 write = {"mode": "onehot", "nd": nd_in, "enable": en}
 
-        dphi, ck, cv, new_convs = self.estimator(
+        dphi, ckv, new_convs = self.estimator(
             x_in, mu_in, t_in, spks_in, cond_in, flat_rings, flat_convs,
             nd_in, rot, write)
 
@@ -856,22 +897,18 @@ class CausalConditionalCFMWave(nn.Module):
         x_next = x_wave + dts[:, None, None, None] * dphi    # (S,B,C,D)
 
         # masked ring/conv writes (fused mode: the estimator already
-        # wrote the rings layer by layer — ck/cv ARE the updated rings)
+        # wrote the rings layer by layer — ckv ARE the updated rings)
         if self.fused:
-            new_k, new_v = ck, cv
+            new_kv = ckv
         elif self.write_mode == "dus":
             # every slot's rotated write offset coincides at
             # (base + w*cf) % r — one static-size in-place DUS per layer
             offset = (base_frames + w * cf) % r
-            new_k = tuple(ring_write_dus(r_, c_, offset, en, self.align)
-                          for r_, c_ in zip(flat_rings["k"], ck))
-            new_v = tuple(ring_write_dus(r_, c_, offset, en, self.align)
-                          for r_, c_ in zip(flat_rings["v"], cv))
+            new_kv = tuple(ring_write_dus(r_, c_, offset, en, self.align)
+                           for r_, c_ in zip(flat_rings["kv"], ckv))
         else:
-            new_k = tuple(ring_write_batched(r_, c_, nd_in, enable=en)
-                          for r_, c_ in zip(flat_rings["k"], ck))
-            new_v = tuple(ring_write_batched(r_, c_, nd_in, enable=en)
-                          for r_, c_ in zip(flat_rings["v"], cv))
+            new_kv = tuple(ring_write_batched(r_, c_, nd_in, enable=en)
+                           for r_, c_ in zip(flat_rings["kv"], ckv))
         new_convs = jax.tree.map(
             lambda old, new: jnp.where(en[:, None, None],
                                        new.astype(old.dtype), old),
@@ -887,7 +924,7 @@ class CausalConditionalCFMWave(nn.Module):
             (1, cf, d))
         z = jnp.broadcast_to(z, (b, cf, d)).astype(x_wave.dtype)
         x_shift = jnp.concatenate([z[None], x_next[:-1]], axis=0)
-        return exit_mel, x_shift, mu_wave, {"k": new_k, "v": new_v,
+        return exit_mel, x_shift, mu_wave, {"kv": new_kv,
                                             "convs": new_convs}
 
 
@@ -962,10 +999,10 @@ class CausalConditionalCFMWaveLanes(nn.Module):
         t_in = jnp.repeat(t_cur, 2 * lanes).astype(cd)
         nd_in = jnp.tile(n_dones[:, None, :], (1, 2, 1)).reshape(-1)
 
-        flat_rings = {"k": est_cache["k"], "v": est_cache["v"]}
+        flat_rings = {"kv": est_cache["kv"]}
         flat_convs = est_cache["convs"]
 
-        dphi, ck, cv, new_convs = self.estimator(
+        dphi, ckv, new_convs = self.estimator(
             x_in, mu_in, t_in, spks_in, cond_in, flat_rings, flat_convs,
             nd_in)
 
@@ -975,10 +1012,8 @@ class CausalConditionalCFMWaveLanes(nn.Module):
         x_next = x_wave + dts[:, None, None, None] * dphi    # (S,lanes,C,D)
 
         en = jnp.tile(valid[:, None, :], (1, 2, 1)).reshape(-1)
-        new_k = tuple(ring_write_batched(r_, c_, nd_in, enable=en)
-                      for r_, c_ in zip(flat_rings["k"], ck))
-        new_v = tuple(ring_write_batched(r_, c_, nd_in, enable=en)
-                      for r_, c_ in zip(flat_rings["v"], cv))
+        new_kv = tuple(ring_write_batched(r_, c_, nd_in, enable=en)
+                       for r_, c_ in zip(flat_rings["kv"], ckv))
         new_convs = jax.tree.map(
             lambda old, new: jnp.where(en[:, None, None],
                                        new.astype(old.dtype), old),
@@ -997,7 +1032,7 @@ class CausalConditionalCFMWaveLanes(nn.Module):
             advance[None, :, None, None],
             jnp.concatenate([z[None], x_next[:-1]], axis=0), x_wave)
         return (exit_mel, exit_valid, x_shift, mu_wave,
-                {"k": new_k, "v": new_v, "convs": new_convs},
+                {"kv": new_kv, "convs": new_convs},
                 w + advance.astype(w.dtype))
 
 
@@ -1016,9 +1051,9 @@ class KVLaneWaveStep(nn.Module):
 
 
 def est_cache_to_flat(est: Dict) -> Dict:
-    """Canonical est cache {"k"/"v": tuple of L (S, B2, R, d) arrays,
+    """Canonical est cache {"kv": tuple of L (S, B2, R, 2d) arrays,
     "convs": {name: (S, B2, 2, ch)}} -> the wavefront's flat layout
-    {"k"/"v": tuple of L (S*B2, R, d) arrays, "convs":
+    {"kv": tuple of L (S*B2, R, 2d) arrays, "convs":
     {name: (S*B2, 2, ch)}}.
 
     With per-layer buffers this is a pure reshape on every leaf (row
@@ -1027,8 +1062,7 @@ def est_cache_to_flat(est: Dict) -> Dict:
     def ring(a):
         return a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
     convs = jax.tree.map(ring, est["convs"])
-    return {"k": tuple(ring(a) for a in est["k"]),
-            "v": tuple(ring(a) for a in est["v"]), "convs": convs}
+    return {"kv": tuple(ring(a) for a in est["kv"]), "convs": convs}
 
 
 def _fused_regather(est: Dict, slots_out: int, idx, ok) -> Dict:
@@ -1041,21 +1075,20 @@ def _fused_regather(est: Dict, slots_out: int, idx, ok) -> Dict:
     full-size ring leaf, x224 leaves = seconds per stream), while the
     one-hot contraction rides the MXU and is bit-exact (each output row
     has at most one contribution)."""
-    r_in = est["k"][0].shape[-2]
+    r_in = est["kv"][0].shape[-2]
     perm = jax.nn.one_hot(idx, r_in, dtype=jnp.bfloat16)  # (rows, out, in)
     perm = perm * ok[..., None].astype(perm.dtype)
 
     def go(a):
         return jnp.einsum("bor,brd->bod", perm.astype(a.dtype), a)
 
-    return {"k": tuple(go(a) for a in est["k"]),
-            "v": tuple(go(a) for a in est["v"]),
+    return {"kv": tuple(go(a) for a in est["kv"]),
             "convs": est["convs"]}
 
 
 def extend_rings_for_fused(est_flat: Dict, n_frames, cf: int,
                            rot) -> Dict:
-    """Canonical-flat est cache ({"k"/"v": tuple of L (rows, R, d)}) ->
+    """Canonical-flat est cache ({"kv": tuple of L (rows, R, 2d)}) ->
     the fused write-then-attend layout: capacity R + cf, per-row rotated
     slot numbering (frame f at slot (f + rot[row]) % (R + cf)).  Content-
     aware: the last min(n_frames, R) frames are re-moduloed from the
@@ -1063,9 +1096,9 @@ def extend_rings_for_fused(est_flat: Dict, n_frames, cf: int,
     (may be traced) is the number of frames written so far (wavefront
     entry = prompt frames); ``rot`` a (rows,) array/list.  One-time
     gather per stream."""
-    r = est_flat["k"][0].shape[-2]
+    r = est_flat["kv"][0].shape[-2]
     rp = r + cf
-    rows = est_flat["k"][0].shape[0]
+    rows = est_flat["kv"][0].shape[0]
     n = jnp.asarray(n_frames, jnp.int32)
     rot = jnp.broadcast_to(jnp.asarray(rot, jnp.int32), (rows,))
     sp = jnp.arange(rp, dtype=jnp.int32)[None, :]            # dest slots
@@ -1082,9 +1115,9 @@ def shrink_rings_from_fused(est_ext: Dict, n_frames, cf: int,
     min(n_frames, R) frames (``n_frames`` = total frames written, may be
     traced) move back to canonical-flat capacity-R slots (frame f at
     slot f % R) for the sequential finalize/prefill paths."""
-    rp = est_ext["k"][0].shape[-2]
+    rp = est_ext["kv"][0].shape[-2]
     r = rp - cf
-    rows = est_ext["k"][0].shape[0]
+    rows = est_ext["kv"][0].shape[0]
     n = jnp.asarray(n_frames, jnp.int32)
     rot = jnp.broadcast_to(jnp.asarray(rot, jnp.int32), (rows,))
     s = jnp.arange(r, dtype=jnp.int32)[None, :]              # dest slots
@@ -1100,8 +1133,7 @@ def est_cache_from_flat(flat: Dict, s_steps: int) -> Dict:
     def ring(a):
         return a.reshape((s_steps, a.shape[0] // s_steps) + a.shape[1:])
     convs = jax.tree.map(ring, flat["convs"])
-    return {"k": tuple(ring(a) for a in flat["k"]),
-            "v": tuple(ring(a) for a in flat["v"]), "convs": convs}
+    return {"kv": tuple(ring(a) for a in flat["kv"]), "convs": convs}
 
 
 class KVFlowWaveStep(nn.Module):
@@ -1139,12 +1171,10 @@ def init_kv_cache(cfg: FlowConfig, ring_tokens: int, batch: int = 1,
     rm = ring_tokens * s
     enc = {
         "pre": jnp.zeros((batch, 2, d), dtype),
-        "k": jnp.zeros((e.num_blocks, batch, rt, d), dtype),
-        "v": jnp.zeros((e.num_blocks, batch, rt, d), dtype),
+        "kv": jnp.zeros((e.num_blocks, batch, rt, 2 * d), dtype),
         "pk": jnp.zeros((e.num_blocks, 1, rt, d), dtype),
         "up_conv": jnp.zeros((batch, 2 * s, d), dtype),
-        "uk": jnp.zeros((e.num_up_blocks, batch, rm, d), dtype),
-        "uv": jnp.zeros((e.num_up_blocks, batch, rm, d), dtype),
+        "ukv": jnp.zeros((e.num_up_blocks, batch, rm, 2 * d), dtype),
         "upk": jnp.zeros((e.num_up_blocks, 1, rm, d), dtype),
     }
     est_cfg = cfg.estimator
@@ -1169,10 +1199,8 @@ def init_kv_cache(cfg: FlowConfig, ring_tokens: int, batch: int = 1,
         else:
             convs.setdefault(name, {})[sub] = arr
     est = {
-        "k": tuple(jnp.zeros((steps, b2, rf, inner), dtype)
-                   for _ in range(n_attn)),
-        "v": tuple(jnp.zeros((steps, b2, rf, inner), dtype)
-                   for _ in range(n_attn)),
+        "kv": tuple(jnp.zeros((steps, b2, rf, 2 * inner), dtype)
+                    for _ in range(n_attn)),
         "convs": convs,
     }
     return {"enc": enc, "est": est, "n_tok": jnp.zeros((), jnp.int32)}

@@ -39,7 +39,8 @@ import jax.numpy as jnp
 from ..models.flow.cfm import _fixed_noise
 from ..models.flow.kv_stream import (KVFlowStep, KVFlowEncodeStep,
                                      KVLaneWaveStep, init_kv_cache,
-                                     pe_tables, est_cache_to_flat)
+                                     pe_tables, est_cache_to_flat,
+                                     fuse_qkv_params)
 from .kv_session import KVVocState
 
 
@@ -74,6 +75,12 @@ class KVContinuousBatcher:
                  ring_tokens: Optional[int] = None,
                  token_cap: int = 1024):
         self.dec = dec
+        # fused-qkv param tree for the KV step modules (shared with any
+        # KVStreamDecoder sessions over the same decoder)
+        self._fp = getattr(dec, "_fused_flow_params", None)
+        if self._fp is None:
+            self._fp = jax.jit(fuse_qkv_params)(dec.flow_params)
+            dec._fused_flow_params = self._fp
         self.lanes = n_lanes
         self.hop = block_size or dec.pipe_cfg.block_size
         self.ring_tokens = (ring_tokens if ring_tokens is not None
@@ -166,10 +173,8 @@ class KVContinuousBatcher:
             ).reshape(pool.shape)
 
         est = {
-            "k": tuple(put_ring(p, s)
-                       for p, s in zip(est["k"], lane_flat["k"])),
-            "v": tuple(put_ring(p, s)
-                       for p, s in zip(est["v"], lane_flat["v"])),
+            "kv": tuple(put_ring(p, s)
+                        for p, s in zip(est["kv"], lane_flat["kv"])),
             "convs": jax.tree.map(lambda p, s: put_ring(p, s),
                                   est["convs"], lane_flat["convs"]),
         }
@@ -243,8 +248,7 @@ class KVContinuousBatcher:
                 v, (0, 0, lane) + (0,) * (v.ndim - 3),
                 v.shape[:2] + (1,) + v.shape[3:])
             return s.reshape((v.shape[0], 2) + pool.shape[1:])
-        return {"k": tuple(take(p) for p in est["k"]),
-                "v": tuple(take(p) for p in est["v"]),
+        return {"kv": tuple(take(p) for p in est["kv"]),
                 "convs": jax.tree.map(take, est["convs"])}
 
     def _lane_clear_impl(self, est, lane):
@@ -253,8 +257,7 @@ class KVContinuousBatcher:
             z = jnp.zeros(v.shape[:2] + (1,) + v.shape[3:], v.dtype)
             return jax.lax.dynamic_update_slice(
                 v, z, (0, 0, lane) + (0,) * (v.ndim - 3)).reshape(pool.shape)
-        return {"k": tuple(clear(p) for p in est["k"]),
-                "v": tuple(clear(p) for p in est["v"]),
+        return {"kv": tuple(clear(p) for p in est["kv"]),
                 "convs": jax.tree.map(clear, est["convs"])}
 
     def _voc_impl(self, hift_params, emit_mel, voc: KVVocState,
@@ -333,14 +336,14 @@ class KVContinuousBatcher:
             return
         if st.prompt_len:
             ctx = jnp.asarray(st.tokens[: self.la][None], jnp.int32)
-            cache = self._prefill(self.dec.flow_params, st.ptok, ctx,
+            cache = self._prefill(self._fp, st.ptok, ctx,
                                   st.pfeat, st.emb_raw)
         else:
             # single jitted dispatch (eager init_kv_cache is ~115 device
             # calls — ~160 ms of dispatch through the relay per admit)
             cache = self._init_cache()
         st.enc_cache = cache["enc"]
-        lane_spk = self._spk(self.dec.flow_params, st.emb_raw)
+        lane_spk = self._spk(self._fp, st.emb_raw)
         (self._est, self._x, self._mu_buf, self._w, self._spks,
          self._base) = self._admit_scatter(
             self._est, self._x, self._mu_buf, self._w, self._spks,
@@ -395,7 +398,7 @@ class KVContinuousBatcher:
             for bucket in (8, 4, 1):
                 while n_new - done >= bucket:
                     st.enc_cache, self._mu_buf, nt = self._enc_hops(
-                        self.dec.flow_params, self._token_buf,
+                        self._fp, self._token_buf,
                         st.enc_cache, self._mu_buf, nt, st.prompt_len,
                         jnp.asarray(lane, jnp.int32), n_hops=bucket)
                     done += bucket
@@ -428,7 +431,7 @@ class KVContinuousBatcher:
                 st.w_host = min(st.w_host + max_iters, int(avail[lane]))
 
         (self._x, self._mu, self._est, self._w, mels, oks) = self._burst(
-            self.dec.flow_params, self._x, self._mu, self._mu_buf,
+            self._fp, self._x, self._mu, self._mu_buf,
             self._spks, self._est, self._w,
             jnp.asarray(avail), jnp.asarray(k_tot), self._base,
             n_iters=max_iters)
@@ -472,7 +475,7 @@ class KVContinuousBatcher:
             ctx = jnp.zeros((1, self.la), jnp.int32)
             cond = jnp.zeros((1, tail * self.ratio, self.n_mel), self.dt)
             mel, _ = self._kv.apply(
-                self.dec.flow_params, chunk, ctx, cond, st.emb_raw, cache,
+                self._fp, chunk, ctx, cond, st.emb_raw, cache,
                 self._pe_tok, self._pe_mel, finalize=True)
             seg, st.voc = self._voc(self.dec.hift_params, mel, st.voc,
                                     first=st.first_voc, finalize=True)

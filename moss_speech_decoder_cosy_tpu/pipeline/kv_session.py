@@ -33,7 +33,8 @@ from ..models.flow.kv_stream import (KVFlowStep, KVFlowEncodeStep,
                                      pe_tables, est_cache_to_flat,
                                      est_cache_from_flat,
                                      extend_rings_for_fused,
-                                     shrink_rings_from_fused)
+                                     shrink_rings_from_fused,
+                                     fuse_qkv_params, rotate_rings)
 from .device_session import _parallel_fetch, _pcm16_device
 
 
@@ -79,6 +80,15 @@ class KVStreamDecoder:
         win = np.hamming(2 * self.scl).astype(np.float32)
         self._fade_in = jnp.asarray(win[: self.scl])
         self._fade_out = jnp.asarray(win[self.scl:])
+
+        # step modules run with the qkv-FUSED param layout (one matmul
+        # per attention instead of three; the wavefront scan body is
+        # op-dispatch-bound — BENCH_NOTES round 3).  The re-pack is one
+        # jitted dispatch, cached on the decoder across sessions.
+        self._fp = getattr(dec, "_fused_flow_params", None)
+        if self._fp is None:
+            self._fp = jax.jit(fuse_qkv_params)(dec.flow_params)
+            dec._fused_flow_params = self._fp
 
         self._kv = KVFlowStep(cfg)
         self._init_state_jit = jax.jit(self._init_state_impl)
@@ -316,19 +326,19 @@ class KVStreamDecoder:
                 for bucket in (32, 8, 2):
                     while run - done >= bucket:
                         ms, cache = self._hop_scan(
-                            self.dec.flow_params, token_buf, cache,
+                            self._fp, token_buf, cache,
                             n_hops=bucket, emit_tokens=emit_tokens)
                         mels.append(ms.transpose(1, 0, 2, 3).reshape(
                             self.b, -1, ms.shape[-1]))
                         done += bucket
                 for _ in range(run - done):
-                    mel, cache = self._hop(self.dec.flow_params, token_buf,
+                    mel, cache = self._hop(self._fp, token_buf,
                                            cache, emit_tokens=emit_tokens,
                                            finalize=False)
                     mels.append(mel)
                 i += run
                 continue
-            mel, cache = self._hop(self.dec.flow_params, token_buf, cache,
+            mel, cache = self._hop(self._fp, token_buf, cache,
                                    emit_tokens=emit_tokens, finalize=True)
             mels.append(mel)
             i += 1
@@ -364,20 +374,18 @@ class KVStreamDecoder:
             # contents re-moduloed (and slot-rotated when the shared-offset
             # DUS scheme is active) in one entry gather
             wave_model = self._wave_model_fused
-            rp = est["k"][0].shape[-2] + cf
+            rp = est["kv"][0].shape[-2] + cf
             rot_f = ([((s * cf) % rp) for s in range(s_steps)
                       for _ in range(2 * self.b)] if dus
                      else [0] * (s_steps * 2 * self.b))
             est = extend_rings_for_fused(est, base_frames, cf, rot_f)
         elif dus:
             wave_model = self._wave_model
-            from ..models.flow.kv_stream import rotate_rings
-            r = est["k"][0].shape[-2]
+            r = est["kv"][0].shape[-2]
             rot = [((s * cf) % r) for s in range(s_steps)
                    for _ in range(2 * self.b)]
             est = dict(est,
-                       k=tuple(rotate_rings(a, rot) for a in est["k"]),
-                       v=tuple(rotate_rings(a, rot) for a in est["v"]))
+                       kv=tuple(rotate_rings(a, rot) for a in est["kv"]))
         else:
             wave_model = self._wave_model_onehot
 
@@ -414,12 +422,9 @@ class KVStreamDecoder:
             est = shrink_rings_from_fused(
                 est, base_frames + k_total * cf, cf, rot_f)
         elif dus:
-            from ..models.flow.kv_stream import rotate_rings
             est = dict(est,
-                       k=tuple(rotate_rings(a, rot, inverse=True)
-                               for a in est["k"]),
-                       v=tuple(rotate_rings(a, rot, inverse=True)
-                               for a in est["v"]))
+                       kv=tuple(rotate_rings(a, rot, inverse=True)
+                                for a in est["kv"]))
         return mels, est_cache_from_flat(est, s_steps), enc_cache, n_tok
 
     def _rot_list(self, r: int):
@@ -432,7 +437,7 @@ class KVStreamDecoder:
                 for _ in range(2 * self.b)]
 
     def _rot_offsets(self, est_flat):
-        return self._rot_list(est_flat["k"][0].shape[-2])
+        return self._rot_list(est_flat["kv"][0].shape[-2])
 
     def _prep_est_impl(self, est):
         """Canonical est cache -> the wavefront's flat layout, rotated
@@ -441,17 +446,15 @@ class KVStreamDecoder:
         est = est_cache_to_flat(est)
         cf = self.hop * self.ratio
         if self._fused:
-            rp = est["k"][0].shape[-2] + cf
+            rp = est["kv"][0].shape[-2] + cf
             rot = (self._rot_list(rp) if self._dus_ok
                    else [0] * len(self._rot_list(rp)))
             return extend_rings_for_fused(est, self.p * self.ratio, cf,
                                           rot)
         if self._dus_ok:
-            from ..models.flow.kv_stream import rotate_rings
             rot = self._rot_offsets(est)
             est = dict(est,
-                       k=tuple(rotate_rings(a, rot) for a in est["k"]),
-                       v=tuple(rotate_rings(a, rot) for a in est["v"]))
+                       kv=tuple(rotate_rings(a, rot) for a in est["kv"]))
         return est
 
     def _fin_est_impl(self, est, n_total=None):
@@ -460,18 +463,15 @@ class KVStreamDecoder:
         the extended rings back to canonical capacity."""
         cf = self.hop * self.ratio
         if self._fused:
-            rp = est["k"][0].shape[-2]
+            rp = est["kv"][0].shape[-2]
             rot = (self._rot_list(rp) if self._dus_ok
                    else [0] * len(self._rot_list(rp)))
             est = shrink_rings_from_fused(est, n_total, cf, rot)
         elif self._dus_ok:
-            from ..models.flow.kv_stream import rotate_rings
             rot = self._rot_offsets(est)
             est = dict(est,
-                       k=tuple(rotate_rings(a, rot, inverse=True)
-                               for a in est["k"]),
-                       v=tuple(rotate_rings(a, rot, inverse=True)
-                               for a in est["v"]))
+                       kv=tuple(rotate_rings(a, rot, inverse=True)
+                                for a in est["kv"]))
         return est_cache_from_flat(est,
                                    self.dec.flow_cfg.cfm.n_timesteps)
 
@@ -577,7 +577,7 @@ class KVStreamDecoder:
         base_frames = self.p * self.ratio
 
         if self._spks_cached is None:
-            self._spks_cached = self._spk(d.flow_params, self._emb)
+            self._spks_cached = self._spk(self._fp, self._emb)
         spks = self._spks_cached
         # x seeded with the deterministic noise, mu zeros in the estimator
         # dtype (scan-stable; the Wave module casts the incoming encoder
@@ -596,7 +596,7 @@ class KVStreamDecoder:
             chunks = []
             for i in range(need):
                 exit_mel, x, mu_w, est, enc_cache, n_tok, w = \
-                    self._wave_step(d.flow_params, token_buf, x, mu_w,
+                    self._wave_step(self._fp, token_buf, x, mu_w,
                                     est, enc_cache, n_tok, w, spks,
                                     k_dev, base_dev)
                 if i >= s_steps - 1:
@@ -606,7 +606,7 @@ class KVStreamDecoder:
         else:
             n_iters = max(16, ((need + 15) // 16) * 16)  # bucketed programs
             mels_all, est, enc_cache, n_tok = self._wave_scan(
-                d.flow_params, token_buf, x_wave, mu_wave, spks,
+                self._fp, token_buf, x_wave, mu_wave, spks,
                 cache["est"], cache["enc"], n_iters=n_iters,
                 k_total=jnp.asarray(k, jnp.int32),
                 base_frames=jnp.asarray(base_frames, jnp.int32),
@@ -617,7 +617,7 @@ class KVStreamDecoder:
         cache = {"enc": enc_cache, "est": est, "n_tok": n_tok}
         if plan and plan[-1][1]:
             tail, _ = plan[-1]
-            mel, cache = self._hop(d.flow_params, token_buf, cache,
+            mel, cache = self._hop(self._fp, token_buf, cache,
                                    emit_tokens=tail, finalize=True)
             mels.append(mel)
         mel_full = jnp.concatenate(mels, axis=1)
@@ -664,7 +664,7 @@ class KVStreamDecoder:
         tail_tok = plan[-1][0] if has_tail else 0
         n_mel = self.n_mel
         if self._spks_cached is None:
-            self._spks_cached = self._spk(d.flow_params, self._emb)
+            self._spks_cached = self._spk(self._fp, self._emb)
         spks = self._spks_cached
         x, mu_w = self._wave_init()
         est = self._prep_est(cache["est"])
@@ -682,7 +682,7 @@ class KVStreamDecoder:
         w0 = 0
         for si, size in enumerate(sizes):
             mels, x, mu_w, est, enc_cache, n_tok = self._wave_seg(
-                d.flow_params, token_buf, x, mu_w, est, enc_cache, n_tok,
+                self._fp, token_buf, x, mu_w, est, enc_cache, n_tok,
                 jnp.asarray(w0, jnp.int32), spks, k_dev, base_dev,
                 n_iters=size, dus=self._dus_ok, fused=self._fused)
             lo = max(w0, s_steps - 1)
@@ -706,7 +706,7 @@ class KVStreamDecoder:
                                      est, jnp.asarray(n_total,
                                                       jnp.int32)),
                                  "n_tok": n_tok}
-                    tail_mel, _ = self._hop(d.flow_params, token_buf,
+                    tail_mel, _ = self._hop(self._fp, token_buf,
                                             fin_cache,
                                             emit_tokens=tail_tok,
                                             finalize=True)
@@ -793,7 +793,7 @@ class KVStreamDecoder:
         token_buf = jnp.asarray(buf)
         cache, voc = self.init_state()
         if self.p:
-            cache = self._prefill(self.dec.flow_params, token_buf, cache)
+            cache = self._prefill(self._fp, token_buf, cache)
         plan = self.schedule(n)
         if bulk_voc and len(plan) >= 2:
             n_steady = sum(1 for pl in plan if not pl[1])
@@ -828,7 +828,7 @@ class KVStreamDecoder:
                     for bucket in (32, 8, 2):
                         while run >= bucket:
                             mels, cache = self._hop_scan(
-                                self.dec.flow_params, token_buf, cache,
+                                self._fp, token_buf, cache,
                                 n_hops=bucket, emit_tokens=emit_tokens)
                             seg, voc = self._voc_scan(
                                 self.dec.hift_params, mels, voc)
@@ -836,7 +836,7 @@ class KVStreamDecoder:
                             run -= bucket
                             i += bucket
                     continue
-            mel, cache = self._hop(self.dec.flow_params, token_buf, cache,
+            mel, cache = self._hop(self._fp, token_buf, cache,
                                    emit_tokens=emit_tokens,
                                    finalize=finalize)
             seg, voc = self._voc(self.dec.hift_params, mel, voc,
@@ -872,7 +872,7 @@ class KVStreamDecoder:
         token_buf = jnp.asarray(buf)
         cache, voc = self.init_state()
         if self.p:
-            cache = self._prefill(self.dec.flow_params, token_buf, cache)
+            cache = self._prefill(self._fp, token_buf, cache)
         plan = self.schedule(n)
         n_steady = sum(1 for pl in plan if not pl[1])
         if wavefront and self.b == 1 and n_steady >= 2:
@@ -884,7 +884,7 @@ class KVStreamDecoder:
             segs = []
             first = True
             for emit_tokens, finalize in plan:
-                mel, cache = self._hop(self.dec.flow_params, token_buf,
+                mel, cache = self._hop(self._fp, token_buf,
                                        cache, emit_tokens=emit_tokens,
                                        finalize=finalize)
                 seg, voc = self._voc(self.dec.hift_params, mel, voc,

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 from moss_speech_decoder_cosy_tpu.utils.config import tiny_flow_config
 from moss_speech_decoder_cosy_tpu.models.flow import CausalMaskedDiffWithXvec
 from moss_speech_decoder_cosy_tpu.models.flow.kv_stream import (
-    KVFlowStep, init_kv_cache, pe_tables)
+    KVFlowStep, init_kv_cache, pe_tables, fuse_qkv_params)
 from moss_speech_decoder_cosy_tpu.ops.masks import banded_chunk_mask
 
 
@@ -44,6 +44,7 @@ def _run_incremental(cfg, params, tokens, prompt_feat, emb, p, hop,
     r = cfg.token_mel_ratio
     n = tokens.shape[1] - p
     step = KVFlowStep(cfg)
+    params = fuse_qkv_params(params)
     apply = jax.jit(step.apply, static_argnames=("finalize",))
     cache = init_kv_cache(cfg, ring_tokens)
     pe_tok, pe_mel = pe_tables(cfg, 64)
@@ -112,6 +113,7 @@ def test_kv_incremental_no_prompt():
 
     # incremental without prefill
     step = KVFlowStep(cfg)
+    params = fuse_qkv_params(params)
     apply = jax.jit(step.apply, static_argnames=("finalize",))
     cache = init_kv_cache(cfg, ring_t)
     pe_tok, pe_mel = pe_tables(cfg, 64)
