@@ -229,6 +229,21 @@ class AudioDecoder:
                                token_cap=token_cap, batch=batch,
                                write_mode=write_mode, fused=fused)
 
+    def spmd_decoder(self, mesh, prompt_token=None, prompt_feat=None,
+                     embedding=None, block_size: Optional[int] = None,
+                     ring_tokens: Optional[int] = None,
+                     token_cap: int = 2048, batch: Optional[int] = None,
+                     axis: Optional[str] = None):
+        """Mesh-sharded lockstep KV decoder (pipeline/spmd_session.py):
+        ``batch`` streams (default one per device) sharded over the mesh's
+        first (or ``axis``-named) dimension — zero-collective SPMD serving
+        fan-out, one flow + one vocoder program for the whole mesh."""
+        from .spmd_session import SPMDKVDecoder
+        return SPMDKVDecoder(self, mesh, prompt_token=prompt_token,
+                             prompt_feat=prompt_feat, embedding=embedding,
+                             block_size=block_size, ring_tokens=ring_tokens,
+                             token_cap=token_cap, batch=batch, axis=axis)
+
     def kv_batcher(self, n_lanes: int = 4,
                    block_size: Optional[int] = None,
                    ring_tokens: Optional[int] = None,

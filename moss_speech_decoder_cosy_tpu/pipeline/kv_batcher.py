@@ -123,6 +123,17 @@ class KVContinuousBatcher:
         self._lane_clear = jax.jit(self._lane_clear_impl)
         self._voc = jax.jit(self._voc_impl,
                             static_argnames=("first", "finalize"))
+        # tail-token finalize hop: one program per tail length (static via
+        # the chunk's shape).  An eager KV step costs ~36 s/lane through
+        # this environment's dispatch relay (round-3 batcher profile:
+        # fin=145 s of a 118 s wall at 4 lanes); jitted it is ~ms, and
+        # serving/boot.py's warm_tails pre-compiles every tail shape.
+        self._fin_hop = jax.jit(self._fin_hop_impl)
+        # bucketed voc scan: vocode n of a burst's emitted chunks for one
+        # lane in ONE dispatch + one fetch (per-chunk _voc dispatches cost
+        # ~35 ms each through the relay — round-3 batcher profile
+        # voc+fetch=7 s of a 15 s wall).  n is static via idx.shape.
+        self._voc_take_scan = jax.jit(self._voc_take_scan_impl)
         self._spk = jax.jit(
             lambda p, e: self._enc_model.apply(p, e,
                                                method=self._enc_model.spk))
@@ -251,6 +262,16 @@ class KVContinuousBatcher:
         return {"kv": tuple(take(p) for p in est["kv"]),
                 "convs": jax.tree.map(take, est["convs"])}
 
+    def _fin_hop_impl(self, flow_params, chunk, emb, cache):
+        """Finalize KV hop for one lane's tail tokens (< hop + la).  The
+        tail length is static through ``chunk.shape[1]``."""
+        tail = chunk.shape[1]
+        ctx = jnp.zeros((1, self.la), jnp.int32)
+        cond = jnp.zeros((1, tail * self.ratio, self.n_mel), self.dt)
+        mel, _ = self._kv.apply(flow_params, chunk, ctx, cond, emb, cache,
+                                self._pe_tok, self._pe_mel, finalize=True)
+        return mel
+
     def _lane_clear_impl(self, est, lane):
         def clear(pool):
             v = _flat_view(pool, self.lanes)
@@ -289,6 +310,22 @@ class KVContinuousBatcher:
             .astype(jnp.float32),
         )
         return emit, new_voc
+
+    def _voc_take_scan_impl(self, hift_params, mels, idx, lane, voc):
+        """Vocode the burst chunks at (iters) ``idx`` of lane ``lane`` in
+        one lax.scan (steady chunks only: first/finalize go through
+        ``_voc``).  Returns the concatenated emission (1, n*samples)."""
+        lane_mels = jnp.take(mels, lane, axis=1)        # (iters, Cf, n_mel)
+        sel = jnp.take(lane_mels, idx, axis=0)[:, None]  # (n, 1, Cf, n_mel)
+
+        def body(st, mel):
+            seg, st = self._voc_impl(hift_params, mel, st,
+                                     first=False, finalize=False)
+            return st, seg
+
+        voc, segs = jax.lax.scan(body, voc, sel)
+        segs = segs.transpose(1, 0, 2).reshape(1, -1)
+        return segs, voc
 
     # ------------------------------------------------------------ lifecycle
     def admit(self, prompt_token: np.ndarray, prompt_feat: np.ndarray,
@@ -442,13 +479,26 @@ class KVContinuousBatcher:
                 continue
             idx = np.nonzero(oks_np[:, lane])[0]
             segs = []
-            for i in idx:
-                mel = mels[i, lane][None]               # (1, Cf, n_mel)
+            pos = 0
+            if len(idx) and st.first_voc:
+                mel = mels[idx[0], lane][None]          # (1, Cf, n_mel)
                 seg, st.voc = self._voc(self.dec.hift_params, mel, st.voc,
-                                        first=st.first_voc, finalize=False)
+                                        first=True, finalize=False)
                 st.first_voc = False
                 segs.append(seg)
                 st.w_emitted += 1
+                pos = 1
+            while pos < len(idx):
+                for bucket in (16, 8, 4, 2, 1):
+                    if len(idx) - pos >= bucket:
+                        seg, st.voc = self._voc_take_scan(
+                            self.dec.hift_params, mels,
+                            jnp.asarray(idx[pos: pos + bucket]),
+                            jnp.asarray(lane, jnp.int32), st.voc)
+                        segs.append(seg)
+                        st.w_emitted += bucket
+                        pos += bucket
+                        break
             # drained? run the finalize tail and free the lane
             if (st.finished and st.k_total is not None
                     and st.w_emitted >= st.k_total):
@@ -472,11 +522,7 @@ class KVContinuousBatcher:
             off = st.k_total * self.hop
             chunk = jnp.asarray(
                 st.tokens[off: off + tail][None], jnp.int32)
-            ctx = jnp.zeros((1, self.la), jnp.int32)
-            cond = jnp.zeros((1, tail * self.ratio, self.n_mel), self.dt)
-            mel, _ = self._kv.apply(
-                self._fp, chunk, ctx, cond, st.emb_raw, cache,
-                self._pe_tok, self._pe_mel, finalize=True)
+            mel = self._fin_hop(self._fp, chunk, st.emb_raw, cache)
             seg, st.voc = self._voc(self.dec.hift_params, mel, st.voc,
                                     first=st.first_voc, finalize=True)
             st.first_voc = False
