@@ -33,10 +33,15 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-# column-parallel Dense modules: kernel (in, out) -> split out dim
-_COL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+# column-parallel Dense modules: kernel (in, out) -> split out dim.
+# Covers the Qwen2 backbone (q/k/v/gate/up), the wenet conformer stack of
+# TransformerLM / the flow encoder (linear_q/k/v/pos, FF w_1), and the
+# diffusers attention (to_q/k/v).
+_COL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
+        "linear_q", "linear_k", "linear_v", "linear_pos", "w_1",
+        "to_q", "to_k", "to_v")
 # row-parallel Dense modules: kernel (in, out) -> split in dim (psum after)
-_ROW = ("o_proj", "down_proj")
+_ROW = ("o_proj", "down_proj", "linear_out", "w_2", "to_out")
 
 
 def make_tp_mesh(n_devices: Optional[int] = None, tp: int = 2,

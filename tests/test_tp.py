@@ -135,6 +135,35 @@ def test_tp_stepwise_decode_matches_replicated(lm_setup):
                                rtol=2e-5, atol=1e-5)
 
 
+def test_tp_transformer_lm_v1_matches_replicated():
+    """TP generalizes to the wenet-named v1 TransformerLM stack
+    (linear_q/k/v + w_1/w_2 splits): teacher-forced logits match."""
+    from moss_speech_decoder_cosy_tpu.models.llm.transformer_lm import (
+        TransformerLM, tiny_transformer_lm_config)
+
+    cfg = tiny_transformer_lm_config()
+    m = TransformerLM(cfg)
+    rng = np.random.RandomState(2)
+    text = jnp.asarray(rng.randint(0, cfg.text_token_size, (1, 5)))
+    text_valid = jnp.ones((1, 5), bool)
+    speech = jnp.asarray(rng.randint(0, cfg.speech_token_size, (1, 7)))
+    speech_valid = jnp.ones((1, 7), bool)
+    params = m.init(jax.random.PRNGKey(0), text, text_valid, speech,
+                    speech_valid)
+    fn = jax.jit(lambda p: m.apply(p, text, text_valid, speech,
+                                   speech_valid)[0])
+    want = fn(params)
+
+    mesh = make_tp_mesh(8, tp=2)
+    specs = tp_specs(params, mesh)
+    flat = jax.tree_util.tree_leaves_with_path(specs)
+    n_split = sum(1 for _, s in flat if s.spec != P())
+    assert n_split > 0, "no TransformerLM leaf matched the TP rules"
+    got = fn(jax.device_put(params, specs))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-5)
+
+
 def test_tp_indivisible_dims_fall_back_to_replicated(lm_setup):
     """tp=3 divides none of the tiny config's widths (kv 16, ffn 64,
     hidden 32) — every megatron leaf must replicate rather than error."""
