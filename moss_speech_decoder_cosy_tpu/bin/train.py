@@ -57,6 +57,10 @@ def parse_args():
     p.add_argument("--save_per_step", type=int, default=1000)
     p.add_argument("--max_steps", type=int, default=-1)
     p.add_argument("--use_mesh", action="store_true", default=True)
+    p.add_argument("--tp", type=int, default=1,
+                   help="LM tensor-parallel degree: megatron-split params "
+                        "on a (data, model) mesh (parallel/tp.py); "
+                        "lm/lm_dpo only")
     return p.parse_args()
 
 
@@ -252,13 +256,27 @@ def train_lm(args, logger, dpo=False):
         loaded = ckpt.load_checkpoint(args.checkpoint, like=params)
         params, skipped = ckpt.shape_filtered_merge(params, loaded)
         print(f"resumed {args.checkpoint}; skipped {len(skipped)} keys")
+    tp = getattr(args, "tp", 1)
+    tp_mesh = batch_sharding = None
+    if tp > 1:
+        # megatron TP + DP on a 2-D mesh: params sharded once, the same
+        # jitted step runs with GSPMD-inserted model-axis collectives
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel import make_tp_mesh, tp_shard_params
+        tp_mesh = make_tp_mesh(tp=tp)
+        params = tp_shard_params(params, tp_mesh)
+        batch_sharding = NamedSharding(tp_mesh, P("data"))
+        print(f"TP{tp}: mesh {dict(tp_mesh.shape)}")
     optimizer = make_optimizer(args.peak_lr, args.warmup_steps)
-    opt_state = optimizer.init(params)
+    opt_state = optimizer.init(params)   # zeros_like inherits TP shardings
 
     if dpo:
         if args.ref_checkpoint:
             ref_params = ckpt.load_checkpoint(args.ref_checkpoint,
                                               like=params)
+            if tp_mesh is not None:
+                from ..parallel import tp_shard_params
+                ref_params = tp_shard_params(ref_params, tp_mesh)
         else:
             ref_params = jax.tree.map(lambda x: x, params)
         step_fn = lm_mod.make_dpo_train_step(model, optimizer,
@@ -272,6 +290,17 @@ def train_lm(args, logger, dpo=False):
         dl.set_epoch(epoch)
         for batch in pipeline:
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if batch_sharding is not None:
+                # shard on the data axis when the (dynamic) batch divides
+                # it; otherwise replicate the batch for this step (TP
+                # still applies — only the DP split is skipped)
+                b = next(iter(batch.values())).shape[0]
+                if b % tp_mesh.shape["data"] == 0:
+                    batch = jax.device_put(batch, batch_sharding)
+                else:
+                    from jax.sharding import NamedSharding, PartitionSpec
+                    batch = jax.device_put(
+                        batch, NamedSharding(tp_mesh, PartitionSpec()))
             if dpo:
                 params, opt_state, metrics = step_fn(params, ref_params,
                                                      opt_state, batch)

@@ -158,3 +158,34 @@ def test_train_lm_dpo_entry_smoke(tmp_path):
     train_mod.train_lm(args, logger, dpo=True)
     import os
     assert os.path.isdir(tmp_path / "out" / "lm_step_2")
+
+
+def test_train_lm_dpo_entry_tp2(tmp_path):
+    """--tp 2: the same entry on a (4, 2) data x model mesh — params
+    megatron-sharded, ref params sharded, batches on the data axis
+    (batch 4 divides data=4; the indivisible fallback replicates)."""
+    import argparse
+    import json as _json
+    from moss_speech_decoder_cosy_tpu.bin import train as train_mod
+    rng = np.random.RandomState(4)
+    rows = [{"text_token": rng.randint(0, 100, 4).tolist(),
+             "chosen_token": rng.randint(0, 32, 6).tolist(),
+             "rejected_token": rng.randint(0, 32, 6).tolist()}
+            for _ in range(8)]
+    jp = tmp_path / "dpo.jsonl"
+    with open(jp, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    lst = tmp_path / "shards.txt"
+    lst.write_text(str(jp) + "\n")
+    args = argparse.Namespace(
+        model="lm_dpo", config="tiny", train_data=str(lst),
+        model_dir=str(tmp_path / "out"), checkpoint=None,
+        ref_checkpoint=None, epochs=1, accum_grad=1, batch_size=4,
+        peak_lr=1e-3, warmup_steps=2, save_per_step=2, max_steps=2,
+        use_mesh=False, cv_data=None, cv_batches=1, sample_at_save=False,
+        dpo_beta=0.1, tp=2)
+    logger = train_mod.MetricLogger(str(tmp_path / "logs"))
+    train_mod.train_lm(args, logger, dpo=True)
+    import os
+    assert os.path.isdir(tmp_path / "out" / "lm_step_2")
