@@ -266,6 +266,7 @@ def train_lm(args, logger, dpo=False):
         tp_mesh = make_tp_mesh(tp=tp)
         params = tp_shard_params(params, tp_mesh)
         batch_sharding = NamedSharding(tp_mesh, P("data"))
+        replicated_sharding = NamedSharding(tp_mesh, P())
         print(f"TP{tp}: mesh {dict(tp_mesh.shape)}")
     optimizer = make_optimizer(args.peak_lr, args.warmup_steps)
     opt_state = optimizer.init(params)   # zeros_like inherits TP shardings
@@ -298,9 +299,7 @@ def train_lm(args, logger, dpo=False):
                 if b % tp_mesh.shape["data"] == 0:
                     batch = jax.device_put(batch, batch_sharding)
                 else:
-                    from jax.sharding import NamedSharding, PartitionSpec
-                    batch = jax.device_put(
-                        batch, NamedSharding(tp_mesh, PartitionSpec()))
+                    batch = jax.device_put(batch, replicated_sharding)
             if dpo:
                 params, opt_state, metrics = step_fn(params, ref_params,
                                                      opt_state, batch)

@@ -72,31 +72,53 @@ def fuse_qkv_params(params):
     product is unchanged, so the fused matmul is numerically identical.
 
     Applied once per session (sessions cache the fused tree); converters
-    and the full modules keep the canonical torch-compatible layout."""
+    and the full modules keep the canonical torch-compatible layout.
+
+    Untouched leaves are returned BY REFERENCE (they stay shared with the
+    input tree — only the concatenated qkv kernels allocate new buffers),
+    and all concatenations run as ONE jitted dispatch.  Do not wrap this
+    in jax.jit: jit outputs never alias undonated inputs, so a jitted
+    call would materialise a second full copy of the flow params."""
+
+    jobs = []          # (container, key, kind, (q_subtree, k, v))
 
     def walk(d):
         if not isinstance(d, dict):
             return d
         out = {k: walk(v) for k, v in d.items()}
         if {"to_q", "to_k", "to_v"} <= set(out):
-            kern = jnp.concatenate([out.pop("to_q")["kernel"],
-                                    out.pop("to_k")["kernel"],
-                                    out.pop("to_v")["kernel"]], axis=-1)
-            out["to_qkv"] = {"kernel": kern}
+            qkv = tuple(out.pop(n) for n in ("to_q", "to_k", "to_v"))
+            jobs.append((out, "to_qkv", "attn", qkv))
         if {"linear_q", "linear_k", "linear_v"} <= set(out):
-            q, k, v = (out.pop(n) for n in
-                       ("linear_q", "linear_k", "linear_v"))
-            kern = jnp.concatenate([q["kernel"], k["kernel"], v["kernel"]],
-                                   axis=-1)
-            dim = q["kernel"].shape[-1]
-            zero = jnp.zeros((dim,), q["kernel"].dtype)
-            bias = jnp.concatenate([q.get("bias", zero),
-                                    k.get("bias", zero),
-                                    v.get("bias", zero)], axis=-1)
-            out["linear_qkv"] = {"kernel": kern, "bias": bias}
+            qkv = tuple(out.pop(n) for n in
+                        ("linear_q", "linear_k", "linear_v"))
+            jobs.append((out, "linear_qkv", "enc", qkv))
         return out
 
-    return walk(params)
+    out = walk(params)
+    if jobs:
+        kinds = tuple(j[2] for j in jobs)
+
+        def _fuse(groups):
+            res = []
+            for kind, (q, k, v) in zip(kinds, groups):
+                kern = jnp.concatenate(
+                    [q["kernel"], k["kernel"], v["kernel"]], axis=-1)
+                if kind == "attn":
+                    res.append({"kernel": kern})
+                else:
+                    dim = q["kernel"].shape[-1]
+                    zero = jnp.zeros((dim,), q["kernel"].dtype)
+                    bias = jnp.concatenate([q.get("bias", zero),
+                                            k.get("bias", zero),
+                                            v.get("bias", zero)], axis=-1)
+                    res.append({"kernel": kern, "bias": bias})
+            return res
+
+        fused = jax.jit(_fuse)([j[3] for j in jobs])
+        for (container, key, _, _), leaf in zip(jobs, fused):
+            container[key] = leaf
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -60,7 +60,11 @@ def make_tp_mesh(n_devices: Optional[int] = None, tp: int = 2,
 
 def _spec_for(path, x, tp: int, model_axis: str) -> P:
     names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
-    mod = next((n for n in names if n in _COL + _ROW), None)
+    # Match only the module that OWNS the leaf (second-to-last component,
+    # the Dense scope holding kernel/bias) — scanning the whole path would
+    # mis-spec every descendant of a container whose name collides with a
+    # rule (e.g. a block named "linear_out").
+    mod = names[-2] if len(names) >= 2 and names[-2] in _COL + _ROW else None
     leaf = names[-1] if names else ""
     if mod is None or x.ndim == 0:
         return P()

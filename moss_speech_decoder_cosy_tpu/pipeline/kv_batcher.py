@@ -79,7 +79,7 @@ class KVContinuousBatcher:
         # KVStreamDecoder sessions over the same decoder)
         self._fp = getattr(dec, "_fused_flow_params", None)
         if self._fp is None:
-            self._fp = jax.jit(fuse_qkv_params)(dec.flow_params)
+            self._fp = fuse_qkv_params(dec.flow_params)
             dec._fused_flow_params = self._fp
         self.lanes = n_lanes
         self.hop = block_size or dec.pipe_cfg.block_size

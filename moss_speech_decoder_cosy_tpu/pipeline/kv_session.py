@@ -83,11 +83,13 @@ class KVStreamDecoder:
 
         # step modules run with the qkv-FUSED param layout (one matmul
         # per attention instead of three; the wavefront scan body is
-        # op-dispatch-bound — BENCH_NOTES round 3).  The re-pack is one
-        # jitted dispatch, cached on the decoder across sessions.
+        # op-dispatch-bound — BENCH_NOTES round 3).  Eager re-pack: one
+        # jitted dispatch for the concats, every untouched leaf stays
+        # SHARED with dec.flow_params (no second param copy in HBM);
+        # cached on the decoder across sessions.
         self._fp = getattr(dec, "_fused_flow_params", None)
         if self._fp is None:
-            self._fp = jax.jit(fuse_qkv_params)(dec.flow_params)
+            self._fp = fuse_qkv_params(dec.flow_params)
             dec._fused_flow_params = self._fp
 
         self._kv = KVFlowStep(cfg)

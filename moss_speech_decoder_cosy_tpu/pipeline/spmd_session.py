@@ -30,7 +30,6 @@ one instance per device the same process-level way the reference does.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import numpy as np
@@ -90,10 +89,27 @@ class SPMDKVDecoder:
         self._tok_sh = NamedSharding(mesh, P(self.axis, None))
         from .bulk_voc import BulkVocoder
         self._bulk = BulkVocoder(dec, self.hop * self.ratio)
+        self._flow_progs = {}
+        self._voc_progs = {}
 
     # ------------------------------------------------------------ programs
-    @functools.lru_cache(maxsize=None)
+    # Compiled-program caches live in instance dicts (NOT lru_cache on the
+    # bound methods — that keys on self and pins the decoder plus all its
+    # device buffers for the process lifetime).
     def _flow_prog(self, k: int, tail: int):
+        prog = self._flow_progs.get((k, tail))
+        if prog is None:
+            prog = self._flow_progs[(k, tail)] = self._build_flow_prog(
+                k, tail)
+        return prog
+
+    def _voc_prog(self, plan: Tuple[int, ...]):
+        prog = self._voc_progs.get(plan)
+        if prog is None:
+            prog = self._voc_progs[plan] = self._build_voc_prog(plan)
+        return prog
+
+    def _build_flow_prog(self, k: int, tail: int):
         """Lane-sharded flow program for a plan of ``k`` steady hops plus
         a ``tail``-token finalize chunk (0 = none).  Local body = the
         single-chip wavefront path (kv_session._flow_mels_wave) at
@@ -135,8 +151,7 @@ class SPMDKVDecoder:
                        check_rep=False)
         return jax.jit(sm)
 
-    @functools.lru_cache(maxsize=None)
-    def _voc_prog(self, plan: Tuple[int, ...]):
+    def _build_voc_prog(self, plan: Tuple[int, ...]):
         """Lane-sharded bulk vocoder for a per-hop mel-frame plan."""
         bulk = self._bulk
         n_steady = max(len(plan) - 2, 0)
