@@ -46,6 +46,69 @@ class Prompt:
     embedding: np.ndarray    # (1, 192)
 
 
+# --------------------------------------------------------------------------
+# prompt-wav preparation (the reference VC demos' prompt picker,
+# gradio_voice_converter_unstreaming.py:57-120)
+# --------------------------------------------------------------------------
+
+def calculate_rms(wav: np.ndarray) -> float:
+    """RMS of a waveform (gradio_voice_converter_unstreaming.py:57-59)."""
+    w = np.asarray(wav, np.float64).reshape(-1)
+    return float(np.sqrt(np.mean(w * w))) if w.size else 0.0
+
+
+def normalize_volume(wav: np.ndarray, target_rms: float) -> np.ndarray:
+    """Scale a waveform to a target RMS; silence passes through unchanged
+    (gradio_voice_converter_unstreaming.py:61-67)."""
+    wav = np.asarray(wav, np.float32)
+    rms = calculate_rms(wav)
+    if rms > 0:
+        wav = wav * np.float32(target_rms / rms)
+    return wav
+
+
+def find_loudest_segment(wav: np.ndarray, sr: int,
+                         segment_duration: float,
+                         window_size: float = 0.1,
+                         return_bounds: bool = False):
+    """Loudest contiguous ``segment_duration``-second slice of a waveform.
+
+    Sliding-RMS energies at ``window_size``-second windows (hop = 1/4
+    window), box-smoothed over ``segment_duration/window_size`` windows,
+    argmax picks the segment start — the reference demos' prompt picker
+    (gradio_voice_converter_unstreaming.py:69-116) vectorised with a
+    cumulative sum instead of the per-window python loop.
+
+    ``return_bounds=True`` additionally returns ``(start, end)`` sample
+    indices so a paired waveform at another sample rate can be sliced to
+    the SAME time window.
+    """
+    flat = np.asarray(wav, np.float32).reshape(-1)
+    n = flat.size
+    seg = int(segment_duration * sr)
+    if n <= segment_duration * sr:
+        return (wav, (0, n)) if return_bounds else wav
+    win = int(window_size * sr)
+    hop = max(win // 4, 1)
+    sq = np.concatenate([[0.0], np.cumsum(flat.astype(np.float64) ** 2)])
+    starts = np.arange(0, n - win + 1, hop)
+    energies = np.sqrt((sq[starts + win] - sq[starts]) / win)
+    kernel_size = max(1, int(segment_duration / window_size))
+    if energies.size >= kernel_size:
+        kernel = np.ones(kernel_size) / kernel_size
+        smoothed = np.convolve(energies, kernel, mode="valid")
+    else:
+        smoothed = energies
+    start = int(np.argmax(smoothed)) * hop
+    end = start + seg
+    if end > n:
+        end = n
+        start = max(0, end - seg)
+    sliced = (wav[..., start:end] if np.asarray(wav).ndim > 1
+              else flat[start:end])
+    return (sliced, (start, end)) if return_bounds else sliced
+
+
 class SpeechCodec:
     def __init__(self, tok_cfg: WhisperVQConfig, tok_params,
                  decoder: AudioDecoder, speaker_encoder=None,
@@ -119,9 +182,31 @@ class SpeechCodec:
 
     # ------------------------------------------------------------- prompt
     def prepare_prompt(self, prompt_wav_24k: np.ndarray,
-                       prompt_wav_16k: np.ndarray) -> Prompt:
+                       prompt_wav_16k: np.ndarray,
+                       pick_loudest_seconds: Optional[float] = None,
+                       target_rms: Optional[float] = None) -> Prompt:
         """Build flow-conditioning inputs from a reference utterance
-        (whisper_encoder_decoder.py:210-240)."""
+        (whisper_encoder_decoder.py:210-240).
+
+        ``pick_loudest_seconds`` / ``target_rms`` reproduce the reference
+        VC demos' prompt preparation (gradio_voice_converter_unstreaming.py
+        :398-408): cut the prompt to its loudest contiguous segment, then
+        RMS-normalize it to the input's loudness.  The segment window is
+        picked ONCE on the 16 kHz wav and both rates are sliced to the
+        same time span so tokens, mel, and speaker embedding stay aligned.
+        """
+        if pick_loudest_seconds is not None:
+            _, (s16, e16) = find_loudest_segment(
+                np.asarray(prompt_wav_16k, np.float32).reshape(-1), 16000,
+                pick_loudest_seconds, return_bounds=True)
+            prompt_wav_16k = (
+                np.asarray(prompt_wav_16k, np.float32).reshape(-1)[s16:e16])
+            w24 = np.asarray(prompt_wav_24k, np.float32).reshape(-1)
+            s24 = (s16 * 3) // 2                 # same instant @24 kHz
+            prompt_wav_24k = w24[s24: s24 + ((e16 - s16) * 3) // 2]
+        if target_rms is not None:
+            prompt_wav_16k = normalize_volume(prompt_wav_16k, target_rms)
+            prompt_wav_24k = normalize_volume(prompt_wav_24k, target_rms)
         ratio = self.decoder.ratio
         token = self.encode(prompt_wav_16k)
         feat = np.asarray(self.prompt_mel_fn(

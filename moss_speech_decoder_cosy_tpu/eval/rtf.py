@@ -30,6 +30,28 @@ def measure_encode_rtf(codec, wavs_16k: Sequence[np.ndarray],
             "streaming": streaming}
 
 
+def measure_tokenizer_rtf(encode_fn: Callable[[np.ndarray], object],
+                          wavs: Sequence[np.ndarray], sample_rate: int,
+                          warmup: int = 2, name: str = "") -> dict:
+    """Adapter hook for comparing EXTERNAL tokenizers under the same
+    protocol (the cal_RTF.py:427-516 glm4/dac/mimi comparison role):
+    pass any ``wav -> tokens`` callable plus its input sample rate.  The
+    DAC and Mimi models themselves are external baselines whose modeling
+    code is not in the reference tree (cal_RTF.py:22-30 imports
+    ``modeling_dac``/``modeling_mimi`` from absolute cluster paths) — see
+    COMPONENTS.md §2.9."""
+    for w in wavs[:warmup]:
+        encode_fn(w)
+    proc = audio = 0.0
+    for w in wavs:
+        t0 = time.perf_counter()
+        encode_fn(w)
+        proc += time.perf_counter() - t0
+        audio += len(np.asarray(w).reshape(-1)) / sample_rate
+    return {"rtf": proc / audio, "proc_s": proc, "audio_s": audio,
+            "tokenizer": name}
+
+
 def measure_decode_rtf(decoder, token_lists: Sequence[np.ndarray],
                        warmup: int = 1, streaming: bool = True,
                        sample_rate: int = 24000,

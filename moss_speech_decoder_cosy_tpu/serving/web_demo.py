@@ -36,6 +36,8 @@ and the processed audio plays back as chunks arrive.</p>
 session (the reference's side-by-side comparison demo,
 gradio_voice_converter_unstreaming_streaming.py:469-524).</p>
 <button id="ab">Compare</button>
+<label><input type="checkbox" id="prep"/> prep prompt (loudest segment +
+RMS match)</label>
 <div id="abres"></div>
 <script>
 const SR = %(sr)d, FRAME = %(frame)d;
@@ -128,8 +130,9 @@ document.getElementById('ab').onclick = async () => {
   const f = document.getElementById('file').files[0];
   if (!f) { alert('pick a wav'); return; }
   document.getElementById('abres').textContent = 'running...';
-  const r = await fetch('/api/compare', {method: 'POST', body: await
-    f.arrayBuffer()});
+  const prep = document.getElementById('prep').checked ? 1 : 0;
+  const r = await fetch(`/api/compare?prep=${prep}`, {method: 'POST',
+    body: await f.arrayBuffer()});
   const j = await r.json();
   const el = document.getElementById('abres');
   el.innerHTML = '';
@@ -167,20 +170,38 @@ def make_vc_handler(codec, prompt):
     return handler
 
 
-def make_compare_handler(codec, prompt):
+def make_compare_handler(codec, prompt, prompt_wavs=None,
+                         reference_ratio=0.8):
     """Offline-vs-streaming A/B over the same input (the reference's
     side-by-side VC demo, gradio_voice_converter_unstreaming_streaming.py:
     469-524): returns {'offline': {...}, 'streaming': {...}} with wall
-    seconds, RTF, and the wavs."""
+    seconds, RTF, and the wavs.
+
+    ``prompt_wavs``: optional raw ``(wav_24k, wav_16k)`` prompt audio.
+    When given, ``handler(wav, prep=True)`` re-prepares the prompt per
+    request the way the reference demo does
+    (gradio_voice_converter_unstreaming.py:385-408): loudest contiguous
+    ``reference_ratio * min(dur, 10 s)`` segment, RMS-normalized to the
+    INPUT's loudness.  ``prep=False`` uses the prebuilt ``prompt`` — the
+    page's checkbox A/Bs the two."""
     import time
+    from ..codec import calculate_rms
     from ..eval.audio_io import resample
 
-    def handler(wav_24k: np.ndarray) -> dict:
+    def handler(wav_24k: np.ndarray, prep: bool = False) -> dict:
+        p = prompt
+        if prep and prompt_wavs is not None:
+            w24, w16 = prompt_wavs
+            dur = np.asarray(w16).reshape(-1).shape[0] / 16000.0
+            p = codec.prepare_prompt(
+                w24, w16,
+                pick_loudest_seconds=reference_ratio * min(dur, 10.0),
+                target_rms=calculate_rms(wav_24k))
         wav16 = resample(wav_24k, SAMPLE_RATE, 16000)
         out = {}
         for mode, streaming in (("offline", False), ("streaming", True)):
             t0 = time.perf_counter()
-            wav = codec.convert_voice(wav16, prompt, streaming=streaming)
+            wav = codec.convert_voice(wav16, p, streaming=streaming)
             dt = time.perf_counter() - t0
             dur = wav.shape[-1] / SAMPLE_RATE
             out[mode] = {"wav": np.asarray(wav, np.float32).reshape(-1),
@@ -224,8 +245,14 @@ class WebDemo:
         # device work off the event loop (same contract as the ws frames,
         # ws_server.py) — a 20 s A/B decode must not stall live streams
         import asyncio
+        import inspect
         loop = asyncio.get_running_loop()
-        res = await loop.run_in_executor(None, self.compare_handler, wav)
+        call = self.compare_handler
+        if "prep" in inspect.signature(call).parameters:
+            prep = request.query.get("prep") == "1"
+            res = await loop.run_in_executor(None, lambda: call(wav, prep))
+        else:
+            res = await loop.run_in_executor(None, call, wav)
         payload = {k: {"wav": _wav_b64(v["wav"], SAMPLE_RATE),
                        "seconds": v["seconds"], "rtf": v["rtf"]}
                    for k, v in res.items()}

@@ -5,7 +5,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from moss_speech_decoder_cosy_tpu.codec import SpeechCodec, Prompt
+from moss_speech_decoder_cosy_tpu.codec import (
+    SpeechCodec, Prompt, calculate_rms, normalize_volume,
+    find_loudest_segment)
 from moss_speech_decoder_cosy_tpu.tokenizer import (
     WhisperVQEncoder, tiny_tokenizer_config)
 from moss_speech_decoder_cosy_tpu.models.flow import CausalMaskedDiffWithXvec
@@ -132,6 +134,82 @@ def test_voice_conversion_with_prompt(codec):
     assert prompt.feat.shape[1] == codec.decoder.ratio * prompt.token.shape[1]
     out = codec.convert_voice(src, prompt)
     assert np.isfinite(out).all()
+
+
+def test_normalize_volume():
+    rng = np.random.RandomState(7)
+    wav = rng.randn(4000).astype(np.float32) * 0.03
+    out = normalize_volume(wav, 0.2)
+    assert abs(calculate_rms(out) - 0.2) < 1e-6
+    # silence passes through unscaled (ref :63-67 guards current_rms > 0)
+    z = np.zeros(100, np.float32)
+    np.testing.assert_array_equal(normalize_volume(z, 0.5), z)
+
+
+def test_find_loudest_segment_picks_the_burst():
+    sr = 16000
+    rng = np.random.RandomState(8)
+    wav = rng.randn(4 * sr).astype(np.float32) * 0.01
+    wav[2 * sr: 3 * sr] += rng.randn(sr).astype(np.float32) * 0.5
+    seg, (s, e) = find_loudest_segment(wav, sr, 1.0, return_bounds=True)
+    assert e - s == sr and seg.shape == (sr,)
+    # the chosen second is markedly louder than the background (the
+    # smoothing span is segment/4, so the start can land anywhere inside
+    # a uniform burst — assert on loudness, not exact bounds)
+    assert calculate_rms(seg) > 5 * calculate_rms(wav[:sr])
+    assert 2 * sr - len(seg) // 4 <= s <= 3 * sr, (s, e)
+    # short wavs pass through whole (ref :82-83)
+    short = wav[: sr // 2]
+    out = find_loudest_segment(short, sr, 1.0)
+    np.testing.assert_array_equal(out, short)
+
+
+def test_find_loudest_segment_matches_reference_loop():
+    """The cumsum-vectorised energies equal the reference's per-window
+    python loop (gradio_voice_converter_unstreaming.py:85-116) and the
+    same start index is selected."""
+    sr = 8000
+    rng = np.random.RandomState(9)
+    wav = (rng.randn(3 * sr) * np.linspace(0.01, 0.4, 3 * sr)).astype(
+        np.float32)
+    segment_duration, window_size = 0.5, 0.1
+    win = int(window_size * sr)
+    hop = win // 4
+    energies = []
+    for i in range(0, len(wav) - win + 1, hop):
+        w = wav[i: i + win].astype(np.float64)
+        energies.append(np.sqrt(np.mean(w * w)))
+    energies = np.array(energies)
+    k = max(1, int(segment_duration / window_size))
+    sm = np.convolve(energies, np.ones(k) / k, mode="valid")
+    start = int(np.argmax(sm)) * hop
+    end = min(start + int(segment_duration * sr), len(wav))
+    if end == len(wav):
+        start = max(0, end - int(segment_duration * sr))
+    _, (s, e) = find_loudest_segment(wav, sr, segment_duration,
+                                     window_size, return_bounds=True)
+    assert (s, e) == (start, end)
+
+
+def test_prepare_prompt_prep_knobs(codec):
+    """pick_loudest_seconds + target_rms equal manual slice-then-normalize
+    through the plain prepare_prompt (both sample rates cut to the same
+    time window; ref demo wiring :398-408)."""
+    rng = np.random.RandomState(10)
+    p16 = rng.randn(6400).astype(np.float32) * 0.02
+    p16[3200:4800] += rng.randn(1600).astype(np.float32) * 0.4
+    p24 = np.repeat(p16, 3)[::2].astype(np.float32)   # same content @1.5x
+    got = codec.prepare_prompt(p24, p16, pick_loudest_seconds=0.1,
+                               target_rms=0.15)
+    _, (s16, e16) = find_loudest_segment(p16, 16000, 0.1,
+                                         return_bounds=True)
+    m16 = normalize_volume(p16[s16:e16], 0.15)
+    m24 = normalize_volume(
+        p24[(s16 * 3) // 2: (s16 * 3) // 2 + ((e16 - s16) * 3) // 2], 0.15)
+    want = codec.prepare_prompt(m24, m16)
+    np.testing.assert_array_equal(got.token, want.token)
+    np.testing.assert_array_equal(got.feat, want.feat)
+    np.testing.assert_array_equal(got.embedding, want.embedding)
 
 
 def test_kaldi_fbank_shapes():

@@ -108,3 +108,15 @@ def test_rtf_measurement(tiny_codec):
     wavs = [rng.randn(12800).astype(np.float32) * 0.1 for _ in range(2)]
     res2 = measure_encode_rtf(tiny_codec, wavs, warmup=1)
     assert res2["rtf"] > 0
+
+
+def test_tokenizer_rtf_adapter(tiny_codec):
+    """External-tokenizer hook (the cal_RTF.py glm4/dac/mimi comparison
+    role): any wav->tokens callable benches under the same protocol."""
+    from moss_speech_decoder_cosy_tpu.eval.rtf import measure_tokenizer_rtf
+    rng = np.random.RandomState(2)
+    wavs = [rng.randn(12800).astype(np.float32) * 0.1 for _ in range(2)]
+    res = measure_tokenizer_rtf(tiny_codec.encode, wavs, 16000,
+                                warmup=1, name="glm4")
+    assert res["rtf"] > 0 and res["tokenizer"] == "glm4"
+    assert abs(res["audio_s"] - 2 * 0.8) < 1e-6

@@ -388,8 +388,45 @@ def test_compare_handler_and_demo_page():
 
     page = wd._PAGE % {"sr": 24000, "frame": 1920}
     for needle in ("getUserMedia", "api/compare", "id=\"mic\"",
-                   "id=\"ab\""):
+                   "id=\"ab\"", "id=\"prep\""):
         assert needle in page, needle
+
+
+def test_compare_handler_prompt_prep_flag():
+    """prep=True re-prepares the prompt per request like the reference
+    demo (loudest reference_ratio*min(dur,10s) segment, RMS matched to
+    the input, gradio_voice_converter_unstreaming.py:385-408); prep=False
+    uses the prebuilt prompt."""
+    import numpy as np
+    from moss_speech_decoder_cosy_tpu.serving import web_demo as wd
+    from moss_speech_decoder_cosy_tpu.codec import calculate_rms
+
+    seen = {"prompts": [], "prep_args": None}
+
+    class FakeCodec:
+        def prepare_prompt(self, w24, w16, pick_loudest_seconds=None,
+                           target_rms=None):
+            seen["prep_args"] = (pick_loudest_seconds, target_rms)
+            return "prepped"
+
+        def convert_voice(self, wav16, prompt, streaming=False):
+            seen["prompts"].append(prompt)
+            return wav16[None, :24000]
+
+    rng = np.random.RandomState(1)
+    w24 = rng.randn(9600).astype(np.float32) * 0.1
+    w16 = rng.randn(6400).astype(np.float32) * 0.1
+    wav = rng.randn(24000).astype(np.float32) * 0.1
+    h = wd.make_compare_handler(FakeCodec(), prompt="raw",
+                                prompt_wavs=(w24, w16))
+    h(wav, prep=False)
+    assert seen["prompts"] == ["raw", "raw"]
+    seen["prompts"].clear()
+    h(wav, prep=True)
+    assert seen["prompts"] == ["prepped", "prepped"]
+    dur, rms = seen["prep_args"]
+    assert abs(dur - 0.8 * (6400 / 16000)) < 1e-9
+    assert abs(rms - calculate_rms(wav)) < 1e-9
 
 
 def test_multi_stream_manager_matches_standalone_sessions():
