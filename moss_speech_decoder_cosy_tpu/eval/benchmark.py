@@ -52,8 +52,20 @@ def run_seed_tts_benchmark(codec, benchmark_dir: str, save_dir: str,
                            lang: str = "en", block_size: int = 5,
                            max_token_len: int = 40, rank: int = 0,
                            world_size: int = 1,
-                           sample_rate: int = 24000) -> dict:
-    """codec: moss_speech_decoder_cosy_tpu.codec.SpeechCodec."""
+                           sample_rate: int = 24000,
+                           score: bool = False, asr=None,
+                           text_to_units=None) -> dict:
+    """codec: moss_speech_decoder_cosy_tpu.codec.SpeechCodec.
+
+    ``score=True`` closes the loop the reference closes externally
+    (evaluate_moss_decoder.sh:76-94 hands the run to seed-tts-eval and
+    prints result.json): after synthesis, the run is scored IN-REPO —
+    WER through ``asr`` (tokenizer/asr_decoder.WhisperASR over the
+    codec's own tokens; the label transcription is the reference when no
+    ``text_to_units`` text tokenizer is given) and speaker SIM through
+    ``codec.speaker_encoder`` (models/campplus.py) — and
+    ``<save_dir>/result.json`` is written.  Scores land in the returned
+    dict under ``"scores"``."""
     data = load_benchmark_data(benchmark_dir, lang)[rank::world_size]
     out_root = Path(save_dir) / lang
     out_root.mkdir(parents=True, exist_ok=True)
@@ -92,5 +104,18 @@ def run_seed_tts_benchmark(codec, benchmark_dir: str, save_dir: str,
         except Exception:                              # keep the shard alive
             traceback.print_exc()
             failed += 1
-    return {"ok": ok, "failed": failed, "skipped": skipped,
-            "total": len(data)}
+    out = {"ok": ok, "failed": failed, "skipped": skipped,
+           "total": len(data)}
+    if score:
+        from .score import (make_asr_transcriber, score_seed_tts_run,
+                            write_result_json)
+        transcribe_fn = (make_asr_transcriber(codec, asr)
+                         if asr is not None else None)
+        res = score_seed_tts_run(
+            save_dir, lang, transcribe_fn=transcribe_fn,
+            speaker_fn=codec.speaker_encoder,
+            benchmark_dir=benchmark_dir, text_to_units=text_to_units,
+            sample_rate=sample_rate)
+        out["scores"] = res
+        out["result_json"] = write_result_json(save_dir, {lang: res})
+    return out
