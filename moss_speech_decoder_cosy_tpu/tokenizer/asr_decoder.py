@@ -62,7 +62,8 @@ class WhisperDecoderLayer(nn.Module):
     cfg: WhisperVQConfig
 
     @nn.compact
-    def __call__(self, x, enc, self_bias, cross_bias):
+    def __call__(self, x, enc, self_bias, cross_bias,
+                 return_attn: bool = False):
         c = self.cfg
         h = nn.LayerNorm(epsilon=1e-5, name="self_attn_layer_norm")(x)
         x = x + WhisperAttention(c.decoder_attention_heads, c.d_model,
@@ -84,7 +85,10 @@ class WhisperDecoderLayer(nn.Module):
         h = nn.LayerNorm(epsilon=1e-5, name="final_layer_norm")(x)
         h = jax.nn.gelu(nn.Dense(c.decoder_ffn_dim, name="fc1")(h),
                         approximate=False)
-        return x + nn.Dense(c.d_model, name="fc2")(h)
+        out = x + nn.Dense(c.d_model, name="fc2")(h)
+        if return_attn:
+            return out, a                    # a: (B, H, T, S) cross weights
+        return out
 
 
 class WhisperVQDecoder(nn.Module):
@@ -95,7 +99,14 @@ class WhisperVQDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray, token_valid: jnp.ndarray,
-                 enc: jnp.ndarray, enc_valid: jnp.ndarray) -> jnp.ndarray:
+                 enc: jnp.ndarray, enc_valid: jnp.ndarray,
+                 return_cross_attn: bool = False):
+        """``return_cross_attn=True`` additionally returns the stacked
+        per-layer cross-attention weights (L, B, H, T, S) — the signal the
+        DTW token-timestamp path consumes (generation_whisper.py:186-191
+        collects these per decode step; this decoder recomputes the full
+        prefix, so ONE batched forward over the final sequence yields the
+        identical rows)."""
         c = self.cfg
         b, t = tokens.shape
         embed = nn.Embed(c.vocab_size, c.d_model, name="embed_tokens")
@@ -107,11 +118,20 @@ class WhisperVQDecoder(nn.Module):
         causal = (ar[None, :] <= ar[:, None])[None] & token_valid[:, None, :]
         self_bias = mask_to_bias(causal, x.dtype)[:, None]
         cross_bias = mask_to_bias(enc_valid[:, None, :], x.dtype)[:, None]
+        attns = []
         for i in range(c.decoder_layers):
-            x = WhisperDecoderLayer(c, name=f"layers_{i}")(
-                x, enc, self_bias, cross_bias)
+            layer = WhisperDecoderLayer(c, name=f"layers_{i}")
+            if return_cross_attn:
+                x, a = layer(x, enc, self_bias, cross_bias,
+                             return_attn=True)
+                attns.append(a)
+            else:
+                x = layer(x, enc, self_bias, cross_bias)
         x = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(x)
-        return x @ embed.embedding.T                     # tied projection
+        logits = x @ embed.embedding.T                   # tied projection
+        if return_cross_attn:
+            return logits, jnp.stack(attns)
+        return logits
 
 
 class WhisperAudioClassifier(nn.Module):
@@ -424,6 +444,125 @@ def compression_ratio(token_ids) -> float:
     return len(raw) / len(zlib.compress(raw))
 
 
+def median_filter(x, filter_width: int):
+    """Median filter along the last dim with reflect padding
+    (generation_whisper.py:43-63).  numpy, host-side: timestamp
+    extraction is post-processing over tiny matrices, not a device
+    hot path."""
+    import numpy as np
+    if filter_width <= 0 or filter_width % 2 != 1:
+        raise ValueError("`filter_width` should be an odd number")
+    pad = filter_width // 2
+    x = np.asarray(x)
+    if x.shape[-1] <= pad:
+        return x
+    xp = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+    windows = np.lib.stride_tricks.sliding_window_view(
+        xp, filter_width, axis=-1)
+    # the reference takes sort()[..., pad] — the median of an odd window
+    return np.sort(windows, axis=-1)[..., pad]
+
+
+def dynamic_time_warping(matrix):
+    """Monotonic min-cost alignment path through a (text, time) cost
+    matrix (generation_whisper.py:66-116).  Returns (text_indices,
+    time_indices) along the path, earliest first."""
+    import numpy as np
+    matrix = np.asarray(matrix, np.float64)
+    t_len, s_len = matrix.shape
+    # f32 cost accumulator, exactly like the reference (:72) — keeps the
+    # chosen path bit-identical to the torch mixin for the golden test
+    cost = np.full((t_len + 1, s_len + 1), np.inf, np.float32)
+    trace = -np.ones((t_len + 1, s_len + 1), np.int8)
+    cost[0, 0] = 0.0
+    for j in range(1, s_len + 1):
+        col_m = matrix[:, j - 1]
+        prev = cost[:, j - 1]                    # cost[., j-1] (fixed)
+        cur = cost[:, j]
+        for i in range(1, t_len + 1):
+            c0, c1, c2 = prev[i - 1], cur[i - 1], prev[i]
+            if c0 < c1 and c0 < c2:
+                c, t = c0, 0
+            elif c1 < c0 and c1 < c2:
+                c, t = c1, 1
+            else:
+                c, t = c2, 2
+            cur[i] = col_m[i - 1] + c
+            trace[i, j] = t
+    trace[0, :] = 2
+    trace[:, 0] = 1
+    i, j = t_len, s_len
+    text_indices, time_indices = [], []
+    while i > 0 or j > 0:
+        text_indices.append(i - 1)
+        time_indices.append(j - 1)
+        t = trace[i, j]
+        if t == 0:
+            i -= 1
+            j -= 1
+        elif t == 1:
+            i -= 1
+        else:
+            j -= 1
+    return (np.array(text_indices[::-1], np.int64),
+            np.array(time_indices[::-1], np.int64))
+
+
+def extract_token_timestamps(cross_attn, alignment_heads,
+                             median_filter_width: int = 7,
+                             time_precision: float = 0.02,
+                             num_positions=None):
+    """Token-level timestamps from stacked cross-attention weights via
+    DTW (generation_whisper.py:176-255 `_extract_token_timestamps`).
+
+    ``cross_attn``: (L, B, H, T, S) weights from
+    ``WhisperVQDecoder(..., return_cross_attn=True)`` — the one-forward
+    equivalent of the mixin's per-step concatenation.
+    ``alignment_heads``: sequence of (layer, head) pairs.
+    ``num_positions``: crop S to this many encoder positions first —
+    already in encoder-position units (the mixin's ``num_frames // 2``,
+    :230-240); an int or a per-batch sequence.
+    ``time_precision``: seconds per encoder position.
+
+    Returns (B, T+1) float32 — ``timestamps[:, 1:]`` are the DTW jump
+    times, matching the reference layout (:270-273).
+    """
+    import numpy as np
+    cross_attn = np.asarray(cross_attn, np.float32)
+    w = np.stack([cross_attn[l][:, h] for l, h in alignment_heads])
+    w = w.transpose(1, 0, 2, 3)                        # (B, N, T, S)
+    batch, _, t_len, _ = w.shape
+    timestamps = np.zeros((batch, t_len + 1), np.float32)
+    per_batch = (num_positions is not None
+                 and not isinstance(num_positions, int)
+                 and len(np.unique(np.asarray(num_positions))) > 1)
+    if not per_batch:
+        if num_positions is not None:
+            np_i = (num_positions if isinstance(num_positions, int)
+                    else int(np.asarray(num_positions).reshape(-1)[0]))
+            w = w[..., :np_i]
+        std = w.std(axis=-2, keepdims=True)
+        mean = w.mean(axis=-2, keepdims=True)
+        w = (w - mean) / std
+        w = median_filter(w, median_filter_width)
+        w = w.mean(axis=1)                             # (B, T, S)
+    for b in range(batch):
+        if per_batch:
+            m = w[b, ..., : int(np.asarray(num_positions)[b])]
+            std = m.std(axis=-2, keepdims=True)
+            mean = m.mean(axis=-2, keepdims=True)
+            m = (m - mean) / std
+            m = median_filter(m, median_filter_width)
+            m = m.mean(axis=0)
+        else:
+            m = w[b]
+        text_idx, time_idx = dynamic_time_warping(-m.astype(np.float64))
+        jumps = np.pad(np.diff(text_idx), (1, 0),
+                       constant_values=1).astype(bool)
+        timestamps[b, 1:] = time_idx[jumps] * time_precision
+    return timestamps
+
+
 class WhisperASR:
     """Long-form transcription over discrete speech tokens.
 
@@ -442,7 +581,9 @@ class WhisperASR:
                  bos_id: int = 1, eos_id: int = 2, max_len: int = 64,
                  segment_tokens: int = 375,
                  timestamp_begin: Optional[int] = None,
-                 time_precision: float = 0.02):
+                 time_precision: float = 0.02,
+                 alignment_heads=None,
+                 median_filter_width: int = 7):
         self.cfg = cfg
         self.post = PostVQEncoder(cfg)
         self.dec = WhisperVQDecoder(cfg)
@@ -475,6 +616,19 @@ class WhisperASR:
             lambda e, v: beam_decode(self.dec, self.dec_params, e, v,
                                      self.bos_id, self.eos_id,
                                      max_len=self.max_len))
+        # DTW word-timing config (generation_whisper.py:946-950: the
+        # generation config's alignment_heads select (layer, head) pairs;
+        # default = every cross-attention head when none are published)
+        self.alignment_heads = (
+            tuple(tuple(p) for p in alignment_heads)
+            if alignment_heads is not None else
+            tuple((l, h) for l in range(cfg.decoder_layers)
+                  for h in range(cfg.decoder_attention_heads)))
+        self.median_filter_width = median_filter_width
+        self._cross_attn = jax.jit(
+            lambda toks, tv, e, v: self.dec.apply(
+                self.dec_params, toks, tv, e, v,
+                return_cross_attn=True)[1])
 
     def _enc_impl(self, ids, valid):
         q = self.codebook[jnp.maximum(ids, 0)]
@@ -496,6 +650,7 @@ class WhisperASR:
                    compression_ratio_threshold: float = 2.4,
                    logprob_threshold: float = -1.0,
                    return_timestamps: bool = False,
+                   word_timestamps: bool = False,
                    rng: jax.Array = None):
         """ids (1, T) int32 speech tokens -> list of per-segment transcript
         token arrays (eos/bos stripped), long-form stitched in order.
@@ -508,7 +663,15 @@ class WhisperASR:
         grammar instead and returns [(start_s, end_s, text_ids)] across
         the stitched segments (generation_whisper.py:349-352,693-711);
         our exact 30 s segmentation makes the segment offset
-        ``s * segment_tokens * 80 ms`` rather than a running seek."""
+        ``s * segment_tokens * 80 ms`` rather than a running seek.
+
+        ``word_timestamps=True`` returns [(tokens, times)] per segment:
+        token-LEVEL times from cross-attention DTW over the alignment
+        heads (generation_whisper.py:176-255 `_extract_token_timestamps`,
+        wired at :946-950), offset by the segment start.  Times are per
+        encoder position = one speech token = 80 ms at the production
+        config (whisper's num_frames//2 mel precision becomes the token
+        grid here)."""
         import numpy as np
         ids = jnp.asarray(np.asarray(ids, np.int32).reshape(1, -1))
         enc, vsegs = self._segment_states(ids)
@@ -534,10 +697,39 @@ class WhisperASR:
                     e, v, temperatures, compression_ratio_threshold,
                     logprob_threshold, rng)
                 rng, _ = jax.random.split(rng)
+            if word_timestamps:
+                out.append(self._token_times(toks, n, e, v,
+                                             offset_sec=s * seg_sec))
+                continue
             seq = toks[0, 1:n]                      # strip bos
             seq = seq[seq != self.eos_id]
             out.append(np.asarray(seq, np.int32))
         return out
+
+    def _token_times(self, toks, n: int, e, v, offset_sec: float = 0.0):
+        """(tokens (m,), times (m,)) for one decoded segment via
+        cross-attention DTW.  One full-prefix forward reproduces the rows
+        the mixin concatenates per step (generation_whisper.py:186-191);
+        S is cropped to the segment's valid token count (the mixin's
+        num_frames crop, :230-240)."""
+        import numpy as np
+        toks_j = jnp.asarray(np.asarray(toks, np.int32)[:1])
+        tv = jnp.arange(toks_j.shape[1])[None, :] < max(n, 1)
+        attn = np.asarray(self._cross_attn(toks_j, tv, e, v), np.float32)
+        attn = attn[:, :, :, :n, :]                # rows: decoded prefix
+        pos_sec = self.cfg.samples_per_token / self.cfg.sampling_rate
+        ts = extract_token_timestamps(
+            attn, self.alignment_heads,
+            median_filter_width=self.median_filter_width,
+            time_precision=pos_sec,
+            num_positions=int(np.asarray(v).sum()))
+        # reference alignment (:951): sequences[:, start_idx:] pairs with
+        # token_timestamps[:, start_idx:] — position p gets jump p-1
+        seq = np.asarray(toks)[0, 1:n]
+        times = ts[0, 1:n] + offset_sec
+        keep = seq != self.eos_id
+        return (seq[keep].astype(np.int32),
+                times[keep].astype(np.float32))
 
     def _fallback_decode(self, e, v, temperatures, cr_threshold,
                          lp_threshold, rng):

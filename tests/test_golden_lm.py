@@ -473,3 +473,81 @@ def test_whisper_decoder_golden():
     assert want.shape == got.shape
     for i in range(b):
         assert _max_abs(want[i, :lens[i]], got[i, :lens[i]]) < 5e-5
+
+
+# =====================================================================
+# DTW token-level timestamps (generation_whisper.py:43-116,176-255)
+# =====================================================================
+class _Outs(dict):
+    """Attribute + containment access, like the HF ModelOutput the mixin
+    reads (generate_outputs.cross_attentions / "beam_indices" in ...)."""
+    __getattr__ = dict.__getitem__
+
+
+def _mixin_timestamps(attn, heads, time_precision, num_frames=None,
+                      median_filter_width=7):
+    """Drive the reference mixin's _extract_token_timestamps on synthetic
+    per-step cross-attentions built from the SAME (L,B,H,T,S) weights our
+    one-forward extraction consumes."""
+    import types
+    from speech_tokenizer import generation_whisper as gw
+    L, B, H, T, S = attn.shape
+    cross = tuple(
+        tuple(torch.from_numpy(attn[l][:, :, t:t + 1, :]) for l in range(L))
+        for t in range(T))
+    outs = _Outs(cross_attentions=cross,
+                 sequences=torch.zeros(B, T + 4, dtype=torch.long))
+    fake_self = types.SimpleNamespace(config=types.SimpleNamespace(
+        decoder_layers=L, median_filter_width=median_filter_width))
+    ts = gw.WhisperGenerationMixin._extract_token_timestamps(
+        fake_self, outs, heads, time_precision=time_precision,
+        num_frames=num_frames)
+    return ts.numpy()
+
+
+def test_dtw_token_timestamps_golden():
+    """extract_token_timestamps == the reference mixin on identical
+    cross-attention weights: no crop, int num_frames crop, and the
+    per-batch (heterogeneous num_frames) branch."""
+    from moss_speech_decoder_cosy_tpu.tokenizer.asr_decoder import (
+        extract_token_timestamps)
+    rng = np.random.RandomState(60)
+    L, B, H, T, S = 4, 2, 3, 9, 17
+    attn = rng.rand(L, B, H, T, S).astype(np.float32)
+    attn /= attn.sum(-1, keepdims=True)
+    heads = [(0, 1), (2, 0), (3, 2)]
+
+    want = _mixin_timestamps(attn, heads, time_precision=0.08)
+    got = extract_token_timestamps(attn, heads, time_precision=0.08)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # int num_frames -> crop to num_frames // 2 encoder positions
+    want = _mixin_timestamps(attn, heads, time_precision=0.08,
+                             num_frames=20)
+    got = extract_token_timestamps(attn, heads, time_precision=0.08,
+                                   num_positions=10)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # heterogeneous per-batch num_frames -> sequential branch (:255-266)
+    want = _mixin_timestamps(attn, heads, time_precision=0.08,
+                             num_frames=[12, 16])
+    got = extract_token_timestamps(attn, heads, time_precision=0.08,
+                                   num_positions=[6, 8])
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_dtw_and_median_filter_primitives_golden():
+    """dynamic_time_warping / median_filter == the reference helpers."""
+    from speech_tokenizer import generation_whisper as gw
+    from moss_speech_decoder_cosy_tpu.tokenizer.asr_decoder import (
+        dynamic_time_warping, median_filter)
+    rng = np.random.RandomState(61)
+    m = rng.randn(7, 13)
+    ti_ref, si_ref = gw._dynamic_time_warping(-m)
+    ti, si = dynamic_time_warping(-m)
+    np.testing.assert_array_equal(ti, ti_ref)
+    np.testing.assert_array_equal(si, si_ref)
+
+    x = rng.randn(2, 3, 5, 11).astype(np.float32)
+    want = gw._median_filter(torch.from_numpy(x), 5).numpy()
+    np.testing.assert_allclose(median_filter(x, 5), want, atol=0)

@@ -341,3 +341,53 @@ def test_asr_longform_timestamps_stitch_with_offsets():
     # (random decoders may terminate immediately; the structural assert is
     # that nothing from a later window precedes its offset, checked above)
     assert isinstance(later, list)
+
+
+def test_asr_word_timestamps():
+    """transcribe(word_timestamps=True): per-segment (tokens, times) via
+    cross-attention DTW (generation_whisper.py:176-255 role) — times on
+    the token grid, segment offsets applied, token streams identical to
+    the plain transcription."""
+    from moss_speech_decoder_cosy_tpu.tokenizer.asr_decoder import (
+        PostVQEncoder, WhisperVQDecoder, WhisperASR)
+    cfg = tiny_tokenizer_config()
+    rng = np.random.RandomState(7)
+    codebook = rng.randn(cfg.quantize_vocab_size,
+                         cfg.d_model).astype(np.float32)
+    seg_t = 6
+    post = PostVQEncoder(cfg)
+    post_params = post.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, seg_t, cfg.d_model)),
+                            jnp.ones((1, seg_t), bool))
+    dec = WhisperVQDecoder(cfg)
+    dec_params = dec.init(jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32),
+                          jnp.ones((1, 8), bool),
+                          jnp.zeros((1, seg_t, cfg.d_model)),
+                          jnp.ones((1, seg_t), bool))
+    asr = WhisperASR(cfg, post_params, dec_params, codebook,
+                     bos_id=1, eos_id=2, max_len=8, segment_tokens=seg_t,
+                     alignment_heads=[(0, 0), (1, 1)])
+    ids = rng.randint(0, cfg.quantize_vocab_size, (1, 14)).astype(np.int32)
+
+    segs = asr.transcribe(ids, word_timestamps=True)
+    plain = asr.transcribe(ids)
+    assert len(segs) == len(plain) == 3
+    seg_sec = seg_t * cfg.samples_per_token / cfg.sampling_rate
+    pos_sec = cfg.samples_per_token / cfg.sampling_rate
+    for s, ((toks, times), want_toks) in enumerate(zip(segs, plain)):
+        np.testing.assert_array_equal(toks, want_toks)
+        assert times.shape == toks.shape and times.dtype == np.float32
+        lo, hi = s * seg_sec, (s + 1) * seg_sec + pos_sec
+        assert np.all(times >= lo - 1e-6) and np.all(times <= hi + 1e-6), \
+            (s, times)
+        assert np.all(np.diff(times) >= -1e-6)   # DTW path is monotone
+
+    # the cross-attention forward is a proper attention distribution
+    toks_j = jnp.zeros((1, 8), jnp.int32)
+    tv = jnp.ones((1, 8), bool)
+    e = jnp.zeros((1, seg_t, cfg.d_model))
+    _, attn = dec.apply(dec_params, toks_j, tv, e,
+                        jnp.ones((1, seg_t), bool), return_cross_attn=True)
+    assert attn.shape == (cfg.decoder_layers, 1,
+                          cfg.decoder_attention_heads, 8, seg_t)
+    np.testing.assert_allclose(np.asarray(attn).sum(-1), 1.0, atol=1e-5)
