@@ -241,20 +241,46 @@ def main():
               f"stream_completion_rtf={wall / (agg_audio / nb):.4f}",
               file=sys.stderr)
 
+    # MFU: XLA-cost-analysis FLOPs of the engines' own compiled programs
+    # over the chip's peak (utils/flops.py) — answers "fast, or just under
+    # an easy target" alongside the RTF (the roofline table lives in
+    # BENCH_NOTES).  Cheap here: every program already compiled above.
+    from moss_speech_decoder_cosy_tpu.utils.flops import (
+        chip_peak_flops, compiled_flops)  # noqa: F401
+    dt_name = "bfloat16" if dtype == jnp.bfloat16 else "float32"
+    peak = chip_peak_flops(dtype=dt_name)
+    mfu_win = mfu_kv = None
+    flops_win = stream.program_flops(n_tokens)
+    if peak:
+        mfu_win = flops_win / (rtf_win * audio_sec) / peak
+    flops_kv = None
+    if rtf_kv is not None:
+        flops_kv = kv.program_flops(n_tokens)
+        if peak:
+            mfu_kv = flops_kv / (rtf_kv * audio_sec) / peak
+
     # headline = the KV engine (the default fast path); the windowed
     # reference-semantics figure goes to stderr alongside it.  (Advisor
     # round 2: min-of-two-engines is not the RTF of one configuration.)
     rtf = rtf_kv if rtf_kv is not None else rtf_win
+    head_mfu = mfu_kv if rtf_kv is not None else mfu_win
     target = 0.05
     result = {"metric": "streaming_rtf", "value": round(rtf, 5),
               "unit": "ratio", "vs_baseline": round(target / rtf, 3)}
+    if head_mfu is not None:
+        result["mfu"] = round(head_mfu, 5)
     print(json.dumps(result))
+    fmt = lambda x, d=4: None if x is None else round(x, d)  # noqa: E731
     print(f"# audio={audio_sec:.2f}s windowed_rtf={rtf_win:.4f} "
-          f"kv_rtf={rtf_kv if rtf_kv is None else round(rtf_kv, 4)} "
+          f"kv_rtf={fmt(rtf_kv)} "
           f"first_chunk={first_chunk_ms:.1f}ms "
-          f"kv_first_chunk={first_chunk_kv_ms if first_chunk_kv_ms is None else round(first_chunk_kv_ms, 1)}ms "
+          f"kv_first_chunk={fmt(first_chunk_kv_ms, 1)}ms "
           f"compile_pass={compile_wall:.1f}s "
           f"dtype={dtype.__name__} platform={jax.devices()[0].platform}",
+          file=sys.stderr)
+    print(f"# flops/stream: windowed={flops_win:.3e} kv={flops_kv and format(flops_kv, '.3e')} "
+          f"peak={peak and format(peak, '.3e')} "
+          f"mfu: windowed={fmt(mfu_win, 5)} kv={fmt(mfu_kv, 5)}",
           file=sys.stderr)
 
 

@@ -407,6 +407,65 @@ class DeviceStreamDecoder:
         """Compile the hop shapes for an n-token stream."""
         self.stream_decode(np.zeros((1, n_tokens), np.int32))
 
+    def program_flops(self, n_tokens: int) -> float:
+        """Total FLOPs of the compiled programs one
+        ``stream_decode(n_tokens)`` (split path) executes — XLA cost
+        analysis over the same dispatch sequence (utils/flops.py).  Run
+        after a warmup pass so lower+compile hit the cache."""
+        from ..utils.flops import compiled_flops
+
+        cap = max(n_tokens + self.window, self.window)
+        token_buf = jnp.zeros((self.batch, cap), jnp.int32)
+        state = self.init_state()
+        off = state.token_offset
+        # mel dummies must carry the COMPUTE dtype the flow emits — a f32
+        # dummy would lower a different (freshly compiled) vocoder program
+        mel_dt = self.dec.compute_dtype or jnp.float32
+        total = 0.0
+        plan = [p for p in self.schedule(n_tokens) if p[0] > 0]
+        i = 0
+        while i < len(plan):
+            emit_tokens, first, finalize = plan[i]
+            if not first and not finalize:
+                j = i
+                while (j < len(plan) and plan[j] == (emit_tokens, False,
+                                                     False)):
+                    j += 1
+                run = j - i
+                if run > 1:
+                    mel_d = self.dec.flow_cfg.output_size
+                    for bucket in (64, 16, 4, 2):
+                        while run >= bucket:
+                            if self.batch == 1:
+                                total += compiled_flops(
+                                    self._flow_batched, self.dec.flow_params,
+                                    token_buf, off, n_hops=bucket,
+                                    emit_tokens=emit_tokens)
+                            else:
+                                total += compiled_flops(
+                                    self._flow_scan, self.dec.flow_params,
+                                    token_buf, off, n_hops=bucket,
+                                    emit_tokens=emit_tokens)
+                            mels = jnp.zeros(
+                                (bucket, self.batch,
+                                 emit_tokens * self.ratio, mel_d), mel_dt)
+                            total += compiled_flops(
+                                self._voc_scan, self.dec.hift_params,
+                                mels, state, emit_tokens=emit_tokens)
+                            run -= bucket
+                    i = j - run
+                    continue
+            total += compiled_flops(
+                self._flow_step, self.dec.flow_params, token_buf, off,
+                emit_tokens=emit_tokens, finalize=finalize)
+            mel = jnp.zeros((self.batch, emit_tokens * self.ratio,
+                             self.dec.flow_cfg.output_size), mel_dt)
+            total += compiled_flops(
+                self._voc_step, self.dec.hift_params, mel, state,
+                first=first, finalize=finalize)
+            i += 1
+        return total
+
 
 def stream_chunks(decoder: DeviceStreamDecoder, tokens: np.ndarray,
                   fetch_threads: int = 1):

@@ -851,6 +851,63 @@ class KVStreamDecoder:
             return _parallel_fetch(_pcm16_device(wav))
         return _parallel_fetch(wav).astype(np.float32)
 
+    def program_flops(self, n_tokens: int) -> float:
+        """Total FLOPs of the compiled programs one default
+        ``stream_decode(n_tokens)`` executes (wavefront scan + optional
+        prefill/finalize hop + bulk vocode) — XLA cost analysis over the
+        same dispatch sequence (utils/flops.py).  Run after a warmup pass
+        so lower+compile hit the cache.  NOTE: a bucketed wavefront scan
+        includes its dead padding iterations, exactly as executed."""
+        from ..utils.flops import compiled_flops
+
+        d = self.dec
+        cap = n_tokens + self.hop + self.la + 1
+        token_buf = jnp.zeros((self.b, cap), jnp.int32)
+        cache, _ = self.init_state()
+        total = 0.0
+        if self.p:
+            total += compiled_flops(self._prefill, self._fp, token_buf,
+                                    cache)
+        plan = self.schedule(n_tokens)
+        n_steady = sum(1 for pl in plan if not pl[1])
+        assert len(plan) >= 2 and n_steady >= 2, (
+            "program_flops mirrors the default wavefront path", plan)
+        s_steps = d.flow_cfg.cfm.n_timesteps
+        if self._spks_cached is None:
+            self._spks_cached = self._spk(self._fp, self._emb)
+        x_wave, mu_wave = self._wave_init()
+        need = n_steady + s_steps - 1
+        n_iters = max(16, ((need + 15) // 16) * 16)
+        total += compiled_flops(
+            self._wave_scan, self._fp, token_buf, x_wave, mu_wave,
+            self._spks_cached, cache["est"], cache["enc"],
+            n_iters=n_iters, k_total=jnp.asarray(n_steady, jnp.int32),
+            base_frames=jnp.asarray(self.p * self.ratio, jnp.int32),
+            dus=self._dus_ok, fused=self._fused)
+        if plan and plan[-1][1]:
+            total += compiled_flops(self._hop, self._fp, token_buf, cache,
+                                    emit_tokens=plan[-1][0], finalize=True)
+        if self._bulk is None:
+            from .bulk_voc import BulkVocoder
+            self._bulk = BulkVocoder(d, self.hop * self.ratio)
+        frames = tuple(e * self.ratio for e, _ in plan)
+        n_frames = sum(frames)
+        mel_full = jnp.zeros((self.b, n_frames, self.n_mel), jnp.float32)
+        n_st = max(len(frames) - 2, 0)
+        tail = frames[-1] if len(frames) > 1 else 0
+        first = frames[0] if len(frames) == 1 else self._bulk.F
+        if self.b > 1:
+            self._bulk.vocode(d.hift_params,
+                              jnp.zeros((self.b, n_frames, self.n_mel),
+                                        jnp.float32), frames)  # build _vfn
+            total += compiled_flops(self._bulk._vfn, d.hift_params,
+                                    mel_full, n_st, tail, first)
+        else:
+            total += compiled_flops(self._bulk._fn, d.hift_params,
+                                    mel_full, n_steady=n_st,
+                                    tail_frames=tail, first_frames=first)
+        return total
+
     def stream_chunks(self, tokens: np.ndarray, wavefront: bool = False,
                       seg_iters: int = 32):
         """Yield float32 wav chunks (pipelined fetches).

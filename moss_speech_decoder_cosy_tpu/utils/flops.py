@@ -1,0 +1,69 @@
+"""FLOPs accounting + MFU (model FLOPs utilization).
+
+The reference reports RTF only (cal_RTF.py:349-421).  RTF alone cannot
+say whether an engine is fast or merely under an easy target, so the
+bench here also reports MFU = delivered FLOPs/s over the chip's peak.
+
+FLOPs come from XLA's own cost analysis of the COMPILED programs the
+engines execute (``Compiled.cost_analysis()['flops']``) — exact for the
+program as optimized, with fusion and algebraic simplification applied,
+rather than a hand-derived formula that drifts from the code.  Lowering
+an already-warm jitted function is cheap (the executable comes from the
+in-memory/persistent compile cache).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+
+def compiled_flops(jit_fn, *args, **kwargs) -> float:
+    """FLOPs of the XLA program ``jit_fn(*args, **kwargs)`` runs.
+
+    ``args`` may be concrete arrays or ShapeDtypeStructs; static kwargs
+    select the program variant.  Returns 0.0 when the backend publishes
+    no cost model (never on TPU/CPU)."""
+    compiled = jit_fn.lower(*args, **kwargs).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    return float((ca or {}).get("flops", 0.0))
+
+
+# Peak dense matmul throughput per chip, FLOP/s.  bf16 numbers from the
+# public TPU spec sheets; f32 runs through the same MXU passes at ~1/2.
+_PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,          # v5e
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,               # v5p
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,          # v6e / Trillium
+    "TPU v6e": 918e12,
+}
+
+
+def chip_peak_flops(device=None, dtype: str = "bfloat16"
+                    ) -> Optional[float]:
+    """Peak FLOP/s of one chip, or None when unknown (e.g. CPU)."""
+    device = device or jax.devices()[0]
+    kind = getattr(device, "device_kind", "")
+    matches = [(len(name), val) for name, val in _PEAK_BF16.items()
+               if kind.startswith(name)]
+    if not matches:
+        return None
+    peak = max(matches)[1]                  # longest prefix wins
+    if dtype in ("float32", "f32"):
+        return peak / 2
+    return peak
+
+
+def mfu(total_flops: float, seconds: float, device=None,
+        dtype: str = "bfloat16") -> Optional[float]:
+    """Delivered FLOPs/s over chip peak; None when the peak is unknown."""
+    peak = chip_peak_flops(device, dtype)
+    if peak is None or seconds <= 0:
+        return None
+    return total_flops / seconds / peak

@@ -289,3 +289,61 @@ def test_device_stream_production_knobs(decoder):
     dev = decoder.device_stream_decoder(block_size=5, max_token_len=40)
     wav_dev = dev.stream_decode(token)
     np.testing.assert_allclose(wav_dev, wav_host, atol=2e-4)
+
+
+def test_program_flops_accounting():
+    """program_flops (XLA cost analysis over each engine's own compiled
+    programs, utils/flops.py): positive, grows with stream length, and
+    the compute-once KV engine counts fewer FLOPs than the windowed
+    re-decode engine at the production-shaped schedule."""
+    import dataclasses
+    import jax.numpy as jnp
+    from moss_speech_decoder_cosy_tpu.models.flow import (
+        CausalMaskedDiffWithXvec)
+    from moss_speech_decoder_cosy_tpu.models.hift import HiFTGenerator
+    from moss_speech_decoder_cosy_tpu.pipeline import AudioDecoder
+    from moss_speech_decoder_cosy_tpu.utils.config import (
+        tiny_flow_config, tiny_hift_config, PipelineConfig, CFMConfig)
+    from moss_speech_decoder_cosy_tpu.utils.flops import (
+        compiled_flops, mfu)
+
+    cfg = dataclasses.replace(
+        tiny_flow_config(), cfm=CFMConfig(n_timesteps=3,
+                                          max_noise_len=2048))
+    hcfg = tiny_hift_config()
+    flow, hift = CausalMaskedDiffWithXvec(cfg), HiFTGenerator(hcfg)
+    fp = jax.jit(flow.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+        jnp.ones((1, 8), bool), jnp.zeros((1, 0, cfg.output_size)),
+        jnp.zeros((1, cfg.spk_embed_dim)))
+    hp = jax.jit(hift.init)(jax.random.PRNGKey(1),
+                            jnp.zeros((1, 8, cfg.output_size)))
+    dec = AudioDecoder(cfg, hcfg, fp, hp,
+                       PipelineConfig(block_size=2, mel_cache_len=2,
+                                      max_token_len=8))
+    toks = np.random.RandomState(0).randint(
+        0, cfg.vocab_size, (1, 21)).astype(np.int32)
+
+    win = dec.device_stream_decoder()
+    win.stream_decode(toks)
+    f_win = win.program_flops(21)
+    kv = dec.kv_stream_decoder(block_size=2, token_cap=64)
+    kv.stream_decode(toks)
+    f_kv = kv.program_flops(21)
+    assert f_win > 0 and f_kv > 0
+    # compute-once vs windowed re-decode
+    assert f_kv < f_win, (f_kv, f_win)
+    # more tokens -> more FLOPs (both engines)
+    toks2 = np.random.RandomState(1).randint(
+        0, cfg.vocab_size, (1, 41)).astype(np.int32)
+    win.stream_decode(toks2)
+    kv.stream_decode(toks2)
+    assert win.program_flops(41) > f_win
+    assert kv.program_flops(41) > f_kv
+
+    # the exact-compiler claim on a known matmul
+    f = jax.jit(lambda a, b: a @ b)
+    got = compiled_flops(f, jnp.zeros((32, 16)), jnp.zeros((16, 8)))
+    assert got == 2 * 32 * 16 * 8
+    # mfu: None off-TPU (unknown peak), a ratio when peak is given
+    assert mfu(1e12, 1.0) is None or 0 < mfu(1e12, 1.0) < 1
