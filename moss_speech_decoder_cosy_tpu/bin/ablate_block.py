@@ -24,6 +24,16 @@ measured, see BENCH_NOTES — which says nothing about the hop trend).
 
 Run:  python -m moss_speech_decoder_cosy_tpu.bin.ablate_block [--cpu]
       [--random-init] [block sizes...]
+      [--rings r1 r2 ...]            # ring sweep at block 5
+      [--lengths 120,250,500,1000]   # deviation-vs-stream-length curve
+
+``--lengths``: fixed block 5, rings {35, 70, 105}; for every length the
+offline full forward is the golden, and alongside the KV engines the
+REFERENCE-SEMANTICS windowed engine (window 40, the reference's own
+serving path, flow_inference.py:194-204) is scored against the same
+golden — the honest frame: the reference's streaming output ALSO
+deviates from its offline forward, so the KV curve must be read against
+the windowed curve, not against zero.
 """
 
 from __future__ import annotations
@@ -41,6 +51,101 @@ def _mcd_db(a: np.ndarray, b: np.ndarray, k: int = 13) -> float:
     cb = dct(b, axis=-1, norm="ortho")[..., 1:k]
     d = np.sqrt(2.0 * np.sum((ca - cb) ** 2, axis=-1))
     return float(np.mean((10.0 / np.log(10)) * d))
+
+
+def _length_sweep(cfg, flow, params, hcfg, hift, p, lengths, weights):
+    """Deviation-vs-stream-length curve: per length, MCD of (a) the KV
+    wavefront at rings {35, 70, 105} and (b) the reference-semantics
+    windowed engine (window 40) against the offline full forward."""
+    import time
+    import jax
+    import jax.numpy as jnp
+    from ..pipeline import AudioDecoder
+    from ..utils.config import PipelineConfig
+
+    r = cfg.token_mel_ratio
+    rng = np.random.RandomState(5)
+    n_max = max(lengths)
+    tokens_all = rng.randint(0, cfg.vocab_size,
+                             (1, p + n_max)).astype(np.int32)
+    prompt_feat = rng.randn(1, p * r, cfg.output_size).astype(np.float32)
+    emb = rng.randn(1, cfg.spk_embed_dim).astype(np.float32)
+
+    if params is None:
+        params = jax.jit(flow.init)(
+            jax.random.PRNGKey(0), jnp.asarray(tokens_all[:, :p + 8]),
+            jnp.ones((1, p + 8), bool), jnp.asarray(prompt_feat),
+            jnp.asarray(emb))
+    hift_params = jax.jit(hift.init)(jax.random.PRNGKey(1),
+                                     jnp.zeros((1, 8, 80)))
+
+    hop, window = 5, 40
+    out = {"protocol": f"p={p} block={hop} window={window}, "
+                       f"weights={weights}", "lengths": {}}
+    for n in lengths:
+        t0 = time.time()
+        tokens = tokens_all[:, : p + n]
+        valid = np.ones((1, p + n), bool)
+        print(f"# n={n}: offline golden...", file=sys.stderr, flush=True)
+        win = flow.apply(params, jnp.asarray(tokens), jnp.asarray(valid),
+                         jnp.asarray(prompt_feat), jnp.asarray(emb),
+                         streaming=True, finalize=True)
+        win = np.asarray(win, np.float32)[:, p * r:]
+        scale = float(np.mean(np.abs(win)))
+        row = {"mean_abs_golden": round(scale, 5)}
+
+        pipe = PipelineConfig(block_size=hop, mel_cache_len=8,
+                              max_token_len=window)
+        dec = AudioDecoder(cfg, hcfg, params, hift_params, pipe)
+
+        # reference-semantics windowed engine, flow-side mel
+        print(f"# n={n}: windowed engine...", file=sys.stderr, flush=True)
+        ds = dec.device_stream_decoder(tokens[:, :p], prompt_feat, emb)
+        cap = max(n + ds.window, ds.window)
+        buf = np.zeros((1, cap), np.int32)
+        buf[:, :n] = tokens[:, p:]
+        token_buf = jnp.asarray(buf)
+        off = jnp.zeros((), jnp.int32)
+        mels = []
+        for emit, _, fin in ds.schedule(n):
+            if emit <= 0:
+                continue
+            mels.append(ds._flow_step(dec.flow_params, token_buf, off,
+                                      emit_tokens=emit, finalize=fin))
+            off = off + emit
+        wmel = np.asarray(jnp.concatenate(mels, axis=1), np.float32)
+        assert wmel.shape == win.shape, (wmel.shape, win.shape)
+        row["windowed40"] = {
+            "mcd_db": round(_mcd_db(win, wmel), 3),
+            "rel_mae": round(float(np.mean(np.abs(win - wmel)) / scale), 4)}
+        print(json.dumps({f"n={n} windowed40": row["windowed40"]}),
+              file=sys.stderr, flush=True)
+
+        for ring in (35, 70, 105):
+            print(f"# n={n}: kv ring={ring}...", file=sys.stderr,
+                  flush=True)
+            kv = dec.kv_stream_decoder(tokens[:, :p], prompt_feat, emb,
+                                       block_size=hop, ring_tokens=ring,
+                                       token_cap=p + n + 16)
+            kcap = n + hop + kv.la + 1
+            kbuf = np.zeros((1, kcap), np.int32)
+            kbuf[:, :n] = tokens[:, p:]
+            kbuf_j = jnp.asarray(kbuf)
+            cache, _ = kv.init_state()
+            cache = kv._prefill(kv._fp, kbuf_j, cache)
+            mel, _ = kv._flow_mels(kbuf_j, cache, kv.schedule(n))
+            inc = np.asarray(mel, np.float32)
+            assert inc.shape == win.shape, (inc.shape, win.shape)
+            row[f"ring{ring}"] = {
+                "mcd_db": round(_mcd_db(win, inc), 3),
+                "mcd_vs_windowed_db": round(_mcd_db(wmel, inc), 3),
+                "rel_mae": round(
+                    float(np.mean(np.abs(win - inc)) / scale), 4)}
+            print(json.dumps({f"n={n} ring{ring}": row[f"ring{ring}"]}),
+                  file=sys.stderr, flush=True)
+        row["wall_s"] = round(time.time() - t0, 1)
+        out["lengths"][n] = row
+    print(json.dumps(out, indent=2))
 
 
 def main():
@@ -87,6 +192,12 @@ def main():
                                               max_noise_len=4096))
         flow = CausalMaskedDiffWithXvec(cfg)
     r = cfg.token_mel_ratio
+
+    if "--lengths" in sys.argv:
+        lengths = [int(x) for x in
+                   sys.argv[sys.argv.index("--lengths") + 1].split(",")]
+        return _length_sweep(cfg, flow, params, hcfg, hift, p, lengths,
+                             weights)
 
     rng = np.random.RandomState(5)
     tokens = rng.randint(0, cfg.vocab_size, (1, p + n)).astype(np.int32)
@@ -138,7 +249,7 @@ def main():
         buf[:, :n] = tokens[:, p:]
         token_buf = jnp.asarray(buf)
         cache, _ = kv.init_state()
-        cache = kv._prefill(dec.flow_params, token_buf, cache)
+        cache = kv._prefill(kv._fp, token_buf, cache)
         mel, _ = kv._flow_mels(token_buf, cache, kv.schedule(n))
         inc = np.asarray(mel, np.float32)
         assert inc.shape == win.shape, (inc.shape, win.shape)

@@ -103,7 +103,7 @@ def main():
     n_iters = max(16, ((need + 15) // 16) * 16)
 
     from ..models.flow.cfm import _fixed_noise
-    spks = kv._spk(dec.flow_params, kv._emb)
+    spks = kv._spk(kv._fp, kv._emb)
     noise = _fixed_noise(flow_cfg.cfm.max_noise_len, kv.n_mel)
     x_wave = jnp.asarray(
         np.zeros((s_steps, 1, cf, kv.n_mel), np.float32))
@@ -114,7 +114,7 @@ def main():
     lowered = jax.jit(
         kv._wave_scan_impl,
         static_argnames=("n_iters", "dus", "fused")).lower(
-            dec.flow_params, token_buf, x_wave, mu_wave, spks,
+            kv._fp, token_buf, x_wave, mu_wave, spks,
             cache["est"], cache["enc"], n_iters=n_iters,
             k_total=jnp.asarray(k, jnp.int32),
             base_frames=jnp.asarray(0, jnp.int32), dus=kv._dus_ok,

@@ -51,7 +51,7 @@ import flax.linen as nn
 from .cfm import _fixed_noise, t_span_cosine
 from .encoder import LinearEmbed, FeedForward
 from ...ops.activations import mish, get_activation
-from ...ops.attention import masked_softmax
+from ...ops.attention import masked_softmax, _NEG
 from ...ops.convs import Conv1d, CausalConv1d
 from ...ops.embeddings import SinusoidalPosEmb, TimestepEmbedding, \
     _abs_pe_table
@@ -524,18 +524,34 @@ class UNetAttentionStep(nn.Module):
             ret = ring_write_batched(ring_kv, kv_c, write["nd"],
                                      enable=write["enable"])
             kvs = ret.astype(kv_c.dtype)
-        keys = kvs[..., :inner]
-        vals = kvs[..., inner:]
-        tk = keys.shape[1]
-        q = q.reshape(b, c, self.heads, self.head_dim).transpose(0, 2, 1, 3)
-        kt = keys.reshape(b, tk, self.heads, self.head_dim
-                          ).transpose(0, 2, 3, 1)
-        vt = vals.reshape(b, tk, self.heads, self.head_dim
-                          ).transpose(0, 2, 1, 3)
-        scores = (q @ kt) * (self.head_dim ** -0.5)
-        attn = masked_softmax(scores, mask)
-        out = attn @ vt
-        out = out.transpose(0, 2, 1, 3).reshape(b, c, inner)
+        # Layout-native attention: contract against the K/V ring IN ITS
+        # STORED (B, R, 2*inner) layout and transpose only the SMALL
+        # tensors (q, attn, out).  The head-split reshape is free (heads
+        # live inside the lane dim); the head axis becomes a dot_general
+        # BATCH dim.  The textbook keys.transpose/vals.transpose form made
+        # XLA materialize a layout copy of BOTH 6.5 MB ring halves plus a
+        # k/v split fusion EVERY layer EVERY wavefront iteration —
+        # profiled at ~1.1 ms/iter of the 3.7 ms body (BENCH_NOTES round
+        # 4); this form is bit-exact vs it (same contraction order).
+        h, dk = self.heads, self.head_dim
+        tk = kvs.shape[1]
+        kv4 = kvs.reshape(b, tk, 2 * h, dk)
+        keys4 = kv4[:, :, :h]                            # (B, TK, H, DK)
+        vals4 = kv4[:, :, h:]
+        q4 = q.reshape(b, c, h, dk)
+        # scores_T[b,h,tk,c] = sum_dk keys4[b,tk,h,dk] * q4[b,c,h,dk]
+        scores_t = jax.lax.dot_general(
+            keys4, q4, dimension_numbers=(((3,), (3,)), ((0, 2), (0, 2))))
+        scores_t = scores_t * (dk ** -0.5)
+        mask_t = mask.swapaxes(-1, -2)                   # (B, 1, TK, C)
+        scores_t = jnp.where(mask_t, scores_t, jnp.asarray(_NEG,
+                                                           scores_t.dtype))
+        attn_t = jax.nn.softmax(scores_t, axis=-2)
+        attn_t = jnp.where(mask_t, attn_t, 0.0)
+        # out[b,h,dk,c] = sum_tk vals4[b,tk,h,dk] * attn_t[b,h,tk,c]
+        out = jax.lax.dot_general(
+            vals4, attn_t, dimension_numbers=(((1,), (2,)), ((0, 2), (0, 1))))
+        out = out.transpose(0, 3, 1, 2).reshape(b, c, inner)
         return nn.Dense(dim, name="to_out")(out), ret
 
 
