@@ -133,12 +133,20 @@ def main():
         # --fused: write-then-attend estimator rings (extended capacity,
         # no [ring ++ chunk] concat; ~440 MB/iter of XLA copies removed —
         # BENCH_NOTES "fused write-then-attend")
+        # fused write-then-attend is the measured-best engine (BENCH_NOTES
+        # round 4: 3.85-4.08 ms/iter vs 4.2 concat, ~440 MB/iter of XLA
+        # copies removed) and is now the DEFAULT; --no-fused reverts to
+        # the concat dataflow for A/B.  --stacked: the lax.scan-over-
+        # stacked-layer-params variant (measured negative — kept opt-in,
+        # see BENCH_NOTES "stacked-layer scan").
         kv = dec.kv_stream_decoder(token_cap=n_tokens + 16,
                                    block_size=kv_block,
                                    ring_tokens=kv_ring,
                                    write_mode=("onehot" if "--onehot"
                                                in sys.argv else "auto"),
-                                   fused="--fused" in sys.argv)
+                                   fused=("--no-fused" not in sys.argv
+                                          or "--stacked" in sys.argv),
+                                   stacked="--stacked" in sys.argv)
         # --seg [N]: segmented wavefront (per-segment vocode + threaded
         # fetch overlapping the next segment's scan; default 32 iters)
         seg_kw = {}
@@ -186,7 +194,7 @@ def main():
         nb = int(sys.argv[sys.argv.index("--batch") + 1])
         toks_b = rng.randint(0, flow_cfg.vocab_size, (nb, n_tokens))
         kvb = dec.kv_stream_decoder(token_cap=n_tokens + 16, batch=nb,
-                                    fused="--fused" in sys.argv)
+                                    fused="--no-fused" not in sys.argv)
         print(f"# warmup batched kv (batch={nb})...", file=sys.stderr,
               flush=True)
         kvb.stream_decode(toks_b, output="int16")

@@ -80,11 +80,14 @@ def main():
         unroll = int(parts[3]) if len(parts) > 3 else 1
         # "fused" = write-then-attend estimator rings (extended capacity,
         # no [ring ++ chunk] concat); uses DUS writes when geometry allows
+        # "stacked" = fused + the homogeneous estimator layer groups
+        # collapsed into lax.scans over stacked parameter leaves
         kv = dec.kv_stream_decoder(token_cap=n_tokens + 16,
                                    block_size=block, ring_tokens=ring,
                                    write_mode=("onehot" if write == "onehot"
                                                else "auto"),
-                                   fused=(write == "fused"))
+                                   fused=(write in ("fused", "stacked")),
+                                   stacked=(write == "stacked"))
         if write == "dus":
             assert kv._dus_ok, f"geometry {spec} cannot use DUS"
 
@@ -115,7 +118,8 @@ def main():
                 cache["est"], cache["enc"], n_iters=n_iters,
                 k_total=jnp.asarray(k, jnp.int32),
                 base_frames=jnp.asarray(0, jnp.int32),
-                dus=kv._dus_ok, unroll=unroll, fused=kv._fused)
+                dus=kv._dus_ok, unroll=unroll, fused=kv._fused,
+                stacked=kv._stacked, sp=kv._sp)
             jax.block_until_ready(mels)
             return mels
 

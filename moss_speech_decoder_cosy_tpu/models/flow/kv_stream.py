@@ -524,35 +524,44 @@ class UNetAttentionStep(nn.Module):
             ret = ring_write_batched(ring_kv, kv_c, write["nd"],
                                      enable=write["enable"])
             kvs = ret.astype(kv_c.dtype)
-        # Layout-native attention: contract against the K/V ring IN ITS
-        # STORED (B, R, 2*inner) layout and transpose only the SMALL
-        # tensors (q, attn, out).  The head-split reshape is free (heads
-        # live inside the lane dim); the head axis becomes a dot_general
-        # BATCH dim.  The textbook keys.transpose/vals.transpose form made
-        # XLA materialize a layout copy of BOTH 6.5 MB ring halves plus a
-        # k/v split fusion EVERY layer EVERY wavefront iteration —
-        # profiled at ~1.1 ms/iter of the 3.7 ms body (BENCH_NOTES round
-        # 4); this form is bit-exact vs it (same contraction order).
-        h, dk = self.heads, self.head_dim
-        tk = kvs.shape[1]
-        kv4 = kvs.reshape(b, tk, 2 * h, dk)
-        keys4 = kv4[:, :, :h]                            # (B, TK, H, DK)
-        vals4 = kv4[:, :, h:]
-        q4 = q.reshape(b, c, h, dk)
-        # scores_T[b,h,tk,c] = sum_dk keys4[b,tk,h,dk] * q4[b,c,h,dk]
-        scores_t = jax.lax.dot_general(
-            keys4, q4, dimension_numbers=(((3,), (3,)), ((0, 2), (0, 2))))
-        scores_t = scores_t * (dk ** -0.5)
-        mask_t = mask.swapaxes(-1, -2)                   # (B, 1, TK, C)
-        scores_t = jnp.where(mask_t, scores_t, jnp.asarray(_NEG,
-                                                           scores_t.dtype))
-        attn_t = jax.nn.softmax(scores_t, axis=-2)
-        attn_t = jnp.where(mask_t, attn_t, 0.0)
-        # out[b,h,dk,c] = sum_tk vals4[b,tk,h,dk] * attn_t[b,h,tk,c]
-        out = jax.lax.dot_general(
-            vals4, attn_t, dimension_numbers=(((1,), (2,)), ((0, 2), (0, 1))))
-        out = out.transpose(0, 3, 1, 2).reshape(b, c, inner)
+        out = attend_stored(q, kvs, mask, self.heads, self.head_dim)
         return nn.Dense(dim, name="to_out")(out), ret
+
+
+def attend_stored(q: jnp.ndarray, kvs: jnp.ndarray, mask: jnp.ndarray,
+                  heads: int, head_dim: int) -> jnp.ndarray:
+    """Layout-native attention: contract against the K/V ring IN ITS
+    STORED (B, TK, 2*inner) layout and transpose only the SMALL
+    tensors (q, attn, out).  The head-split reshape is free (heads
+    live inside the lane dim); the head axis becomes a dot_general
+    BATCH dim.  The textbook keys.transpose/vals.transpose form made
+    XLA materialize a layout copy of BOTH 6.5 MB ring halves plus a
+    k/v split fusion EVERY layer EVERY wavefront iteration —
+    profiled at ~1.1 ms/iter of the 3.7 ms body (BENCH_NOTES round
+    4); this form is bit-exact vs it (same contraction order).
+
+    q (B, C, inner), kvs (B, TK, 2*inner) merged [k | v] along features,
+    mask (B|1, 1, C, TK) bool -> (B, C, inner)."""
+    b, c, inner = q.shape
+    h, dk = heads, head_dim
+    tk = kvs.shape[1]
+    kv4 = kvs.reshape(b, tk, 2 * h, dk)
+    keys4 = kv4[:, :, :h]                            # (B, TK, H, DK)
+    vals4 = kv4[:, :, h:]
+    q4 = q.reshape(b, c, h, dk)
+    # scores_T[b,h,tk,c] = sum_dk keys4[b,tk,h,dk] * q4[b,c,h,dk]
+    scores_t = jax.lax.dot_general(
+        keys4, q4, dimension_numbers=(((3,), (3,)), ((0, 2), (0, 2))))
+    scores_t = scores_t * (dk ** -0.5)
+    mask_t = mask.swapaxes(-1, -2)                   # (B, 1, TK, C)
+    scores_t = jnp.where(mask_t, scores_t, jnp.asarray(_NEG,
+                                                       scores_t.dtype))
+    attn_t = jax.nn.softmax(scores_t, axis=-2)
+    attn_t = jnp.where(mask_t, attn_t, 0.0)
+    # out[b,h,dk,c] = sum_tk vals4[b,tk,h,dk] * attn_t[b,h,tk,c]
+    out = jax.lax.dot_general(
+        vals4, attn_t, dimension_numbers=(((1,), (2,)), ((0, 2), (0, 1))))
+    return out.transpose(0, 3, 1, 2).reshape(b, c, inner)
 
 
 class TransformerBlockStep(nn.Module):
@@ -1251,3 +1260,302 @@ def pe_tables(cfg: FlowConfig, max_tokens: int):
     s = cfg.encoder.upsample_stride
     return (jnp.asarray(_abs_pe_table(d, max_tokens)),
             jnp.asarray(_abs_pe_table(d, max_tokens * s)))
+
+
+# --------------------------------------------------------------------------
+# stacked-layer wavefront: collapse the homogeneous estimator layers into
+# lax.scans over stacked parameter leaves
+# --------------------------------------------------------------------------
+#
+# The wavefront scan body is op-dispatch-bound (~2000 small HLO ops/iter
+# across 56 tiny 256-channel transformer layers at ~2.7 us/op — BENCH_NOTES
+# rounds 3-4; MFU 1.2%, i.e. the wall is dispatch, not FLOPs).  The layers
+# within each U-Net group are HOMOGENEOUS (same shapes, different weights):
+# down = n_blocks transformer blocks, mid = num_mid_blocks x (resnet +
+# n_blocks transformers), up = n_blocks transformers — the role of the hot
+# loop in the reference's flow/decoder.py:294-494.  Stacking each group's
+# parameters on a leading axis and running ONE lax.scan per group replaces
+# O(layers) dispatched ops with O(1) compiled loop bodies.
+#
+# Ring buffers: the group's rings live in ONE stacked (L, rows, Rf, 2d)
+# buffer threaded through the scan as a CARRY.  Writes stay O(chunk): the
+# fused write-then-attend DUS write is composed DIRECTLY on the stacked
+# buffer at a dynamic (layer, 0, offset, 0) start (_ring_put_at) — the
+# classic LLM KV-cache decode pattern XLA aliases in place — instead of
+# slicing the slab out and writing it back (which would be an O(ring) copy
+# per layer).  Attention then reads the layer's slab after the write.
+#
+# Scope: the fused write-then-attend + shared-offset DUS configuration
+# (the production serving geometry: ring % chunk == 0).  Math is
+# IDENTICAL to EstimatorStep/CausalConditionalCFMWave — the same flax
+# modules are applied per layer with parameters sliced from the stacked
+# leaves, so exactness vs the unstacked wavefront is pinned bit-for-bit
+# in tests/test_kv_stream.py.
+
+
+def stack_estimator_params(fp: Dict, cfg: EstimatorConfig) -> Dict:
+    """Stacked-leaf estimator param tree for estimator_step_stacked.
+
+    ``fp``: the (qkv-fused) full flow param dict.  The homogeneous
+    transformer layers are stacked — down/up tf: (n_blocks, ...), mid
+    resnets: (m, ...), mid tf: (m, n_blocks, ...) — while every other
+    leaf stays SHARED with ``fp`` (no copy).  The stacked tf leaves are
+    a one-time device-side duplication (~the estimator's attention/FF
+    weights); the per-layer tree remains the canonical source for the
+    sequential prefill/finalize paths."""
+    est = fp["params"]["decoder"]["estimator"]
+    n, m = cfg.n_blocks, cfg.num_mid_blocks
+
+    def stk(trees):
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+    sp = {k: est[k] for k in ("time_mlp", "down_res_0", "down_conv_0",
+                              "up_res_0", "up_conv_0", "final_block",
+                              "final_proj")}
+    sp["down_tf"] = stk([est[f"down_tf_0_{j}"] for j in range(n)])
+    sp["up_tf"] = stk([est[f"up_tf_0_{j}"] for j in range(n)])
+    sp["mid_res"] = stk([est[f"mid_res_{i}"] for i in range(m)])
+    sp["mid_tf"] = stk([stk([est[f"mid_tf_{i}_{j}"] for j in range(n)])
+                        for i in range(m)])
+    return sp
+
+
+def stack_est_flat(est_flat: Dict, cfg: EstimatorConfig) -> Dict:
+    """Fused-flat est cache ({"kv": tuple of 2n + m*n (rows, Rf, 2d)})
+    -> the stacked-scan layout: kv {"down": (n, rows, Rf, 2d), "mid":
+    (m, n, rows, Rf, 2d), "up": (n, ...)}; the m mid resnet conv caches
+    stacked under one "mid_res" key.  One-time per wavefront entry."""
+    n, m = cfg.n_blocks, cfg.num_mid_blocks
+    kv = est_flat["kv"]
+    down = jnp.stack(kv[:n])
+    mid = jnp.stack([jnp.stack(kv[n + i * n: n + (i + 1) * n])
+                     for i in range(m)])
+    up = jnp.stack(kv[n + m * n:])
+    convs = dict(est_flat["convs"])
+    mids = [convs.pop(f"mid_res_{i}") for i in range(m)]
+    convs["mid_res"] = {k2: jnp.stack([md[k2] for md in mids])
+                        for k2 in ("block1", "block2")}
+    return {"kv": {"down": down, "mid": mid, "up": up}, "convs": convs}
+
+
+def unstack_est_flat(est_s: Dict, cfg: EstimatorConfig) -> Dict:
+    """Inverse of stack_est_flat (wavefront exit -> fused-flat layout)."""
+    n, m = cfg.n_blocks, cfg.num_mid_blocks
+    kv_s = est_s["kv"]
+    kv = ([kv_s["down"][j] for j in range(n)]
+          + [kv_s["mid"][i, j] for i in range(m) for j in range(n)]
+          + [kv_s["up"][j] for j in range(n)])
+    convs = dict(est_s["convs"])
+    mid_res = convs.pop("mid_res")
+    for i in range(m):
+        convs[f"mid_res_{i}"] = {k2: mid_res[k2][i]
+                                 for k2 in ("block1", "block2")}
+    return {"kv": tuple(kv), "convs": convs}
+
+
+def _ring_put_at(rings: jnp.ndarray, chunk: jnp.ndarray, lead,
+                 offset, enable: jnp.ndarray, align: int) -> jnp.ndarray:
+    """ring_write_dus semantics composed directly on a STACKED ring
+    buffer: write ``chunk`` (rows, C, d) into ``rings[lead]`` at the
+    shared dynamic ``offset`` along the ring axis, touching only chunk
+    bytes (dynamic_update_slice at a dynamic leading index — no slab
+    slice-out/write-back copy).  Same preconditions as ring_write_dus."""
+    b, cl, dd = chunk.shape
+    r = rings.shape[-2]
+    en = enable[:, None, None]
+    nl = len(lead)
+
+    def put(rings, part, off):
+        starts = tuple(lead) + (0, off, 0)
+        sizes = (1,) * nl + (b, part.shape[-2], dd)
+        old = jax.lax.dynamic_slice(rings, starts, sizes)
+        new = jnp.where(en, part.astype(rings.dtype),
+                        old.reshape(b, part.shape[-2], dd))
+        return jax.lax.dynamic_update_slice(rings, new.reshape(sizes),
+                                            starts)
+
+    m1 = cl - align
+    rings = put(rings, chunk[..., :m1, :], offset)
+    if align:
+        rings = put(rings, chunk[..., m1:, :], (offset + m1) % r)
+    return rings
+
+
+def _tf_block_stacked(p: Dict, x, rings, lead, mask, offset, enable,
+                      align: int, heads: int, head_dim: int, act: str):
+    """TransformerBlockStep's exact math with parameters ``p`` sliced
+    from the stacked leaves and the fused DUS write-then-attend composed
+    on the stacked ring buffer at leading index ``lead``."""
+    dim = x.shape[-1]
+    inner = heads * head_dim
+    h = nn.LayerNorm(epsilon=1e-5).apply({"params": p["norm1"]}, x)
+    qkv = nn.Dense(3 * inner, use_bias=False).apply(
+        {"params": p["attn1"]["to_qkv"]}, h)
+    q = qkv[..., :inner]
+    kv_c = qkv[..., inner:]                              # [k | v] merged
+    rings = _ring_put_at(rings, kv_c, lead, offset, enable, align)
+    b2, rf, d2 = rings.shape[-3:]
+    slab = jax.lax.dynamic_slice(
+        rings, tuple(lead) + (0, 0, 0),
+        (1,) * len(lead) + (b2, rf, d2)).reshape(b2, rf, d2)
+    a = attend_stored(q, slab.astype(kv_c.dtype), mask, heads, head_dim)
+    x = x + nn.Dense(dim).apply({"params": p["attn1"]["to_out"]}, a)
+    h = nn.LayerNorm(epsilon=1e-5).apply({"params": p["norm3"]}, x)
+    ff = nn.Dense(dim * 4).apply({"params": p["ff_proj"]}, h)
+    ff = get_activation(act)(ff)
+    x = x + nn.Dense(dim).apply({"params": p["ff_out"]}, ff)
+    return x, rings
+
+
+def _tf_scan(tf_p: Dict, x, rings, mask, offset, enable, align: int,
+             heads: int, head_dim: int, act: str):
+    """One lax.scan over a stacked group of transformer blocks; the
+    group's rings are ONE stacked carry updated in place."""
+    ll = rings.shape[0]
+
+    def body(carry, xs):
+        x, rings = carry
+        p, l = xs
+        x, rings = _tf_block_stacked(p, x, rings, (l,), mask, offset,
+                                     enable, align, heads, head_dim, act)
+        return (x, rings), None
+
+    (x, rings), _ = jax.lax.scan(
+        body, (x, rings), (tf_p, jnp.arange(ll, dtype=jnp.int32)))
+    return x, rings
+
+
+def estimator_step_stacked(sp: Dict, c: EstimatorConfig, x, mu, t, spks,
+                           cond, kv_s: Dict, convs: Dict, n_done, rot,
+                           offset, enable, align: int):
+    """EstimatorStep's exact math (single-level causal U-Net,
+    estimator.py:123-245) with the three homogeneous transformer groups
+    collapsed into lax.scans over stacked parameter leaves — fused
+    write-then-attend, shared-offset DUS writes only."""
+    assert c.causal and len(c.channels) == 1
+    ch = c.channels[0]
+    heads, hd, act = c.num_heads, c.attention_head_dim, c.act_fn
+    t_emb = SinusoidalPosEmb(c.in_channels).apply({}, t)
+    t_emb = TimestepEmbedding(ch * 4).apply({"params": sp["time_mlp"]},
+                                            t_emb.astype(x.dtype))
+    spks_b = jnp.broadcast_to(spks[:, None, :],
+                              (x.shape[0], x.shape[1], spks.shape[-1]))
+    h = jnp.concatenate([x, mu, spks_b, cond], axis=-1)
+    cf = h.shape[1]
+    rf = kv_s["down"].shape[-2]
+    mask = _ring_mask(rf, cf, n_done + cf, rot, fused=True)
+
+    res = CausalResnetBlock1DStep(ch)
+    cc3 = CausalConv1d(ch, 3)
+
+    new_convs = {}
+    h, new_convs["down_res_0"] = res.apply(
+        {"params": sp["down_res_0"]}, h, t_emb, convs["down_res_0"])
+    h, kv_down = _tf_scan(sp["down_tf"], h, kv_s["down"], mask, offset,
+                          enable, align, heads, hd, act)
+    skip = h
+    h, new_convs["down_conv_0"] = cc3.apply(
+        {"params": sp["down_conv_0"]}, h,
+        convs["down_conv_0"].astype(h.dtype))
+
+    def mid_body(carry, xs):
+        h, rings = carry
+        res_p, tf_p, cc, i = xs
+        h, ncc = res.apply({"params": res_p}, h, t_emb, cc)
+        for j in range(c.n_blocks):
+            pj = jax.tree.map(lambda a: a[j], tf_p)
+            h, rings = _tf_block_stacked(pj, h, rings, (i, j), mask,
+                                         offset, enable, align, heads,
+                                         hd, act)
+        return (h, rings), ncc
+
+    (h, kv_mid), mid_ncc = jax.lax.scan(
+        mid_body, (h, kv_s["mid"]),
+        (sp["mid_res"], sp["mid_tf"], convs["mid_res"],
+         jnp.arange(c.num_mid_blocks, dtype=jnp.int32)))
+    new_convs["mid_res"] = mid_ncc
+
+    h = jnp.concatenate([h, skip], axis=-1)
+    h, new_convs["up_res_0"] = res.apply(
+        {"params": sp["up_res_0"]}, h, t_emb, convs["up_res_0"])
+    h, kv_up = _tf_scan(sp["up_tf"], h, kv_s["up"], mask, offset,
+                        enable, align, heads, hd, act)
+    h, new_convs["up_conv_0"] = cc3.apply(
+        {"params": sp["up_conv_0"]}, h,
+        convs["up_conv_0"].astype(h.dtype))
+    h, new_convs["final_block"] = CausalBlock1DStep(ch).apply(
+        {"params": sp["final_block"]}, h, convs["final_block"])
+    out = Conv1d(c.out_channels, 1).apply({"params": sp["final_proj"]}, h)
+    return out, {"down": kv_down, "mid": kv_mid, "up": kv_up}, new_convs
+
+
+def wave_step_stacked(sp: Dict, cfm_cfg: CFMConfig,
+                      est_cfg: EstimatorConfig, align: int,
+                      x_wave, mu_wave, mu_new, spks, est_cache: Dict,
+                      w, k_total, base_frames):
+    """CausalConditionalCFMWave.__call__ (fused write-then-attend +
+    shared-offset DUS) as a pure function over the stacked-layer
+    estimator — identical math, O(layers) fewer dispatched ops.
+    ``est_cache`` in the stack_est_flat layout."""
+    c = cfm_cfg
+    s_steps, b, cf, d = x_wave.shape
+    cd = (jnp.dtype(c.estimator_dtype) if c.estimator_dtype
+          else mu_wave.dtype)
+    mu_wave = jnp.concatenate(
+        [mu_new[None].astype(cd), mu_wave[:-1].astype(cd)], axis=0)
+    if c.t_scheduler == "cosine":
+        t_span = t_span_cosine(c.n_timesteps)
+    else:
+        t_span = np.linspace(0, 1, c.n_timesteps + 1, dtype=np.float32)
+    t_cur = jnp.asarray(t_span[:-1], x_wave.dtype)
+    dts = jnp.asarray(np.diff(t_span), x_wave.dtype)
+
+    h_idx = w - jnp.arange(s_steps)
+    valid = (h_idx >= 0) & (h_idx < k_total)
+    n_dones = base_frames + jnp.maximum(h_idx, 0) * cf
+
+    def flat(a):
+        a2 = jnp.stack([a, jnp.zeros_like(a)], axis=1)
+        return a2.reshape(s_steps * 2 * b, cf, d)
+
+    mu_in = flat(mu_wave)
+    cond_in = jnp.zeros_like(mu_in)
+    x_in = jnp.stack([x_wave, x_wave], axis=1).reshape(
+        s_steps * 2 * b, cf, d).astype(cd)
+    spks_in = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
+    spks_in = jnp.tile(spks_in, (s_steps, 1)).astype(cd)
+    t_in = jnp.repeat(t_cur, 2 * b).astype(cd)
+    nd_in = jnp.repeat(n_dones, 2 * b)
+
+    rp = est_cache["kv"]["down"].shape[-2]
+    rot_slots = np.array([(s * cf) % rp for s in range(s_steps)], np.int32)
+    rot = jnp.asarray(np.repeat(rot_slots, 2 * b))
+    en = jnp.repeat(valid, 2 * b)
+    offset = (base_frames + w * cf) % rp
+
+    dphi, new_kv, new_convs = estimator_step_stacked(
+        sp, est_cfg, x_in, mu_in, t_in, spks_in, cond_in,
+        est_cache["kv"], est_cache["convs"], nd_in, rot, offset, en,
+        align)
+
+    rate = jnp.asarray(c.inference_cfg_rate, x_wave.dtype)
+    dphi = dphi.reshape(s_steps, 2, b, cf, d).astype(x_wave.dtype)
+    dphi = (1.0 + rate) * dphi[:, 0] - rate * dphi[:, 1]
+    x_next = x_wave + dts[:, None, None, None] * dphi
+
+    # conv caches: en (rows,) lands on axis -3 of both the (rows, 2, ch)
+    # and the stacked (m, rows, 2, ch) leaves, so one broadcast masks both
+    new_convs = jax.tree.map(
+        lambda old, new: jnp.where(en[:, None, None],
+                                   new.astype(old.dtype), old),
+        est_cache["convs"], new_convs)
+
+    exit_mel = x_next[-1].astype(jnp.float32)
+    n_enter = base_frames + jnp.clip(w + 1, 0, None) * cf
+    noise = jnp.asarray(_fixed_noise(c.max_noise_len, d))
+    z = jax.lax.dynamic_slice(
+        noise, (0, jnp.minimum(n_enter, noise.shape[1] - cf), 0),
+        (1, cf, d))
+    z = jnp.broadcast_to(z, (b, cf, d)).astype(x_wave.dtype)
+    x_shift = jnp.concatenate([z[None], x_next[:-1]], axis=0)
+    return exit_mel, x_shift, mu_wave, {"kv": new_kv, "convs": new_convs}

@@ -210,7 +210,8 @@ class AudioDecoder:
                           embedding=None, block_size: Optional[int] = None,
                           ring_tokens: Optional[int] = None,
                           token_cap: int = 2048, batch: int = 1,
-                          write_mode: str = "auto", fused: bool = False):
+                          write_mode: str = "auto", fused: bool = False,
+                          stacked: bool = False):
         """Incremental KV-cached streaming decoder (pipeline/kv_session.py):
         every token runs through the flow ONCE (vs the reference's 8x
         windowed re-decode); ``ring_tokens`` sets the banded attention left
@@ -227,7 +228,8 @@ class AudioDecoder:
         return KVStreamDecoder(self, prompt_token, prompt_feat, embedding,
                                hop, ring_tokens=ring_tokens,
                                token_cap=token_cap, batch=batch,
-                               write_mode=write_mode, fused=fused)
+                               write_mode=write_mode, fused=fused,
+                               stacked=stacked)
 
     def spmd_decoder(self, mesh, prompt_token=None, prompt_feat=None,
                      embedding=None, block_size: Optional[int] = None,

@@ -34,7 +34,10 @@ from ..models.flow.kv_stream import (KVFlowStep, KVFlowEncodeStep,
                                      est_cache_from_flat,
                                      extend_rings_for_fused,
                                      shrink_rings_from_fused,
-                                     fuse_qkv_params, rotate_rings)
+                                     fuse_qkv_params, rotate_rings,
+                                     stack_estimator_params,
+                                     stack_est_flat, unstack_est_flat,
+                                     wave_step_stacked)
 from .device_session import _parallel_fetch, _pcm16_device
 
 
@@ -52,7 +55,8 @@ class KVStreamDecoder:
                  prompt_feat: np.ndarray, embedding: np.ndarray,
                  block_size: int, ring_tokens: int = 35,
                  token_cap: int = 2048, batch: int = 1,
-                 write_mode: str = "auto", fused: bool = False):
+                 write_mode: str = "auto", fused: bool = False,
+                 stacked: bool = False):
         self.dec = dec
         self.hop = block_size
         self.ring_tokens = ring_tokens
@@ -129,11 +133,28 @@ class KVStreamDecoder:
         self._wave_model_fused = KVFlowWaveStep(
             cfg, write_mode="dus" if self._dus_ok else "onehot",
             align=self._align if self._dus_ok else 0, fused=True)
+        # stacked-layer wavefront: the homogeneous estimator layer groups
+        # collapsed into lax.scans over stacked parameter leaves (the
+        # scan body is op-dispatch-bound, BENCH_NOTES round 4).  Fused
+        # write-then-attend + shared-offset DUS geometry only.
+        self._stacked = bool(stacked)
+        if self._stacked:
+            assert self._fused and self._dus_ok, \
+                "stacked wavefront requires fused=True and the DUS " \
+                "geometry (ring_tokens % block_size == 0, write_mode auto)"
+            self._sp = getattr(dec, "_stacked_est_params", None)
+            if self._sp is None:
+                self._sp = stack_estimator_params(self._fp,
+                                                  cfg.estimator)
+                dec._stacked_est_params = self._sp
+        else:
+            self._sp = None
         self._enc_hop = jax.jit(self._enc_hop_impl,
                                 static_argnames=("emit_tokens",))
         self._wave_scan = jax.jit(self._wave_scan_impl,
                                   static_argnames=("n_iters", "dus",
-                                                   "unroll", "fused"))
+                                                   "unroll", "fused",
+                                                   "stacked"))
         # segmented wavefront: the same scan split into fixed-size
         # segments so vocode/pcm/fetch of finished chunks OVERLAP the
         # later segments' scan time (the final fetch is ~90 ms of wire
@@ -349,7 +370,8 @@ class KVStreamDecoder:
     def _wave_scan_impl(self, flow_params, token_buf, x_wave, mu_wave,
                         spks, est, enc_cache, n_iters: int, k_total,
                         base_frames, dus: bool = False, unroll: int = 1,
-                        fused: bool = False):
+                        fused: bool = False, stacked: bool = False,
+                        sp=None):
         """The ENTIRE wavefront loop as one lax.scan dispatch: encoder hop
         under lax.cond while chunks remain, then the batched pipelined-ODE
         iteration.  No per-iteration host traffic — the round-trip relay in
@@ -381,6 +403,10 @@ class KVStreamDecoder:
                       for _ in range(2 * self.b)] if dus
                      else [0] * (s_steps * 2 * self.b))
             est = extend_rings_for_fused(est, base_frames, cf, rot_f)
+            if stacked:
+                # collapse the per-layer tuple into the stacked-scan
+                # layout once per stream (outside the scan)
+                est = stack_est_flat(est, self.dec.flow_cfg.estimator)
         elif dus:
             wave_model = self._wave_model
             r = est["kv"][0].shape[-2]
@@ -409,9 +435,15 @@ class KVStreamDecoder:
 
             mu_new, enc_c, n_tok = jax.lax.cond(
                 w < k_total, run_enc, skip_enc, (enc_c, n_tok))
-            exit_mel, x, mu_w, est_c = wave_model.apply(
-                flow_params, x, mu_w, mu_new, spks, est_c, w, k_total,
-                base_frames)
+            if stacked:
+                scfg = self.dec.flow_cfg
+                exit_mel, x, mu_w, est_c = wave_step_stacked(
+                    sp, scfg.cfm, scfg.estimator, self._align, x, mu_w,
+                    mu_new, spks, est_c, w, k_total, base_frames)
+            else:
+                exit_mel, x, mu_w, est_c = wave_model.apply(
+                    flow_params, x, mu_w, mu_new, spks, est_c, w, k_total,
+                    base_frames)
             return (x, mu_w, est_c, enc_c, n_tok), exit_mel
 
         carry0 = (x_wave, mu_wave, est, enc_cache,
@@ -421,6 +453,8 @@ class KVStreamDecoder:
             unroll=unroll)
         del x, mu_w
         if fused:
+            if stacked:
+                est = unstack_est_flat(est, self.dec.flow_cfg.estimator)
             est = shrink_rings_from_fused(
                 est, base_frames + k_total * cf, cf, rot_f)
         elif dus:
@@ -612,7 +646,8 @@ class KVStreamDecoder:
                 cache["est"], cache["enc"], n_iters=n_iters,
                 k_total=jnp.asarray(k, jnp.int32),
                 base_frames=jnp.asarray(base_frames, jnp.int32),
-                dus=self._dus_ok, fused=self._fused)
+                dus=self._dus_ok, fused=self._fused,
+                stacked=self._stacked, sp=self._sp)
             mels = [mels_all[s_steps - 1: s_steps - 1 + k]
                     .transpose(1, 0, 2, 3).reshape(self.b, -1, n_mel)]
 

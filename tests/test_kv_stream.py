@@ -275,6 +275,19 @@ def test_wavefront_matches_sequential_kv():
     fused1 = kvf1.stream_decode(tokens[:, p:], bulk_voc=True,
                                 wavefront=True, wave_stepped=False)
     np.testing.assert_allclose(fused1, wave, atol=1e-5)
+    # stacked-layer wavefront (the homogeneous estimator layer groups
+    # collapsed into lax.scans over stacked parameter leaves, fused DUS
+    # writes composed on the stacked ring carries): BIT-exact vs the
+    # unstacked fused wavefront — identical flax modules applied per
+    # layer, identical op order.  p=2 with cf=6 gives align != 0, so the
+    # split chunk write on the stacked buffer is exercised too.
+    kvst = dec.kv_stream_decoder(tokens[:, :p], prompt_feat, emb,
+                                 block_size=hop, ring_tokens=ring_t,
+                                 token_cap=64, fused=True, stacked=True)
+    assert kvst._stacked and kvst._align != 0
+    stacked = kvst.stream_decode(tokens[:, p:], bulk_voc=True,
+                                 wavefront=True, wave_stepped=False)
+    np.testing.assert_array_equal(np.asarray(stacked), np.asarray(fused))
 
 
 def test_wavefront_hop_aligned_prompts_match_sequential():
