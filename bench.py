@@ -139,13 +139,16 @@ def main():
         # the concat dataflow for A/B.  --stacked: the lax.scan-over-
         # stacked-layer-params variant (measured negative — kept opt-in,
         # see BENCH_NOTES "stacked-layer scan").
+        if "--no-fused" in sys.argv and "--stacked" in sys.argv:
+            sys.exit("--no-fused conflicts with --stacked (the stacked "
+                     "wavefront requires the fused write-then-attend "
+                     "dataflow); drop one of the flags")
         kv = dec.kv_stream_decoder(token_cap=n_tokens + 16,
                                    block_size=kv_block,
                                    ring_tokens=kv_ring,
                                    write_mode=("onehot" if "--onehot"
                                                in sys.argv else "auto"),
-                                   fused=("--no-fused" not in sys.argv
-                                          or "--stacked" in sys.argv),
+                                   fused="--no-fused" not in sys.argv,
                                    stacked="--stacked" in sys.argv)
         # --seg [N]: segmented wavefront (per-segment vocode + threaded
         # fetch overlapping the next segment's scan; default 32 iters)

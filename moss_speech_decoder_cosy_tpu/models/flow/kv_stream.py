@@ -1433,6 +1433,7 @@ def estimator_step_stacked(sp: Dict, c: EstimatorConfig, x, mu, t, spks,
     collapsed into lax.scans over stacked parameter leaves — fused
     write-then-attend, shared-offset DUS writes only."""
     assert c.causal and len(c.channels) == 1
+    assert not c.use_flash_attention
     ch = c.channels[0]
     heads, hd, act = c.num_heads, c.attention_head_dim, c.act_fn
     t_emb = SinusoidalPosEmb(c.in_channels).apply({}, t)

@@ -611,6 +611,10 @@ class KVStreamDecoder:
         k = len(steady)
         n_mel = self.n_mel
         base_frames = self.p * self.ratio
+        # the stepped loop runs the unstacked engine only; fall through
+        # silently and it would benchmark/label the wrong engine
+        assert not (stepped and self._stacked), \
+            "wave_stepped does not support the stacked wavefront"
 
         if self._spks_cached is None:
             self._spks_cached = self._spk(self._fp, self._emb)
@@ -692,6 +696,10 @@ class KVStreamDecoder:
         run segment by segment with the bulk vocoder's carry tails —
         exactly the one-pass chain, tests/test_kv_stream.py).  Consumes
         ``cache`` (enc leaves are donated); callers must not reuse it."""
+        # _wave_seg runs the unstacked fused engine; make the fallback
+        # explicit instead of silently benchmarking the wrong engine
+        assert not self._stacked, \
+            "segmented wavefront does not support the stacked engine"
         d = self.dec
         s_steps = d.flow_cfg.cfm.n_timesteps
         cf = self.hop * self.ratio
@@ -918,7 +926,8 @@ class KVStreamDecoder:
             self._spks_cached, cache["est"], cache["enc"],
             n_iters=n_iters, k_total=jnp.asarray(n_steady, jnp.int32),
             base_frames=jnp.asarray(self.p * self.ratio, jnp.int32),
-            dus=self._dus_ok, fused=self._fused)
+            dus=self._dus_ok, fused=self._fused, stacked=self._stacked,
+            sp=self._sp)
         if plan and plan[-1][1]:
             total += compiled_flops(self._hop, self._fp, token_buf, cache,
                                     emit_tokens=plan[-1][0], finalize=True)
