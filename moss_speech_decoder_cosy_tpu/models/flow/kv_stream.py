@@ -997,11 +997,20 @@ class CausalConditionalCFMWaveLanes(nn.Module):
       one-hot RMW only (per-lane offsets never coincide, so the shared-
       offset DUS scheme does not apply).
 
+    ``fused``: write-then-attend dataflow (see UNetAttentionStep) — rings
+    arrive EXTENDED to capacity (ring + chunk, canonical slot numbering
+    frame f -> slot f % rp) and each estimator layer one-hot-writes its
+    chunk K/V into its ring BEFORE attending; stalled/invalid rows keep
+    their rings untouched via the enable mask.  Admission must extend a
+    lane's canonical rings (extend_rings_for_fused, rot=0) and the
+    finalize slice-out must shrink them back (shrink_rings_from_fused).
+
     Returns (exit_mel (lanes, Cf, d) f32, exit_valid (lanes,) bool,
     x_shift, mu_shift, new est cache, w+advance)."""
 
     cfg: CFMConfig
     estimator_cfg: EstimatorConfig
+    fused: bool = False
 
     def setup(self):
         self.estimator = EstimatorStep(self.estimator_cfg, name="estimator")
@@ -1049,18 +1058,24 @@ class CausalConditionalCFMWaveLanes(nn.Module):
         flat_rings = {"kv": est_cache["kv"]}
         flat_convs = est_cache["convs"]
 
+        en = jnp.tile(valid[:, None, :], (1, 2, 1)).reshape(-1)
+        write = ({"mode": "onehot", "nd": nd_in, "enable": en}
+                 if self.fused else None)
+
         dphi, ckv, new_convs = self.estimator(
             x_in, mu_in, t_in, spks_in, cond_in, flat_rings, flat_convs,
-            nd_in)
+            nd_in, write=write)
 
         rate = jnp.asarray(c.inference_cfg_rate, x_wave.dtype)
         dphi = dphi.reshape(s_steps, 2, lanes, cf, d).astype(x_wave.dtype)
         dphi = (1.0 + rate) * dphi[:, 0] - rate * dphi[:, 1]
         x_next = x_wave + dts[:, None, None, None] * dphi    # (S,lanes,C,D)
 
-        en = jnp.tile(valid[:, None, :], (1, 2, 1)).reshape(-1)
-        new_kv = tuple(ring_write_batched(r_, c_, nd_in, enable=en)
-                       for r_, c_ in zip(flat_rings["kv"], ckv))
+        if self.fused:
+            new_kv = ckv         # the estimator already wrote the rings
+        else:
+            new_kv = tuple(ring_write_batched(r_, c_, nd_in, enable=en)
+                           for r_, c_ in zip(flat_rings["kv"], ckv))
         new_convs = jax.tree.map(
             lambda old, new: jnp.where(en[:, None, None],
                                        new.astype(old.dtype), old),
@@ -1088,10 +1103,12 @@ class KVLaneWaveStep(nn.Module):
     ``decoder/estimator`` (same params as the full flow module)."""
 
     cfg: FlowConfig
+    fused: bool = False
 
     def setup(self):
         self.decoder = CausalConditionalCFMWaveLanes(
-            self.cfg.cfm, self.cfg.estimator, name="decoder")
+            self.cfg.cfm, self.cfg.estimator, fused=self.fused,
+            name="decoder")
 
     def __call__(self, *args, **kwargs):
         return self.decoder(*args, **kwargs)

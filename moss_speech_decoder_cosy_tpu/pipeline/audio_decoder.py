@@ -210,7 +210,7 @@ class AudioDecoder:
                           embedding=None, block_size: Optional[int] = None,
                           ring_tokens: Optional[int] = None,
                           token_cap: int = 2048, batch: int = 1,
-                          write_mode: str = "auto", fused: bool = False,
+                          write_mode: str = "auto", fused: bool = True,
                           stacked: bool = False):
         """Incremental KV-cached streaming decoder (pipeline/kv_session.py):
         every token runs through the flow ONCE (vs the reference's 8x
@@ -218,7 +218,13 @@ class AudioDecoder:
         context (defaults to max_token_len - block_size, matching the
         windowed session's context size).  ``batch > 1`` decodes that many
         lockstep streams (per-stream prompts: pass arrays with leading dim
-        ``batch``; a leading dim of 1 is shared across streams)."""
+        ``batch``; a leading dim of 1 is shared across streams).
+
+        ``fused=True`` (default) selects the measured-best write-then-
+        attend estimator dataflow (BENCH_NOTES round 4; exact vs the
+        concat dataflow) — the default engine everywhere, matching the
+        reference's TRT-as-default principle (cli/model.py:85-101);
+        ``fused=False`` reverts to the concat dataflow for A/B."""
         from .kv_session import KVStreamDecoder
         prompt_token, prompt_feat, embedding = self._defaults(
             prompt_token, prompt_feat, embedding)
@@ -249,16 +255,17 @@ class AudioDecoder:
     def kv_batcher(self, n_lanes: int = 4,
                    block_size: Optional[int] = None,
                    ring_tokens: Optional[int] = None,
-                   token_cap: int = 1024):
+                   token_cap: int = 1024, fused: bool = True):
         """Continuous-batching KV decoder (pipeline/kv_batcher.py): a fixed
         pool of lanes shares one batched estimator wavefront; streams are
         admitted/finished at arbitrary times (the serving counterpart of
-        the lockstep ``kv_stream_decoder(batch=N)``)."""
+        the lockstep ``kv_stream_decoder(batch=N)``).  ``fused`` as in
+        ``kv_stream_decoder`` (default = the measured-best engine)."""
         from .kv_batcher import KVContinuousBatcher
         return KVContinuousBatcher(self, n_lanes=n_lanes,
                                    block_size=block_size,
                                    ring_tokens=ring_tokens,
-                                   token_cap=token_cap)
+                                   token_cap=token_cap, fused=fused)
 
 
 class StreamSession:

@@ -40,6 +40,9 @@ from ..models.flow.cfm import _fixed_noise
 from ..models.flow.kv_stream import (KVFlowStep, KVFlowEncodeStep,
                                      KVLaneWaveStep, init_kv_cache,
                                      pe_tables, est_cache_to_flat,
+                                     est_cache_from_flat,
+                                     extend_rings_for_fused,
+                                     shrink_rings_from_fused,
                                      fuse_qkv_params)
 from .kv_session import KVVocState
 
@@ -73,8 +76,16 @@ class KVContinuousBatcher:
     def __init__(self, dec, n_lanes: int = 4,
                  block_size: Optional[int] = None,
                  ring_tokens: Optional[int] = None,
-                 token_cap: int = 1024):
+                 token_cap: int = 1024, fused: bool = True):
+        """``fused`` selects the write-then-attend estimator dataflow
+        (rings extended to ring+chunk capacity, chunk K/V one-hot-written
+        into the rings inside the estimator before attention) — the
+        measured-best engine and the DEFAULT, so the serving product runs
+        the same configuration the bench headline measures (the
+        TRT-as-default principle, reference cli/model.py:85-101).
+        ``fused=False`` reverts to the concat dataflow for A/B."""
         self.dec = dec
+        self._fused = bool(fused)
         # fused-qkv param tree for the KV step modules (shared with any
         # KVStreamDecoder sessions over the same decoder)
         self._fp = getattr(dec, "_fused_flow_params", None)
@@ -109,7 +120,7 @@ class KVContinuousBatcher:
 
         self._kv = KVFlowStep(cfg)                 # per-lane prefill (b=1)
         self._enc_model = KVFlowEncodeStep(cfg)
-        self._wave_model = KVLaneWaveStep(cfg)
+        self._wave_model = KVLaneWaveStep(cfg, fused=self._fused)
 
         self._prefill = jax.jit(self._prefill_impl)
         self._init_cache = jax.jit(
@@ -144,6 +155,16 @@ class KVContinuousBatcher:
         est = init_kv_cache(cfg, self.ring_tokens, batch=n_lanes,
                             dtype=dt, est_dtype=self.est_dt)["est"]
         self._est = est_cache_to_flat(est)
+        if self._fused:
+            # write-then-attend rings carry ring + chunk capacity
+            # (canonical slot numbering frame f -> slot f % rp); the
+            # pool starts empty so plain zeros suffice
+            self._est = dict(
+                self._est,
+                kv=tuple(jnp.zeros(a.shape[:-2]
+                                   + (a.shape[-2] + self.cf, a.shape[-1]),
+                                   a.dtype)
+                         for a in self._est["kv"]))
         self._x = jnp.zeros((self.s_steps, n_lanes, self.cf, self.n_mel),
                             self.sd)
         self._mu = jnp.zeros((self.s_steps, n_lanes, self.cf, self.n_mel),
@@ -173,8 +194,15 @@ class KVContinuousBatcher:
     def _admit_scatter_impl(self, est, x, mu_buf, w, spks, base,
                             lane_est, lane_spk, lane, lane_base):
         """Scatter a freshly prefilled lane's est cache + wavefront slots
-        into the shared pools at lane index ``lane`` (device scalar)."""
+        into the shared pools at lane index ``lane`` (device scalar).
+        ``lane_base`` is the lane's prompt length in mel FRAMES."""
         lane_flat = est_cache_to_flat(lane_est)
+        if self._fused:
+            # canonical capacity-R prefill rings -> the pool's extended
+            # write-then-attend layout (frame f -> slot f % (R + cf))
+            rows = lane_flat["kv"][0].shape[0]
+            lane_flat = extend_rings_for_fused(
+                lane_flat, lane_base, self.cf, [0] * rows)
 
         def put_ring(pool, single):
             v = _flat_view(pool, self.lanes)
@@ -250,17 +278,24 @@ class KVContinuousBatcher:
             body, (x, mu_w, est, w), None, length=n_iters)
         return x, mu_w, est, w, mels, oks
 
-    def _lane_slice_impl(self, est, lane):
+    def _lane_slice_impl(self, est, lane, n_frames):
         """Extract one lane's est cache (canonical b=1 layout) for the
-        sequential finalize hop."""
+        sequential finalize hop.  ``n_frames`` — frames the wavefront has
+        written for this lane — re-modulos the extended fused rings back
+        to canonical capacity (ignored in the concat dataflow)."""
         def take(pool):
             v = _flat_view(pool, self.lanes)
             s = jax.lax.dynamic_slice(
                 v, (0, 0, lane) + (0,) * (v.ndim - 3),
                 v.shape[:2] + (1,) + v.shape[3:])
-            return s.reshape((v.shape[0], 2) + pool.shape[1:])
-        return {"kv": tuple(take(p) for p in est["kv"]),
+            return s.reshape((v.shape[0] * 2,) + pool.shape[1:])
+        flat = {"kv": tuple(take(p) for p in est["kv"]),
                 "convs": jax.tree.map(take, est["convs"])}
+        if self._fused:
+            rows = flat["kv"][0].shape[0]
+            flat = shrink_rings_from_fused(flat, n_frames, self.cf,
+                                           [0] * rows)
+        return est_cache_from_flat(flat, self.s_steps)
 
     def _fin_hop_impl(self, flow_params, chunk, emb, cache):
         """Finalize KV hop for one lane's tail tokens (< hop + la).  The
@@ -515,8 +550,10 @@ class KVContinuousBatcher:
         tail = st.n_pushed - st.k_total * self.hop
         segs = []
         if tail > 0:
+            n_frames = (st.prompt_len + st.k_total * self.hop) * self.ratio
             est1 = self._lane_slice(self._est,
-                                    jnp.asarray(lane, jnp.int32))
+                                    jnp.asarray(lane, jnp.int32),
+                                    jnp.asarray(n_frames, jnp.int32))
             cache = {"enc": st.enc_cache, "est": est1,
                      "n_tok": jnp.asarray(st.n_tok, jnp.int32)}
             off = st.k_total * self.hop

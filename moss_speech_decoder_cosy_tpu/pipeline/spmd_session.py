@@ -62,7 +62,7 @@ class SPMDKVDecoder:
                  ring_tokens: Optional[int] = None,
                  token_cap: int = 2048, batch: Optional[int] = None,
                  axis: Optional[str] = None,
-                 write_mode: str = "auto", fused: bool = False):
+                 write_mode: str = "auto", fused: bool = True):
         self.dec = dec
         self.mesh = mesh
         self.axis = axis or mesh.axis_names[0]
