@@ -216,7 +216,12 @@ def main():
     # --batcher N: aggregate throughput of N CONTINUOUSLY-batched streams
     # (serving/audio_batcher role: staggered admission, shared wavefront).
     # Unlike --batch this pays the real per-burst host sync + per-lane
-    # encoder hops of the serving engine.
+    # encoder hops of the serving engine.  Also computes AGGREGATE MFU:
+    # the batcher's dispatch meter records the exact executed program
+    # sequence and sums XLA-cost-analysis FLOPs over it (utils/flops.py
+    # DispatchMeter) — the number that answers "is the TPU being used"
+    # once lanes recover utilization (BENCH_NOTES roofline).
+    mfu_agg = None
     if "--batcher" in sys.argv:
         nb = int(sys.argv[sys.argv.index("--batcher") + 1])
         b = dec.kv_batcher(n_lanes=nb, token_cap=n_tokens + 16)
@@ -239,17 +244,33 @@ def main():
         print(f"# warmup continuous batcher (lanes={nb})...",
               file=sys.stderr, flush=True)
         run_batcher()
-        bt = []
-        for _ in range(3):
+        b.meter.enabled = True            # meter exactly one serving run
+        b.meter.reset()
+        t0 = time.perf_counter()
+        n_samp = run_batcher()
+        metered_wall = time.perf_counter() - t0
+        b.meter.enabled = False
+        flops_agg = b.measured_flops()
+        bt = [metered_wall]
+        for _ in range(2):
             t0 = time.perf_counter()
             n_samp = run_batcher()
             bt.append(time.perf_counter() - t0)
         wall = float(np.median(bt))
         agg_audio = n_samp / pipe_cfg.sample_rate
+        from moss_speech_decoder_cosy_tpu.utils.flops import (
+            chip_peak_flops as _peak_fn)
+        _peak = _peak_fn(dtype="bfloat16" if dtype == jnp.bfloat16
+                         else "float32")
+        if _peak:
+            mfu_agg = flops_agg / wall / _peak
         print(f"# continuous_batcher lanes={nb} wall={wall:.3f}s "
               f"audio={agg_audio:.1f}s "
               f"aggregate={agg_audio / wall:.1f}x realtime "
-              f"stream_completion_rtf={wall / (agg_audio / nb):.4f}",
+              f"stream_completion_rtf={wall / (agg_audio / nb):.4f} "
+              f"flops={flops_agg:.3e} "
+              f"dispatches={b.meter.dispatches()} "
+              f"mfu_aggregate={mfu_agg and round(mfu_agg, 5)}",
               file=sys.stderr)
 
     # MFU: XLA-cost-analysis FLOPs of the engines' own compiled programs
@@ -280,6 +301,8 @@ def main():
               "unit": "ratio", "vs_baseline": round(target / rtf, 3)}
     if head_mfu is not None:
         result["mfu"] = round(head_mfu, 5)
+    if mfu_agg is not None:
+        result["mfu_aggregate"] = round(mfu_agg, 5)
     print(json.dumps(result))
     fmt = lambda x, d=4: None if x is None else round(x, d)  # noqa: E731
     print(f"# audio={audio_sec:.2f}s windowed_rtf={rtf_win:.4f} "

@@ -122,32 +122,41 @@ class KVContinuousBatcher:
         self._enc_model = KVFlowEncodeStep(cfg)
         self._wave_model = KVLaneWaveStep(cfg, fused=self._fused)
 
-        self._prefill = jax.jit(self._prefill_impl)
-        self._init_cache = jax.jit(
+        # every jitted program goes through the dispatch meter (a no-op
+        # passthrough until bench.py enables it) so aggregate MFU can be
+        # computed over the exact executed sequence (utils/flops.py)
+        from ..utils.flops import DispatchMeter
+        self.meter = DispatchMeter()
+        mw = self.meter.wrap
+        self._prefill = mw("prefill", jax.jit(self._prefill_impl))
+        self._init_cache = mw("init_cache", jax.jit(
             lambda: init_kv_cache(self.cfg, self.ring_tokens, batch=1,
-                                  dtype=self.dt, est_dtype=self.est_dt))
-        self._enc_hops = jax.jit(self._enc_hops_impl,
-                                 static_argnames=("n_hops",))
-        self._burst = jax.jit(self._burst_impl, static_argnames=("n_iters",))
-        self._admit_scatter = jax.jit(self._admit_scatter_impl)
-        self._lane_slice = jax.jit(self._lane_slice_impl)
-        self._lane_clear = jax.jit(self._lane_clear_impl)
-        self._voc = jax.jit(self._voc_impl,
-                            static_argnames=("first", "finalize"))
+                                  dtype=self.dt, est_dtype=self.est_dt)))
+        self._enc_hops = mw("enc_hops", jax.jit(
+            self._enc_hops_impl, static_argnames=("n_hops",)))
+        self._burst = mw("burst", jax.jit(self._burst_impl,
+                                          static_argnames=("n_iters",)))
+        self._admit_scatter = mw("admit_scatter",
+                                 jax.jit(self._admit_scatter_impl))
+        self._lane_slice = mw("lane_slice", jax.jit(self._lane_slice_impl))
+        self._lane_clear = mw("lane_clear", jax.jit(self._lane_clear_impl))
+        self._voc = mw("voc", jax.jit(
+            self._voc_impl, static_argnames=("first", "finalize")))
         # tail-token finalize hop: one program per tail length (static via
         # the chunk's shape).  An eager KV step costs ~36 s/lane through
         # this environment's dispatch relay (round-3 batcher profile:
         # fin=145 s of a 118 s wall at 4 lanes); jitted it is ~ms, and
         # serving/boot.py's warm_tails pre-compiles every tail shape.
-        self._fin_hop = jax.jit(self._fin_hop_impl)
+        self._fin_hop = mw("fin_hop", jax.jit(self._fin_hop_impl))
         # bucketed voc scan: vocode n of a burst's emitted chunks for one
         # lane in ONE dispatch + one fetch (per-chunk _voc dispatches cost
         # ~35 ms each through the relay — round-3 batcher profile
         # voc+fetch=7 s of a 15 s wall).  n is static via idx.shape.
-        self._voc_take_scan = jax.jit(self._voc_take_scan_impl)
-        self._spk = jax.jit(
+        self._voc_take_scan = mw("voc_take_scan",
+                                 jax.jit(self._voc_take_scan_impl))
+        self._spk = mw("spk", jax.jit(
             lambda p, e: self._enc_model.apply(p, e,
-                                               method=self._enc_model.spk))
+                                               method=self._enc_model.spk)))
 
         # ---------------- device-resident shared state -------------------
         # per-lane flat est rings (rows (s, cfg, lane)); x/mu wavefront;
@@ -567,6 +576,13 @@ class KVContinuousBatcher:
         self._est = self._lane_clear(self._est,
                                      jnp.asarray(lane, jnp.int32))
         return segs
+
+    def measured_flops(self) -> float:
+        """Total FLOPs of the metered dispatch sequence (set
+        ``self.meter.enabled = True`` around a serving run, then call
+        this): XLA cost analysis of each executed program x its dispatch
+        count — the aggregate-MFU numerator for ``bench.py --batcher``."""
+        return self.meter.total_flops()
 
     @property
     def free_lanes(self) -> int:

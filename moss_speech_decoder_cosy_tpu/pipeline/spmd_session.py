@@ -197,6 +197,28 @@ class SPMDKVDecoder:
             return np.asarray(jax.device_get(_pcm16_device(wav)))
         return np.asarray(jax.device_get(wav)).astype(np.float32)
 
+    def program_flops(self, n_tokens: int) -> float:
+        """Total FLOPs of the two SPMD programs one ``decode`` of
+        ``n_tokens``-token streams executes (flow + vocoder), by XLA cost
+        analysis of the compiled (partitioned) modules — the aggregate-MFU
+        numerator for the mesh-sharded serving path (utils/flops.py).
+        Note: XLA reports the partitioned per-device module's FLOPs; with
+        identical lanes per device, whole-mesh FLOPs = this x n_devices
+        and per-chip MFU uses this value directly."""
+        from ..utils.flops import compiled_flops
+        plan = self.loc.schedule(n_tokens)
+        steady = sum(1 for pl in plan if not pl[1])
+        tail = plan[-1][0] if plan and plan[-1][1] else 0
+        cap = n_tokens + self.hop + self.la + 1
+        buf = jnp.zeros((self.b, cap), jnp.int32)
+        total = compiled_flops(self._flow_prog(steady, tail),
+                               self._fp, buf)
+        frames = tuple(e * self.ratio for e, _ in plan)
+        n_frames = sum(frames)
+        mel = jnp.zeros((self.b, n_frames, self.loc.n_mel), jnp.float32)
+        total += compiled_flops(self._voc_prog(frames), self._hp, mel)
+        return total
+
     def flow_hlo(self, n_tokens: int) -> str:
         """Optimized HLO of the flow program for a given stream length
         (test hook: asserts the zero-collective claim)."""

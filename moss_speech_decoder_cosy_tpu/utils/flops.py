@@ -32,6 +32,59 @@ def compiled_flops(jit_fn, *args, **kwargs) -> float:
     return float((ca or {}).get("flops", 0.0))
 
 
+class DispatchMeter:
+    """Records every jitted dispatch (program key + one exemplar of its
+    concrete arguments) so a bench can replay XLA cost analysis over the
+    EXACT executed sequence — the aggregate-MFU counterpart of the
+    single-stream ``program_flops`` replays (the role of the reference's
+    cal_RTF.py:349-421 protocol, upgraded with FLOPs accounting).
+
+    Usage: wrap each jitted callable once (``fn = meter.wrap(name, fn)``);
+    the wrapper is a no-op passthrough until ``enabled`` is set.  After a
+    metered run, ``total_flops()`` sums count x compiled FLOPs per unique
+    program signature (signature = static kwarg values + every array
+    leaf's shape/dtype, so shape-polymorphic call sites split correctly).
+    Lowering warm programs hits the compile cache."""
+
+    def __init__(self):
+        self.enabled = False
+        self._records = {}          # key -> [count, fn, args, kwargs]
+
+    def reset(self):
+        self._records.clear()
+
+    def wrap(self, name: str, fn):
+        def wrapped(*args, **kwargs):
+            if self.enabled:
+                self._note(name, fn, args, kwargs)
+            return fn(*args, **kwargs)
+        return wrapped
+
+    def _note(self, name, fn, args, kwargs):
+        leaves, treedef = jax.tree_util.tree_flatten((args, kwargs))
+        sig = tuple((a.shape, str(a.dtype)) if hasattr(a, "shape")
+                    else repr(a) for a in leaves)
+        key = (name, str(treedef), sig)
+        rec = self._records.get(key)
+        if rec is None:
+            # store ShapeDtypeStructs, not the arrays — an exemplar of
+            # the live pool pytrees would pin hundreds of MB of HBM
+            structs = [jax.ShapeDtypeStruct(a.shape, a.dtype)
+                       if hasattr(a, "shape") else a for a in leaves]
+            s_args, s_kwargs = jax.tree_util.tree_unflatten(treedef,
+                                                            structs)
+            self._records[key] = [1, fn, s_args, s_kwargs]
+        else:
+            rec[0] += 1
+
+    def total_flops(self) -> float:
+        return sum(count * compiled_flops(fn, *args, **kwargs)
+                   for count, fn, args, kwargs in self._records.values())
+
+    def dispatches(self) -> int:
+        return sum(rec[0] for rec in self._records.values())
+
+
 # Peak dense matmul throughput per chip, FLOP/s.  bf16 numbers from the
 # public TPU spec sheets; f32 runs through the same MXU passes at ~1/2.
 _PEAK_BF16 = {

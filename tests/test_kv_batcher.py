@@ -121,6 +121,40 @@ def test_staggered_lanes_match_independent_sessions(dec):
                                    err_msg=f"lane {lane}")
 
 
+def test_dispatch_meter_aggregate_flops(dec):
+    """The batcher's DispatchMeter must account the exact executed
+    program sequence: FLOPs positive, dispatch count equal to the number
+    of metered jit calls, and a second identical run doubles the count
+    without growing the signature table unboundedly."""
+    rng = np.random.RandomState(11)
+    cfg = dec.flow_cfg
+    emb = rng.randn(1, cfg.spk_embed_dim).astype(np.float32)
+    toks = rng.randint(0, cfg.vocab_size, (1, 13)).astype(np.int32)
+    zp_tok = np.zeros((1, 0), np.int32)
+    zp_feat = np.zeros((1, 0, cfg.output_size), np.float32)
+    b = dec.kv_batcher(n_lanes=2, block_size=2, ring_tokens=7,
+                       token_cap=64)
+
+    def run():
+        lane = b.admit(zp_tok, zp_feat, emb)
+        b.push(lane, toks)
+        b.finish(lane)
+        chunks = {}
+        _drain(b, lane, chunks)
+
+    run()                                   # warm programs
+    b.meter.enabled = True
+    b.meter.reset()
+    run()
+    n1 = b.meter.dispatches()
+    f1 = b.measured_flops()
+    assert n1 > 0 and f1 > 0
+    run()
+    b.meter.enabled = False
+    assert b.meter.dispatches() == 2 * n1
+    assert b.measured_flops() == pytest.approx(2 * f1)
+
+
 def test_promptless_and_short_stream(dec):
     """A lane with no prompt, and a stream shorter than hop+lookahead
     (finalize-only, zero steady chunks)."""

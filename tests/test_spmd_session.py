@@ -79,6 +79,17 @@ def test_spmd_flow_program_has_no_collectives(dec):
     assert not bad, f"collectives in SPMD flow program: {set(bad)}"
 
 
+def test_spmd_program_flops(dec):
+    """Aggregate-MFU numerator for the mesh path: XLA cost analysis of
+    the two compiled SPMD programs is positive and stable across calls
+    (pure replay, no new device work)."""
+    mesh = _mesh()
+    spmd = dec.spmd_decoder(mesh, batch=8, block_size=2, token_cap=128)
+    f1 = spmd.program_flops(13)
+    assert f1 > 0
+    assert spmd.program_flops(13) == f1
+
+
 def test_spmd_int16_output(dec):
     rng = np.random.RandomState(3)
     mesh = _mesh()
