@@ -143,13 +143,21 @@ def main():
             sys.exit("--no-fused conflicts with --stacked (the stacked "
                      "wavefront requires the fused write-then-attend "
                      "dataflow); drop one of the flags")
+        # --no-kernel / --kernel: force the Pallas fused-block engine off
+        # or on; the default ("auto") runs it on TPU whenever the
+        # geometry supports it — the library serving default, so the
+        # headline measures exactly what the product ships.
+        kv_kernel = ("auto" if "--kernel" not in sys.argv
+                     and "--no-kernel" not in sys.argv
+                     else "--kernel" in sys.argv)
         kv = dec.kv_stream_decoder(token_cap=n_tokens + 16,
                                    block_size=kv_block,
                                    ring_tokens=kv_ring,
                                    write_mode=("onehot" if "--onehot"
                                                in sys.argv else "auto"),
                                    fused="--no-fused" not in sys.argv,
-                                   stacked="--stacked" in sys.argv)
+                                   stacked="--stacked" in sys.argv,
+                                   kernel=kv_kernel)
         # --seg [N]: segmented wavefront (per-segment vocode + threaded
         # fetch overlapping the next segment's scan; default 32 iters)
         seg_kw = {}

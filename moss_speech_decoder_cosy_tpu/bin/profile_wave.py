@@ -82,12 +82,16 @@ def main():
         # no [ring ++ chunk] concat); uses DUS writes when geometry allows
         # "stacked" = fused + the homogeneous estimator layer groups
         # collapsed into lax.scans over stacked parameter leaves
+        # "kernel" = fused + each transformer group as ONE Pallas kernel
+        # launch (ops/pallas_block.py)
         kv = dec.kv_stream_decoder(token_cap=n_tokens + 16,
                                    block_size=block, ring_tokens=ring,
                                    write_mode=("onehot" if write == "onehot"
                                                else "auto"),
-                                   fused=(write in ("fused", "stacked")),
-                                   stacked=(write == "stacked"))
+                                   fused=(write in ("fused", "stacked",
+                                                    "kernel")),
+                                   stacked=(write == "stacked"),
+                                   kernel=(write == "kernel"))
         if write == "dus":
             assert kv._dus_ok, f"geometry {spec} cannot use DUS"
 
@@ -119,7 +123,8 @@ def main():
                 k_total=jnp.asarray(k, jnp.int32),
                 base_frames=jnp.asarray(0, jnp.int32),
                 dus=kv._dus_ok, unroll=unroll, fused=kv._fused,
-                stacked=kv._stacked, sp=kv._sp)
+                stacked=kv._stacked, sp=kv._sp,
+                kernel=kv._kernel, gp=kv._gp)
             jax.block_until_ready(mels)
             return mels
 

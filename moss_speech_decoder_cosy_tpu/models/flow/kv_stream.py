@@ -1577,3 +1577,207 @@ def wave_step_stacked(sp: Dict, cfm_cfg: CFMConfig,
     z = jnp.broadcast_to(z, (b, cf, d)).astype(x_wave.dtype)
     x_shift = jnp.concatenate([z[None], x_next[:-1]], axis=0)
     return exit_mel, x_shift, mu_wave, {"kv": new_kv, "convs": new_convs}
+
+
+# --------------------------------------------------------------------------
+# Pallas fused-block wavefront: each homogeneous transformer group runs as
+# ONE kernel launch (ops/pallas_block.py) instead of ~35 XLA ops per layer
+# --------------------------------------------------------------------------
+#
+# Layout: per-GROUP stacked ring buffers — down (n, rows, Rp, 2d), one
+# (n, rows, Rp, 2d) buffer PER mid block (a tuple of m, so no per-group
+# dynamic-slice slab copies — the stacked (m, n, ...) layout's 313 MB/iter
+# failure mode, BENCH_NOTES round 4), up (n, ...).  Parameters likewise:
+# group_estimator_params re-packs the stacked leaves with mid as a tuple.
+# Scope: the fused write-then-attend + shared-offset DUS geometry (the
+# production serving shape: ring % chunk == 0), ring dtype == compute
+# dtype.  The glue (resnets, skip concat, final blocks, CFG combine)
+# stays in XLA — it is ~1/4 of the op count; the kernel removes the rest.
+
+
+def group_estimator_params(fp: Dict, cfg: EstimatorConfig) -> Dict:
+    """stack_estimator_params with the mid transformer groups kept as a
+    TUPLE of per-block stacked subtrees (kernel layout)."""
+    sp = stack_estimator_params(fp, cfg)
+    est = fp["params"]["decoder"]["estimator"]
+    n, m = cfg.n_blocks, cfg.num_mid_blocks
+
+    def stk(trees):
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+    sp["mid_tf"] = tuple(
+        stk([est[f"mid_tf_{i}_{j}"] for j in range(n)]) for i in range(m))
+    return sp
+
+
+def group_est_flat(est_flat: Dict, cfg: EstimatorConfig) -> Dict:
+    """Fused-flat est cache ({"kv": tuple of 2n + m*n (rows, Rp, 2d)})
+    -> the kernel layout: kv {"down": (n, rows, Rp, 2d), "mid": tuple of
+    m (n, rows, Rp, 2d), "up": (n, ...)}; the m mid resnet conv caches
+    stacked under one "mid_res" key (as in stack_est_flat)."""
+    n, m = cfg.n_blocks, cfg.num_mid_blocks
+    kv = est_flat["kv"]
+    convs = dict(est_flat["convs"])
+    mids = [convs.pop(f"mid_res_{i}") for i in range(m)]
+    convs["mid_res"] = {k2: jnp.stack([md[k2] for md in mids])
+                        for k2 in ("block1", "block2")}
+    return {"kv": {"down": jnp.stack(kv[:n]),
+                   "mid": tuple(jnp.stack(kv[n + i * n: n + (i + 1) * n])
+                                for i in range(m)),
+                   "up": jnp.stack(kv[n + m * n:])},
+            "convs": convs}
+
+
+def ungroup_est_flat(est_g: Dict, cfg: EstimatorConfig) -> Dict:
+    """Inverse of group_est_flat (wavefront exit -> fused-flat layout)."""
+    n, m = cfg.n_blocks, cfg.num_mid_blocks
+    kv_g = est_g["kv"]
+    kv = ([kv_g["down"][j] for j in range(n)]
+          + [kv_g["mid"][i][j] for i in range(m) for j in range(n)]
+          + [kv_g["up"][j] for j in range(n)])
+    convs = dict(est_g["convs"])
+    mid_res = convs.pop("mid_res")
+    for i in range(m):
+        convs[f"mid_res_{i}"] = {k2: mid_res[k2][i]
+                                 for k2 in ("block1", "block2")}
+    return {"kv": tuple(kv), "convs": convs}
+
+
+def estimator_step_pallas(sp: Dict, c: EstimatorConfig, x, mu, t, spks,
+                          cond, kv_g: Dict, convs: Dict, nd_mask, rot,
+                          offset, enable, align: int,
+                          interpret: bool = False):
+    """EstimatorStep's math (single-level causal U-Net,
+    estimator.py:123-245) with each homogeneous transformer group
+    executed by the fused Pallas kernel (ops/pallas_block.py).  ``rot``
+    and ``nd_mask = n_done + chunk`` are per-row (rows,) i32 — the
+    kernel rebuilds ``_ring_mask(..., fused=True)`` from them."""
+    from ...ops.pallas_block import fused_tf_group
+    assert c.causal and len(c.channels) == 1
+    assert not c.use_flash_attention
+    ch = c.channels[0]
+    heads, hd, act = c.num_heads, c.attention_head_dim, c.act_fn
+    t_emb = SinusoidalPosEmb(c.in_channels).apply({}, t)
+    t_emb = TimestepEmbedding(ch * 4).apply({"params": sp["time_mlp"]},
+                                            t_emb.astype(x.dtype))
+    mt = mish(t_emb)[:, None, :]   # (rows, 1, 4ch): leading-dim
+    # slicing only (a 2D (rows, 4ch) operand would need 8-aligned
+    # sublane row offsets inside the kernel)
+    spks_b = jnp.broadcast_to(spks[:, None, :],
+                              (x.shape[0], x.shape[1], spks.shape[-1]))
+    h = jnp.concatenate([x, mu, spks_b, cond], axis=-1)
+
+    cc3 = CausalConv1d(ch, 3)
+
+    def rn_group(p, rp_, cc, h, rings):
+        """resnet + tf group in ONE kernel launch; returns the updated
+        (h, rings) and the resnet conv caches {'block1','block2'}."""
+        h, rings, c1, c2 = fused_tf_group(
+            p, rp_, mt, cc["block1"], cc["block2"], h, rings, nd_mask,
+            rot, enable, offset, align=align, heads=heads, head_dim=hd,
+            act_fn=act, interpret=interpret)
+        return h, rings, {"block1": c1, "block2": c2}
+
+    new_convs = {}
+    h, kv_down, new_convs["down_res_0"] = rn_group(
+        sp["down_tf"], sp["down_res_0"], convs["down_res_0"],
+        h, kv_g["down"])
+    skip = h
+    h, new_convs["down_conv_0"] = cc3.apply(
+        {"params": sp["down_conv_0"]}, h,
+        convs["down_conv_0"].astype(h.dtype))
+
+    kv_mid = []
+    mid_ncc = []
+    for i in range(c.num_mid_blocks):
+        res_p = jax.tree.map(lambda a: a[i], sp["mid_res"])
+        h, rings_i, ncc = rn_group(
+            sp["mid_tf"][i], res_p,
+            jax.tree.map(lambda a: a[i], convs["mid_res"]),
+            h, kv_g["mid"][i])
+        mid_ncc.append(ncc)
+        kv_mid.append(rings_i)
+    new_convs["mid_res"] = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                        *mid_ncc)
+
+    h = jnp.concatenate([h, skip], axis=-1)
+    h, kv_up, new_convs["up_res_0"] = rn_group(
+        sp["up_tf"], sp["up_res_0"], convs["up_res_0"], h, kv_g["up"])
+    h, new_convs["up_conv_0"] = cc3.apply(
+        {"params": sp["up_conv_0"]}, h,
+        convs["up_conv_0"].astype(h.dtype))
+    h, new_convs["final_block"] = CausalBlock1DStep(ch).apply(
+        {"params": sp["final_block"]}, h, convs["final_block"])
+    out = Conv1d(c.out_channels, 1).apply({"params": sp["final_proj"]}, h)
+    return out, {"down": kv_down, "mid": tuple(kv_mid), "up": kv_up}, \
+        new_convs
+
+
+def wave_step_pallas(sp: Dict, cfm_cfg: CFMConfig,
+                     est_cfg: EstimatorConfig, align: int,
+                     x_wave, mu_wave, mu_new, spks, est_cache: Dict,
+                     w, k_total, base_frames, interpret: bool = False):
+    """CausalConditionalCFMWave.__call__ (fused write-then-attend +
+    shared-offset DUS) with the Pallas fused-block estimator — identical
+    math, one kernel launch per transformer group.  ``est_cache`` in the
+    group_est_flat layout."""
+    c = cfm_cfg
+    s_steps, b, cf, d = x_wave.shape
+    cd = (jnp.dtype(c.estimator_dtype) if c.estimator_dtype
+          else mu_wave.dtype)
+    mu_wave = jnp.concatenate(
+        [mu_new[None].astype(cd), mu_wave[:-1].astype(cd)], axis=0)
+    if c.t_scheduler == "cosine":
+        t_span = t_span_cosine(c.n_timesteps)
+    else:
+        t_span = np.linspace(0, 1, c.n_timesteps + 1, dtype=np.float32)
+    t_cur = jnp.asarray(t_span[:-1], x_wave.dtype)
+    dts = jnp.asarray(np.diff(t_span), x_wave.dtype)
+
+    h_idx = w - jnp.arange(s_steps)
+    valid = (h_idx >= 0) & (h_idx < k_total)
+    n_dones = base_frames + jnp.maximum(h_idx, 0) * cf
+
+    def flat(a):
+        a2 = jnp.stack([a, jnp.zeros_like(a)], axis=1)
+        return a2.reshape(s_steps * 2 * b, cf, d)
+
+    mu_in = flat(mu_wave)
+    cond_in = jnp.zeros_like(mu_in)
+    x_in = jnp.stack([x_wave, x_wave], axis=1).reshape(
+        s_steps * 2 * b, cf, d).astype(cd)
+    spks_in = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
+    spks_in = jnp.tile(spks_in, (s_steps, 1)).astype(cd)
+    t_in = jnp.repeat(t_cur, 2 * b).astype(cd)
+    nd_in = jnp.repeat(n_dones, 2 * b)
+
+    rp = est_cache["kv"]["down"].shape[-2]
+    rot_slots = np.array([(s * cf) % rp for s in range(s_steps)], np.int32)
+    rot = jnp.asarray(np.repeat(rot_slots, 2 * b))
+    en = jnp.repeat(valid, 2 * b)
+    offset = (base_frames + w * cf) % rp
+
+    dphi, new_kv, new_convs = estimator_step_pallas(
+        sp, est_cfg, x_in, mu_in, t_in, spks_in, cond_in,
+        est_cache["kv"], est_cache["convs"], nd_in + cf, rot, offset, en,
+        align, interpret=interpret)
+
+    rate = jnp.asarray(c.inference_cfg_rate, x_wave.dtype)
+    dphi = dphi.reshape(s_steps, 2, b, cf, d).astype(x_wave.dtype)
+    dphi = (1.0 + rate) * dphi[:, 0] - rate * dphi[:, 1]
+    x_next = x_wave + dts[:, None, None, None] * dphi
+
+    new_convs = jax.tree.map(
+        lambda old, new: jnp.where(en[:, None, None],
+                                   new.astype(old.dtype), old),
+        est_cache["convs"], new_convs)
+
+    exit_mel = x_next[-1].astype(jnp.float32)
+    n_enter = base_frames + jnp.clip(w + 1, 0, None) * cf
+    noise = jnp.asarray(_fixed_noise(c.max_noise_len, d))
+    z = jax.lax.dynamic_slice(
+        noise, (0, jnp.minimum(n_enter, noise.shape[1] - cf), 0),
+        (1, cf, d))
+    z = jnp.broadcast_to(z, (b, cf, d)).astype(x_wave.dtype)
+    x_shift = jnp.concatenate([z[None], x_next[:-1]], axis=0)
+    return exit_mel, x_shift, mu_wave, {"kv": new_kv, "convs": new_convs}

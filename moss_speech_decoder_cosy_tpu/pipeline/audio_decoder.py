@@ -211,7 +211,7 @@ class AudioDecoder:
                           ring_tokens: Optional[int] = None,
                           token_cap: int = 2048, batch: int = 1,
                           write_mode: str = "auto", fused: bool = True,
-                          stacked: bool = False):
+                          stacked: bool = False, kernel="auto"):
         """Incremental KV-cached streaming decoder (pipeline/kv_session.py):
         every token runs through the flow ONCE (vs the reference's 8x
         windowed re-decode); ``ring_tokens`` sets the banded attention left
@@ -224,7 +224,11 @@ class AudioDecoder:
         attend estimator dataflow (BENCH_NOTES round 4; exact vs the
         concat dataflow) — the default engine everywhere, matching the
         reference's TRT-as-default principle (cli/model.py:85-101);
-        ``fused=False`` reverts to the concat dataflow for A/B."""
+        ``fused=False`` reverts to the concat dataflow for A/B.
+        ``kernel="auto"`` (default) additionally runs each estimator
+        transformer group + resnet as ONE Pallas kernel on TPU when the
+        geometry supports it (ops/pallas_block.py; measured 3.56 vs
+        4.08 ms/iter round 5); True/False force it on/off."""
         from .kv_session import KVStreamDecoder
         prompt_token, prompt_feat, embedding = self._defaults(
             prompt_token, prompt_feat, embedding)
@@ -235,7 +239,7 @@ class AudioDecoder:
                                hop, ring_tokens=ring_tokens,
                                token_cap=token_cap, batch=batch,
                                write_mode=write_mode, fused=fused,
-                               stacked=stacked)
+                               stacked=stacked, kernel=kernel)
 
     def spmd_decoder(self, mesh, prompt_token=None, prompt_feat=None,
                      embedding=None, block_size: Optional[int] = None,

@@ -37,7 +37,10 @@ from ..models.flow.kv_stream import (KVFlowStep, KVFlowEncodeStep,
                                      fuse_qkv_params, rotate_rings,
                                      stack_estimator_params,
                                      stack_est_flat, unstack_est_flat,
-                                     wave_step_stacked)
+                                     wave_step_stacked,
+                                     group_estimator_params,
+                                     group_est_flat, ungroup_est_flat,
+                                     wave_step_pallas)
 from .device_session import _parallel_fetch, _pcm16_device
 
 
@@ -56,7 +59,7 @@ class KVStreamDecoder:
                  block_size: int, ring_tokens: int = 35,
                  token_cap: int = 2048, batch: int = 1,
                  write_mode: str = "auto", fused: bool = False,
-                 stacked: bool = False):
+                 stacked: bool = False, kernel="auto"):
         self.dec = dec
         self.hop = block_size
         self.ring_tokens = ring_tokens
@@ -149,12 +152,44 @@ class KVStreamDecoder:
                 dec._stacked_est_params = self._sp
         else:
             self._sp = None
+        # Pallas fused-block wavefront: every homogeneous transformer
+        # group of the estimator (+ its preceding resnet) runs as ONE
+        # kernel launch (ops/pallas_block.py) — the op-fusion lever the
+        # round-4 cost model identified; measured 3.56 vs 4.08 ms/iter
+        # for the XLA fused engine at production geometry.  Needs the
+        # fused write-then-attend + shared-offset-DUS geometry and
+        # 128-lane-aligned head layout.  ``kernel="auto"`` (the default)
+        # selects it ON TPU whenever the session geometry supports it —
+        # the serving default IS the measured-best engine; pass
+        # kernel=True/False to force.  Off-TPU the kernel runs in Pallas
+        # interpret mode (exact; the CPU test path uses kernel=True
+        # explicitly, auto stays off to keep the suite fast).
+        self._interpret = jax.devices()[0].platform != "tpu"
+        est_cfg = cfg.estimator
+        kernel_ok = (self._fused and self._dus_ok and not self._stacked
+                     and (2 * est_cfg.num_heads * est_cfg.attention_head_dim)
+                     % 128 == 0)
+        self._kernel_explicit = kernel is True
+        if kernel == "auto":
+            kernel = kernel_ok and not self._interpret
+        self._kernel = bool(kernel)
+        if self._kernel:
+            assert not self._stacked, "kernel and stacked are exclusive"
+            assert self._fused and self._dus_ok, \
+                "pallas-kernel wavefront requires fused=True and the " \
+                "DUS geometry (ring_tokens % block_size == 0)"
+            self._gp = getattr(dec, "_grouped_est_params", None)
+            if self._gp is None:
+                self._gp = group_estimator_params(self._fp, cfg.estimator)
+                dec._grouped_est_params = self._gp
+        else:
+            self._gp = None
         self._enc_hop = jax.jit(self._enc_hop_impl,
                                 static_argnames=("emit_tokens",))
         self._wave_scan = jax.jit(self._wave_scan_impl,
                                   static_argnames=("n_iters", "dus",
                                                    "unroll", "fused",
-                                                   "stacked"))
+                                                   "stacked", "kernel"))
         # segmented wavefront: the same scan split into fixed-size
         # segments so vocode/pcm/fetch of finished chunks OVERLAP the
         # later segments' scan time (the final fetch is ~90 ms of wire
@@ -371,7 +406,7 @@ class KVStreamDecoder:
                         spks, est, enc_cache, n_iters: int, k_total,
                         base_frames, dus: bool = False, unroll: int = 1,
                         fused: bool = False, stacked: bool = False,
-                        sp=None):
+                        sp=None, kernel: bool = False, gp=None):
         """The ENTIRE wavefront loop as one lax.scan dispatch: encoder hop
         under lax.cond while chunks remain, then the batched pipelined-ODE
         iteration.  No per-iteration host traffic — the round-trip relay in
@@ -407,6 +442,8 @@ class KVStreamDecoder:
                 # collapse the per-layer tuple into the stacked-scan
                 # layout once per stream (outside the scan)
                 est = stack_est_flat(est, self.dec.flow_cfg.estimator)
+            elif kernel:
+                est = group_est_flat(est, self.dec.flow_cfg.estimator)
         elif dus:
             wave_model = self._wave_model
             r = est["kv"][0].shape[-2]
@@ -440,6 +477,12 @@ class KVStreamDecoder:
                 exit_mel, x, mu_w, est_c = wave_step_stacked(
                     sp, scfg.cfm, scfg.estimator, self._align, x, mu_w,
                     mu_new, spks, est_c, w, k_total, base_frames)
+            elif kernel:
+                scfg = self.dec.flow_cfg
+                exit_mel, x, mu_w, est_c = wave_step_pallas(
+                    gp, scfg.cfm, scfg.estimator, self._align, x, mu_w,
+                    mu_new, spks, est_c, w, k_total, base_frames,
+                    interpret=self._interpret)
             else:
                 exit_mel, x, mu_w, est_c = wave_model.apply(
                     flow_params, x, mu_w, mu_new, spks, est_c, w, k_total,
@@ -455,6 +498,8 @@ class KVStreamDecoder:
         if fused:
             if stacked:
                 est = unstack_est_flat(est, self.dec.flow_cfg.estimator)
+            elif kernel:
+                est = ungroup_est_flat(est, self.dec.flow_cfg.estimator)
             est = shrink_rings_from_fused(
                 est, base_frames + k_total * cf, cf, rot_f)
         elif dus:
@@ -613,8 +658,9 @@ class KVStreamDecoder:
         base_frames = self.p * self.ratio
         # the stepped loop runs the unstacked engine only; fall through
         # silently and it would benchmark/label the wrong engine
-        assert not (stepped and self._stacked), \
-            "wave_stepped does not support the stacked wavefront"
+        assert not (stepped and (self._stacked
+                                 or self._kernel_explicit)), \
+            "wave_stepped does not support the stacked/kernel wavefront"
 
         if self._spks_cached is None:
             self._spks_cached = self._spk(self._fp, self._emb)
@@ -651,7 +697,8 @@ class KVStreamDecoder:
                 k_total=jnp.asarray(k, jnp.int32),
                 base_frames=jnp.asarray(base_frames, jnp.int32),
                 dus=self._dus_ok, fused=self._fused,
-                stacked=self._stacked, sp=self._sp)
+                stacked=self._stacked, sp=self._sp,
+                kernel=self._kernel, gp=self._gp)
             mels = [mels_all[s_steps - 1: s_steps - 1 + k]
                     .transpose(1, 0, 2, 3).reshape(self.b, -1, n_mel)]
 
@@ -698,8 +745,12 @@ class KVStreamDecoder:
         ``cache`` (enc leaves are donated); callers must not reuse it."""
         # _wave_seg runs the unstacked fused engine; make the fallback
         # explicit instead of silently benchmarking the wrong engine
-        assert not self._stacked, \
-            "segmented wavefront does not support the stacked engine"
+        # auto-selected kernel quietly yields to the segment engine (the
+        # states are layout-compatible); an EXPLICIT kernel=True request
+        # fails loudly instead of benchmarking the wrong engine
+        assert not (self._stacked or self._kernel_explicit), \
+            "segmented wavefront does not support the stacked/kernel " \
+            "engine"
         d = self.dec
         s_steps = d.flow_cfg.cfm.n_timesteps
         cf = self.hop * self.ratio
@@ -927,7 +978,7 @@ class KVStreamDecoder:
             n_iters=n_iters, k_total=jnp.asarray(n_steady, jnp.int32),
             base_frames=jnp.asarray(self.p * self.ratio, jnp.int32),
             dus=self._dus_ok, fused=self._fused, stacked=self._stacked,
-            sp=self._sp)
+            sp=self._sp, kernel=self._kernel, gp=self._gp)
         if plan and plan[-1][1]:
             total += compiled_flops(self._hop, self._fp, token_buf, cache,
                                     emit_tokens=plan[-1][0], finalize=True)

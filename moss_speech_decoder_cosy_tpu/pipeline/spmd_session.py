@@ -135,7 +135,8 @@ class SPMDKVDecoder:
                 cache["est"], cache["enc"], n_iters=n_iters,
                 k_total=jnp.asarray(k, jnp.int32),
                 base_frames=jnp.asarray(loc.p * loc.ratio, jnp.int32),
-                dus=loc._dus_ok, fused=loc._fused)
+                dus=loc._dus_ok, fused=loc._fused,
+                kernel=loc._kernel, gp=loc._gp)
             mel = (mels_all[s_steps - 1: s_steps - 1 + k]
                    .transpose(1, 0, 2, 3).reshape(self.b_local, -1, n_mel))
             if tail:

@@ -288,6 +288,20 @@ def test_wavefront_matches_sequential_kv():
     stacked = kvst.stream_decode(tokens[:, p:], bulk_voc=True,
                                  wavefront=True, wave_stepped=False)
     np.testing.assert_array_equal(np.asarray(stacked), np.asarray(fused))
+    # Pallas fused-block wavefront (each resnet + transformer group as
+    # ONE kernel launch, ops/pallas_block.py; interpret mode off-TPU):
+    # tolerance-pinned vs the fused XLA engine — the kernel mirrors the
+    # math op for op (f32 CPU measures ~1e-8; Mosaic-vs-XLA matmul
+    # rounding differences on hardware stay within bf16 noise).
+    # align != 0 exercises the wrapped static-offset chunk store.
+    kvk = dec.kv_stream_decoder(tokens[:, :p], prompt_feat, emb,
+                                block_size=hop, ring_tokens=ring_t,
+                                token_cap=64, fused=True, kernel=True)
+    assert kvk._kernel and kvk._kernel_explicit and kvk._align != 0
+    kern = kvk.stream_decode(tokens[:, p:], bulk_voc=True,
+                             wavefront=True, wave_stepped=False)
+    np.testing.assert_allclose(np.asarray(kern), np.asarray(fused),
+                               atol=2e-5)
 
 
 def test_wavefront_hop_aligned_prompts_match_sequential():
