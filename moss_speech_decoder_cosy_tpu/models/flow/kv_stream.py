@@ -125,6 +125,45 @@ def fuse_qkv_params(params):
 # ring utilities
 # --------------------------------------------------------------------------
 
+def quantize_ring_chunk(chunk: jnp.ndarray):
+    """Per-frame symmetric int8 quantization of a K/V chunk (…, C, 2d):
+    scale = max|kv| / 127 over the feature dim, stored alongside the
+    values — the HBM mitigation for the quality ring configuration
+    (estimator rings are ~0.3 GB/stream bf16 at ring 35; int8 halves
+    them again, letting ring-70 quality serving fit larger batches)."""
+    af = jnp.max(jnp.abs(chunk).astype(jnp.float32), axis=-1,
+                 keepdims=True)
+    s = af / 127.0
+    v = jnp.clip(jnp.round(chunk.astype(jnp.float32)
+                           / jnp.maximum(s, 1e-20)), -127, 127)
+    return {"v": v.astype(jnp.int8), "s": s}
+
+
+def dequantize_ring(ring, dtype) -> jnp.ndarray:
+    """{"v": int8, "s": f32} -> (…, R, 2d) in ``dtype``."""
+    return (ring["v"].astype(jnp.float32) * ring["s"]).astype(dtype)
+
+
+def ring_leaf_len(leaf) -> int:
+    """Ring capacity of a (possibly quantized) est ring leaf."""
+    return (leaf["v"] if isinstance(leaf, dict) else leaf).shape[-2]
+
+
+def write_ring_leaf(write_fn, ring, chunk, *args, **kw):
+    """Apply a float ring-write primitive to a plain or int8-quantized
+    ring leaf.  Quantized path: the chunk is quantized per frame, then
+    values and scales are written with the SAME primitive in f32 —
+    integer magnitudes ≤ 127 round-trip f32 exactly, so the one-hot /
+    DUS arithmetic stays bit-faithful to the stored int8."""
+    if not isinstance(ring, dict):
+        return write_fn(ring, chunk, *args, **kw)
+    qc = quantize_ring_chunk(chunk)
+    v = write_fn(ring["v"].astype(jnp.float32),
+                 qc["v"].astype(jnp.float32), *args, **kw)
+    s = write_fn(ring["s"], qc["s"], *args, **kw)
+    return {"v": jnp.round(v).astype(jnp.int8), "s": s}
+
+
 def ring_write(ring: jnp.ndarray, chunk: jnp.ndarray,
                n_done: jnp.ndarray) -> jnp.ndarray:
     """Write ``chunk`` into the circular ``ring`` at positions
@@ -513,7 +552,13 @@ class UNetAttentionStep(nn.Module):
         qkv = nn.Dense(3 * inner, use_bias=False, name="to_qkv")(x)
         q = qkv[..., :inner]
         kv_c = qkv[..., inner:]                          # [k | v] merged
-        if write is None:
+        if isinstance(ring_kv, dict):                    # int8 ring
+            assert write is None, \
+                "quantized rings support the concat dataflow only"
+            kvs = jnp.concatenate(
+                [dequantize_ring(ring_kv, kv_c.dtype), kv_c], axis=1)
+            ret = kv_c
+        elif write is None:
             kvs = jnp.concatenate([ring_kv.astype(kv_c.dtype), kv_c], axis=1)
             ret = kv_c
         elif write["mode"] == "dus":
@@ -632,7 +677,7 @@ class EstimatorStep(nn.Module):
                                   (x.shape[0], x.shape[1], spks.shape[-1]))
         h = jnp.concatenate([x, mu, spks_b, cond], axis=-1)
         cf = h.shape[1]
-        rf = rings["kv"][0].shape[-2]
+        rf = ring_leaf_len(rings["kv"][0])
         if write is None:
             mask = _ring_mask(rf, cf, n_done, rot)
         else:
@@ -725,7 +770,7 @@ class CausalConditionalCFMStep(nn.Module):
             dphi = dphi.astype(carry.dtype)
             rate = jnp.asarray(mdl.cfg.inference_cfg_rate, carry.dtype)
             dphi = (1.0 + rate) * dphi[:b] - rate * dphi[b:]
-            new_kv = tuple(ring_write(r_, c_, n_done)
+            new_kv = tuple(write_ring_leaf(ring_write, r_, c_, n_done)
                            for r_, c_ in zip(kv_s, ckv))
             new_convs = jax.tree.map(
                 lambda old, new: new.astype(old.dtype), convs_s, new_convs)
@@ -917,7 +962,7 @@ class CausalConditionalCFMWave(nn.Module):
         # leaves slice nothing and alias in place across the scan.
         flat_rings = {"kv": est_cache["kv"]}
         flat_convs = est_cache["convs"]
-        r = flat_rings["kv"][0].shape[-2]
+        r = ring_leaf_len(flat_rings["kv"][0])
         rot = None
         if self.write_mode == "dus":
             rot_slots = np.array([(s * cf) % r for s in range(s_steps)],
@@ -954,8 +999,10 @@ class CausalConditionalCFMWave(nn.Module):
             new_kv = tuple(ring_write_dus(r_, c_, offset, en, self.align)
                            for r_, c_ in zip(flat_rings["kv"], ckv))
         else:
-            new_kv = tuple(ring_write_batched(r_, c_, nd_in, enable=en)
-                           for r_, c_ in zip(flat_rings["kv"], ckv))
+            new_kv = tuple(
+                write_ring_leaf(ring_write_batched, r_, c_, nd_in,
+                                enable=en)
+                for r_, c_ in zip(flat_rings["kv"], ckv))
         new_convs = jax.tree.map(
             lambda old, new: jnp.where(en[:, None, None],
                                        new.astype(old.dtype), old),
@@ -1074,8 +1121,10 @@ class CausalConditionalCFMWaveLanes(nn.Module):
         if self.fused:
             new_kv = ckv         # the estimator already wrote the rings
         else:
-            new_kv = tuple(ring_write_batched(r_, c_, nd_in, enable=en)
-                           for r_, c_ in zip(flat_rings["kv"], ckv))
+            new_kv = tuple(
+                write_ring_leaf(ring_write_batched, r_, c_, nd_in,
+                                enable=en)
+                for r_, c_ in zip(flat_rings["kv"], ckv))
         new_convs = jax.tree.map(
             lambda old, new: jnp.where(en[:, None, None],
                                        new.astype(old.dtype), old),
@@ -1126,7 +1175,8 @@ def est_cache_to_flat(est: Dict) -> Dict:
     def ring(a):
         return a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
     convs = jax.tree.map(ring, est["convs"])
-    return {"kv": tuple(ring(a) for a in est["kv"]), "convs": convs}
+    return {"kv": tuple(jax.tree.map(ring, a) for a in est["kv"]),
+            "convs": convs}
 
 
 def _fused_regather(est: Dict, slots_out: int, idx, ok) -> Dict:
@@ -1197,7 +1247,8 @@ def est_cache_from_flat(flat: Dict, s_steps: int) -> Dict:
     def ring(a):
         return a.reshape((s_steps, a.shape[0] // s_steps) + a.shape[1:])
     convs = jax.tree.map(ring, flat["convs"])
-    return {"kv": tuple(ring(a) for a in flat["kv"]), "convs": convs}
+    return {"kv": tuple(jax.tree.map(ring, a) for a in flat["kv"]),
+            "convs": convs}
 
 
 class KVFlowWaveStep(nn.Module):
@@ -1222,12 +1273,15 @@ class KVFlowWaveStep(nn.Module):
 
 
 def init_kv_cache(cfg: FlowConfig, ring_tokens: int, batch: int = 1,
-                  dtype=jnp.float32, est_dtype=None):
+                  dtype=jnp.float32, est_dtype=None,
+                  est_quant: bool = False):
     """Zero KV cache pytree for a ``ring_tokens``-token left context.
 
     ``est_dtype`` overrides the estimator rings'/conv caches' dtype (the
     estimator-f32 serving recipe keeps its KV exact while the encoder
-    side stays bf16)."""
+    side stays bf16).  ``est_quant`` stores the estimator K/V rings as
+    per-frame int8 + f32 scales (quantize_ring_chunk) — the HBM
+    mitigation for big-ring quality serving; concat dataflow only."""
     e = cfg.encoder
     s = e.upsample_stride
     d = e.output_size
@@ -1262,12 +1316,23 @@ def init_kv_cache(cfg: FlowConfig, ring_tokens: int, batch: int = 1,
             convs[name] = arr
         else:
             convs.setdefault(name, {})[sub] = arr
-    est = {
-        "kv": tuple(jnp.zeros((steps, b2, rf, 2 * inner), dtype)
-                    for _ in range(n_attn)),
-        "convs": convs,
-    }
+    if est_quant:
+        kv = tuple({"v": jnp.zeros((steps, b2, rf, 2 * inner), jnp.int8),
+                    "s": jnp.zeros((steps, b2, rf, 1), jnp.float32)}
+                   for _ in range(n_attn))
+    else:
+        kv = tuple(jnp.zeros((steps, b2, rf, 2 * inner), dtype)
+                   for _ in range(n_attn))
+    est = {"kv": kv, "convs": convs}
     return {"enc": enc, "est": est, "n_tok": jnp.zeros((), jnp.int32)}
+
+
+def est_cache_bytes(est) -> int:
+    """HBM bytes of an est cache pytree (rings + conv caches + scales) —
+    the admission-budget unit for serving/audio_batcher.py's spill
+    policy and the max-batch table in BENCH_NOTES."""
+    return sum(int(leaf.size) * leaf.dtype.itemsize
+               for leaf in jax.tree.leaves(est))
 
 
 def pe_tables(cfg: FlowConfig, max_tokens: int):

@@ -211,7 +211,8 @@ class AudioDecoder:
                           ring_tokens: Optional[int] = None,
                           token_cap: int = 2048, batch: int = 1,
                           write_mode: str = "auto", fused: bool = True,
-                          stacked: bool = False, kernel="auto"):
+                          stacked: bool = False, kernel="auto",
+                          ring_quant: bool = False):
         """Incremental KV-cached streaming decoder (pipeline/kv_session.py):
         every token runs through the flow ONCE (vs the reference's 8x
         windowed re-decode); ``ring_tokens`` sets the banded attention left
@@ -228,7 +229,14 @@ class AudioDecoder:
         ``kernel="auto"`` (default) additionally runs each estimator
         transformer group + resnet as ONE Pallas kernel on TPU when the
         geometry supports it (ops/pallas_block.py; measured 3.56 vs
-        4.08 ms/iter round 5); True/False force it on/off."""
+        4.08 ms/iter round 5); True/False force it on/off.
+        ``ring_quant=True`` stores the estimator K/V rings as per-frame
+        int8 + scales (~4x smaller than bf16) — the HBM mitigation that
+        lets quality rings (70+) fit large batches; it implies the
+        concat dataflow (fused/kernel off)."""
+        if ring_quant:
+            fused = False
+            kernel = False
         from .kv_session import KVStreamDecoder
         prompt_token, prompt_feat, embedding = self._defaults(
             prompt_token, prompt_feat, embedding)
@@ -239,7 +247,8 @@ class AudioDecoder:
                                hop, ring_tokens=ring_tokens,
                                token_cap=token_cap, batch=batch,
                                write_mode=write_mode, fused=fused,
-                               stacked=stacked, kernel=kernel)
+                               stacked=stacked, kernel=kernel,
+                               ring_quant=ring_quant)
 
     def spmd_decoder(self, mesh, prompt_token=None, prompt_feat=None,
                      embedding=None, block_size: Optional[int] = None,
@@ -259,17 +268,22 @@ class AudioDecoder:
     def kv_batcher(self, n_lanes: int = 4,
                    block_size: Optional[int] = None,
                    ring_tokens: Optional[int] = None,
-                   token_cap: int = 1024, fused: bool = True):
+                   token_cap: int = 1024, fused: bool = True,
+                   ring_quant: bool = False):
         """Continuous-batching KV decoder (pipeline/kv_batcher.py): a fixed
         pool of lanes shares one batched estimator wavefront; streams are
         admitted/finished at arbitrary times (the serving counterpart of
-        the lockstep ``kv_stream_decoder(batch=N)``).  ``fused`` as in
-        ``kv_stream_decoder`` (default = the measured-best engine)."""
+        the lockstep ``kv_stream_decoder(batch=N)``).  ``fused`` and
+        ``ring_quant`` as in ``kv_stream_decoder`` (fused default = the
+        measured-best engine; ring_quant implies fused off)."""
+        if ring_quant:
+            fused = False
         from .kv_batcher import KVContinuousBatcher
         return KVContinuousBatcher(self, n_lanes=n_lanes,
                                    block_size=block_size,
                                    ring_tokens=ring_tokens,
-                                   token_cap=token_cap, fused=fused)
+                                   token_cap=token_cap, fused=fused,
+                                   ring_quant=ring_quant)
 
 
 class StreamSession:

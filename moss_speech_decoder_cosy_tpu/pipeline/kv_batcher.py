@@ -76,7 +76,8 @@ class KVContinuousBatcher:
     def __init__(self, dec, n_lanes: int = 4,
                  block_size: Optional[int] = None,
                  ring_tokens: Optional[int] = None,
-                 token_cap: int = 1024, fused: bool = True):
+                 token_cap: int = 1024, fused: bool = True,
+                 ring_quant: bool = False):
         """``fused`` selects the write-then-attend estimator dataflow
         (rings extended to ring+chunk capacity, chunk K/V one-hot-written
         into the rings inside the estimator before attention) — the
@@ -85,6 +86,12 @@ class KVContinuousBatcher:
         TRT-as-default principle, reference cli/model.py:85-101).
         ``fused=False`` reverts to the concat dataflow for A/B."""
         self.dec = dec
+        # int8 estimator rings (quality-ring HBM mitigation): concat
+        # dataflow only — admission/audio_batcher budget math in
+        # serving/audio_batcher.py uses est_cache_bytes to pick lanes
+        self._quant = bool(ring_quant)
+        assert not (self._quant and fused), \
+            "ring_quant requires the concat dataflow (fused=False)"
         self._fused = bool(fused)
         # fused-qkv param tree for the KV step modules (shared with any
         # KVStreamDecoder sessions over the same decoder)
@@ -131,7 +138,8 @@ class KVContinuousBatcher:
         self._prefill = mw("prefill", jax.jit(self._prefill_impl))
         self._init_cache = mw("init_cache", jax.jit(
             lambda: init_kv_cache(self.cfg, self.ring_tokens, batch=1,
-                                  dtype=self.dt, est_dtype=self.est_dt)))
+                                  dtype=self.dt, est_dtype=self.est_dt,
+                                  est_quant=self._quant)))
         self._enc_hops = mw("enc_hops", jax.jit(
             self._enc_hops_impl, static_argnames=("n_hops",)))
         self._burst = mw("burst", jax.jit(self._burst_impl,
@@ -162,7 +170,8 @@ class KVContinuousBatcher:
         # per-lane flat est rings (rows (s, cfg, lane)); x/mu wavefront;
         # per-lane mu chunk buffer; per-lane counters as device arrays
         est = init_kv_cache(cfg, self.ring_tokens, batch=n_lanes,
-                            dtype=dt, est_dtype=self.est_dt)["est"]
+                            dtype=dt, est_dtype=self.est_dt,
+                            est_quant=self._quant)["est"]
         self._est = est_cache_to_flat(est)
         if self._fused:
             # write-then-attend rings carry ring + chunk capacity
@@ -193,7 +202,8 @@ class KVContinuousBatcher:
     def _prefill_impl(self, flow_params, prompt_tok, ctx, prompt_feat,
                       emb):
         cache = init_kv_cache(self.cfg, self.ring_tokens, batch=1,
-                              dtype=self.dt, est_dtype=self.est_dt)
+                              dtype=self.dt, est_dtype=self.est_dt,
+                              est_quant=self._quant)
         _, cache = self._kv.apply(flow_params, prompt_tok, ctx,
                                   prompt_feat, emb, cache,
                                   self._pe_tok, self._pe_mel,
@@ -221,7 +231,7 @@ class KVContinuousBatcher:
             ).reshape(pool.shape)
 
         est = {
-            "kv": tuple(put_ring(p, s)
+            "kv": tuple(jax.tree.map(put_ring, p, s)
                         for p, s in zip(est["kv"], lane_flat["kv"])),
             "convs": jax.tree.map(lambda p, s: put_ring(p, s),
                                   est["convs"], lane_flat["convs"]),
@@ -298,7 +308,7 @@ class KVContinuousBatcher:
                 v, (0, 0, lane) + (0,) * (v.ndim - 3),
                 v.shape[:2] + (1,) + v.shape[3:])
             return s.reshape((v.shape[0] * 2,) + pool.shape[1:])
-        flat = {"kv": tuple(take(p) for p in est["kv"]),
+        flat = {"kv": tuple(jax.tree.map(take, p) for p in est["kv"]),
                 "convs": jax.tree.map(take, est["convs"])}
         if self._fused:
             rows = flat["kv"][0].shape[0]
@@ -322,7 +332,7 @@ class KVContinuousBatcher:
             z = jnp.zeros(v.shape[:2] + (1,) + v.shape[3:], v.dtype)
             return jax.lax.dynamic_update_slice(
                 v, z, (0, 0, lane) + (0,) * (v.ndim - 3)).reshape(pool.shape)
-        return {"kv": tuple(clear(p) for p in est["kv"]),
+        return {"kv": tuple(jax.tree.map(clear, p) for p in est["kv"]),
                 "convs": jax.tree.map(clear, est["convs"])}
 
     def _voc_impl(self, hift_params, emit_mel, voc: KVVocState,

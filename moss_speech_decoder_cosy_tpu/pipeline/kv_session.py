@@ -59,7 +59,8 @@ class KVStreamDecoder:
                  block_size: int, ring_tokens: int = 35,
                  token_cap: int = 2048, batch: int = 1,
                  write_mode: str = "auto", fused: bool = False,
-                 stacked: bool = False, kernel="auto"):
+                 stacked: bool = False, kernel="auto",
+                 ring_quant: bool = False):
         self.dec = dec
         self.hop = block_size
         self.ring_tokens = ring_tokens
@@ -74,6 +75,14 @@ class KVStreamDecoder:
         dt = dec.compute_dtype or jnp.float32
         self.dt = dt
         self.est_dt = getattr(dec, "estimator_dtype", None) or dt
+        # int8 estimator rings (HBM mitigation for quality-ring serving,
+        # models/flow/kv_stream.py::quantize_ring_chunk): concat dataflow
+        # + one-hot writes only — the quality configuration trades the
+        # fused engine's speed for ~4x smaller est rings vs bf16.
+        self._quant = bool(ring_quant)
+        assert not (self._quant and fused), \
+            "ring_quant requires the concat dataflow (fused=False)"
+        assert not (self._quant and stacked)
 
         def _bcast(a):                 # share one prompt across B streams
             return (jnp.broadcast_to(a, (batch,) + a.shape[1:])
@@ -121,7 +130,8 @@ class KVStreamDecoder:
         # forces the one-hot RMW scheme (perf A/B; both are exact)
         assert write_mode in ("auto", "onehot"), write_mode
         self._dus_ok = (write_mode == "auto"
-                        and ring_tokens % block_size == 0)
+                        and ring_tokens % block_size == 0
+                        and not self._quant)
         self._align = (self.p * self.ratio) % cf
         self._wave_model = KVFlowWaveStep(
             cfg, write_mode="dus" if self._dus_ok else "onehot",
@@ -167,6 +177,7 @@ class KVStreamDecoder:
         self._interpret = jax.devices()[0].platform != "tpu"
         est_cfg = cfg.estimator
         kernel_ok = (self._fused and self._dus_ok and not self._stacked
+                     and not self._quant
                      and (2 * est_cfg.num_heads * est_cfg.attention_head_dim)
                      % 128 == 0)
         self._kernel_explicit = kernel is True
@@ -257,7 +268,8 @@ class KVStreamDecoder:
     def _init_state_impl(self) -> Tuple[dict, KVVocState]:
         cache = init_kv_cache(self.dec.flow_cfg, self.ring_tokens,
                               batch=self.b, dtype=self.dt,
-                              est_dtype=self.est_dt)
+                              est_dtype=self.est_dt,
+                              est_quant=self._quant)
         voc = KVVocState(
             mel_cache=jnp.zeros((self.b, self.mel_cache_len, self.n_mel)),
             source_cache=jnp.zeros((self.b, self.scl, 1)),

@@ -63,17 +63,81 @@ class AudioStream:
         return chunk
 
 
+def plan_lanes(decoder, n_lanes: int, ring_tokens: Optional[int],
+               block_size: Optional[int], hbm_budget_bytes: int,
+               fused: bool = True):
+    """HBM admission plan for the est-ring pool (the round-3 finding:
+    rings are ~0.3 GB/stream bf16 at ring 35, and batch 16 OOMs a
+    v5e-16GB without mitigation).  Given a ring-pool budget, pick the
+    cheapest configuration that serves ``n_lanes``:
+
+    1. the requested (fused bf16) rings, if they fit;
+    2. int8-quantized rings (pipeline ring_quant — concat dataflow,
+       ~4x smaller), if those fit;
+    3. otherwise CAP the lane count to what the int8 rings afford —
+       overflow requests wait for a free lane in ``open()`` (graceful
+       backpressure) instead of OOMing the chip.
+
+    Returns (n_lanes, ring_quant, per_lane_bytes, note)."""
+    from ..models.flow.kv_stream import init_kv_cache, est_cache_bytes
+    import jax
+    hop = block_size or decoder.pipe_cfg.block_size
+    ring = (ring_tokens if ring_tokens is not None
+            else decoder.pipe_cfg.max_token_len - hop)
+    dt = decoder.compute_dtype or jax.numpy.float32
+    est_dt = decoder.estimator_dtype or dt
+
+    def lane_bytes(quant):
+        est = jax.eval_shape(
+            lambda: init_kv_cache(decoder.flow_cfg, ring, batch=1,
+                                  dtype=dt, est_dtype=est_dt,
+                                  est_quant=quant)["est"])
+        b = est_cache_bytes(est)
+        if fused and not quant:       # extended write-then-attend rings
+            rf = ring * decoder.ratio
+            b = int(b * (rf + hop * decoder.ratio) / max(rf, 1))
+        return b
+
+    full_b = lane_bytes(False)
+    if n_lanes * full_b <= hbm_budget_bytes:
+        return n_lanes, False, full_b, "full-precision rings fit"
+    q_b = lane_bytes(True)
+    if n_lanes * q_b <= hbm_budget_bytes:
+        return (n_lanes, True, q_b,
+                f"spilled to int8 rings ({full_b >> 20} -> {q_b >> 20} "
+                f"MiB/lane)")
+    capped = max(1, hbm_budget_bytes // q_b)
+    return (capped, True, q_b,
+            f"int8 rings + lanes capped {n_lanes} -> {capped} "
+            f"(budget {hbm_budget_bytes >> 20} MiB)")
+
+
 class AudioBatchEngine:
-    """Lane admission + pump loop over one KVContinuousBatcher."""
+    """Lane admission + pump loop over one KVContinuousBatcher.
+
+    ``hbm_budget_bytes`` (optional) applies the ``plan_lanes`` spill
+    policy before allocating the ring pool; the chosen plan is recorded
+    on ``self.lane_plan``."""
 
     def __init__(self, decoder, n_lanes: int = 4,
                  block_size: Optional[int] = None,
                  ring_tokens: Optional[int] = None,
                  token_cap: int = 1024,
-                 pump_iters: int = 8, idle_sleep_s: float = 0.002):
+                 pump_iters: int = 8, idle_sleep_s: float = 0.002,
+                 hbm_budget_bytes: Optional[int] = None):
+        ring_quant = False
+        self.lane_plan = None
+        if hbm_budget_bytes is not None:
+            n_lanes, ring_quant, per_lane, note = plan_lanes(
+                decoder, n_lanes, ring_tokens, block_size,
+                hbm_budget_bytes)
+            self.lane_plan = {"n_lanes": n_lanes,
+                              "ring_quant": ring_quant,
+                              "per_lane_bytes": per_lane, "note": note}
         self.batcher = decoder.kv_batcher(
             n_lanes=n_lanes, block_size=block_size,
-            ring_tokens=ring_tokens, token_cap=token_cap)
+            ring_tokens=ring_tokens, token_cap=token_cap,
+            ring_quant=ring_quant)
         self.decoder = decoder
         self.pump_iters = pump_iters
         self.idle_sleep_s = idle_sleep_s

@@ -155,6 +155,75 @@ def test_dispatch_meter_aggregate_flops(dec):
     assert b.measured_flops() == pytest.approx(2 * f1)
 
 
+def test_int8_ring_quant_session_and_batcher(dec):
+    """int8-quantized estimator rings (the quality-ring HBM mitigation,
+    kv_stream.py::quantize_ring_chunk): bounded deviation vs the float
+    concat engine, batcher == independent quantized session, and the
+    ring bytes actually shrink."""
+    from moss_speech_decoder_cosy_tpu.models.flow.kv_stream import (
+        init_kv_cache, est_cache_bytes)
+    rng = np.random.RandomState(13)
+    hop, ring = 2, 6
+    ptok, pfeat, emb, toks = _mk_stream(dec, rng, 3, 17)
+
+    ref = dec.kv_stream_decoder(ptok, pfeat, emb, block_size=hop,
+                                ring_tokens=ring, token_cap=64,
+                                fused=False).stream_decode(toks)
+    kvq = dec.kv_stream_decoder(ptok, pfeat, emb, block_size=hop,
+                                ring_tokens=ring, token_cap=64,
+                                ring_quant=True)
+    assert kvq._quant and not kvq._fused and not kvq._dus_ok
+    q = kvq.stream_decode(toks)
+    assert q.shape == ref.shape
+    rel = float(np.abs(q - ref).mean() / (np.abs(ref).mean() + 1e-9))
+    assert rel < 0.05, rel          # lossy but tightly bounded
+
+    b = dec.kv_batcher(n_lanes=2, block_size=hop, ring_tokens=ring,
+                       token_cap=64, ring_quant=True)
+    lane = b.admit(ptok, pfeat, emb)
+    b.push(lane, toks)
+    b.finish(lane)
+    chunks = {}
+    _drain(b, lane, chunks)
+    got = np.concatenate(chunks[lane], axis=1)
+    np.testing.assert_allclose(got, q, atol=2e-5)
+
+    full = est_cache_bytes(init_kv_cache(dec.flow_cfg, ring)["est"])
+    quant = est_cache_bytes(
+        init_kv_cache(dec.flow_cfg, ring, est_quant=True)["est"])
+    assert quant < full
+
+
+def test_hbm_spill_policy_plan():
+    """serving/audio_batcher.plan_lanes: full rings when they fit, int8
+    spill when not, lane cap as the last resort."""
+    from moss_speech_decoder_cosy_tpu.serving.audio_batcher import (
+        plan_lanes)
+
+    class _Dec:                      # structural stand-in for AudioDecoder
+        pass
+
+    import dataclasses as _dc
+    cfg = _dc.replace(tiny_flow_config(),
+                      cfm=CFMConfig(n_timesteps=3, max_noise_len=2048))
+
+    class P:
+        block_size, max_token_len, mel_cache_len = 2, 9, 2
+    d = _Dec()
+    d.flow_cfg = cfg
+    d.pipe_cfg = P()
+    d.compute_dtype = None
+    d.estimator_dtype = None
+    d.ratio = cfg.token_mel_ratio
+
+    n, quant, per_lane, note = plan_lanes(d, 4, 7, 2, 1 << 30)
+    assert (n, quant) == (4, False) and per_lane > 0
+    n2, quant2, per2, _ = plan_lanes(d, 4, 7, 2, 4 * per_lane - 1)
+    assert quant2 and n2 == 4 and per2 < per_lane
+    n3, quant3, _, note3 = plan_lanes(d, 4, 7, 2, 2 * per2)
+    assert quant3 and n3 == 2 and "capped" in note3
+
+
 def test_promptless_and_short_stream(dec):
     """A lane with no prompt, and a stream shorter than hop+lookahead
     (finalize-only, zero steady chunks)."""
