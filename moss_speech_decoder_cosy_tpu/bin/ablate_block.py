@@ -53,6 +53,57 @@ def _mcd_db(a: np.ndarray, b: np.ndarray, k: int = 13) -> float:
     return float(np.mean((10.0 / np.log(10)) * d))
 
 
+def _train_flow(flow, params, cfg, steps: int, seed: int = 0):
+    """Fit the flow for a few hundred steps on a synthetic token->mel
+    task (each token maps to a fixed mel prototype + small jitter) so
+    the ODE dynamics are SMOOTH instead of chaotic — the round-4 drift
+    table was measured on torch-init random weights whose chaotic
+    dynamics inflate every absolute MCD (BENCH_NOTES); this
+    conditions the protocol without needing real checkpoints.  Uses the
+    repo's own training stack (training/train_step.py)."""
+    import time
+    import jax
+    import jax.numpy as jnp
+    from ..training.train_step import (make_optimizer, TrainState,
+                                       make_flow_train_step)
+
+    r = cfg.token_mel_ratio
+    rng = np.random.RandomState(seed)
+    proto = rng.randn(cfg.vocab_size, cfg.output_size).astype(
+        np.float32) * 0.5
+    bsz, tt = 8, 24
+
+    def batch(i):
+        rs = np.random.RandomState(seed + 1 + i)
+        tok = rs.randint(0, cfg.vocab_size, (bsz, tt)).astype(np.int32)
+        feat = np.repeat(proto[tok], r, axis=1)
+        ramp = 0.1 * np.sin(np.linspace(0, 6.28, tt * r,
+                                        dtype=np.float32))[None, :, None]
+        feat = feat + ramp + 0.02 * rs.randn(*feat.shape).astype(
+            np.float32)
+        emb = rs.randn(bsz, cfg.spk_embed_dim).astype(np.float32)
+        return {"speech_token": jnp.asarray(tok),
+                "token_valid": jnp.ones((bsz, tt), bool),
+                "speech_feat": jnp.asarray(feat),
+                "feat_valid": jnp.ones((bsz, tt * r), bool),
+                "embedding": jnp.asarray(emb)}
+
+    opt = make_optimizer()
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=opt.init(params))
+    step_fn = make_flow_train_step(flow, opt)
+    key = jax.random.PRNGKey(seed)
+    t0 = time.time()
+    for i in range(steps):
+        state, metrics = step_fn(state, batch(i),
+                                 jax.random.fold_in(key, i))
+        if i % 50 == 0 or i == steps - 1:
+            print(f"# train step {i}: loss={float(metrics['loss']):.4f} "
+                  f"({time.time() - t0:.0f}s)", file=sys.stderr,
+                  flush=True)
+    return state.params
+
+
 def _length_sweep(cfg, flow, params, hcfg, hift, p, lengths, weights):
     """Deviation-vs-stream-length curve: per length, MCD of (a) the KV
     wavefront at rings {35, 70, 105} and (b) the reference-semantics
@@ -192,6 +243,22 @@ def main():
                                               max_noise_len=4096))
         flow = CausalMaskedDiffWithXvec(cfg)
     r = cfg.token_mel_ratio
+
+    # --trained N: fit the sweep weights for N steps on the synthetic
+    # token->mel task first (de-chaosed drift protocol, round-5 task)
+    if "--trained" in sys.argv:
+        n_steps = int(sys.argv[sys.argv.index("--trained") + 1])
+        if params is None:
+            import jax as _jax
+            import jax.numpy as _jnp
+            params = _jax.jit(flow.init)(
+                _jax.random.PRNGKey(0), _jnp.zeros((1, 8), _jnp.int32),
+                _jnp.ones((1, 8), bool),
+                _jnp.zeros((1, 0, cfg.output_size)),
+                _jnp.zeros((1, cfg.spk_embed_dim)))
+        params = _train_flow(flow, params, cfg, n_steps)
+        weights += f" + {n_steps} synthetic-fit steps"
+        print(f"# {weights}", file=sys.stderr, flush=True)
 
     if "--lengths" in sys.argv:
         lengths = [int(x) for x in
