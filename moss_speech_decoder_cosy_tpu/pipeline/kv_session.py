@@ -15,8 +15,9 @@ Cost model vs the windowed session (full MOSS size, bf16):
 - the price is the KV cache resident in HBM:
   n_timesteps x layers x 2(K,V) x 2(CFG) x ring x inner
   = 10 x 56 x 2 x 2 x 140 x 512 x 2B  ~ 0.3 GB (bf16) per stream — fine
-  for single-stream low-latency serving; use the windowed session for
-  large multi-stream batches.
+  for single-stream low-latency serving; ``ring_quant=True`` stores the
+  rings as int8+scales (~4x smaller, quality measured in BENCH_NOTES)
+  for large multi-stream batches, or use the windowed session.
 """
 
 from __future__ import annotations
