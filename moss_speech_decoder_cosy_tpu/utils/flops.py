@@ -58,6 +58,12 @@ class DispatchMeter:
             if self.enabled:
                 self._note(name, fn, args, kwargs)
             return fn(*args, **kwargs)
+        # keep the jit introspection surface (serving/boot's
+        # no-new-compiles check reads _cache_size; AOT users read lower)
+        wrapped._wrapped_jit = fn
+        for attr in ("_cache_size", "lower", "clear_cache"):
+            if hasattr(fn, attr):
+                setattr(wrapped, attr, getattr(fn, attr))
         return wrapped
 
     def _note(self, name, fn, args, kwargs):
