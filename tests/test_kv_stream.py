@@ -302,6 +302,18 @@ def test_wavefront_matches_sequential_kv():
                              wavefront=True, wave_stepped=False)
     np.testing.assert_allclose(np.asarray(kern), np.asarray(fused),
                                atol=2e-5)
+    # and at lockstep batch 2 (rows = S*2*B exercises the row tiling)
+    toks2 = np.concatenate([tokens[:, p:], tokens[:, p:][:, ::-1]], axis=0)
+    kvf2 = dec.kv_stream_decoder(tokens[:, :p], prompt_feat, emb,
+                                 block_size=hop, ring_tokens=ring_t,
+                                 token_cap=64, fused=True, batch=2)
+    kvk2 = dec.kv_stream_decoder(tokens[:, :p], prompt_feat, emb,
+                                 block_size=hop, ring_tokens=ring_t,
+                                 token_cap=64, fused=True, kernel=True,
+                                 batch=2)
+    f2 = kvf2.stream_decode(toks2, bulk_voc=True, wavefront=True)
+    k2 = kvk2.stream_decode(toks2, bulk_voc=True, wavefront=True)
+    np.testing.assert_allclose(np.asarray(k2), np.asarray(f2), atol=2e-5)
 
 
 def test_wavefront_hop_aligned_prompts_match_sequential():
