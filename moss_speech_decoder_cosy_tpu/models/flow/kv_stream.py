@@ -1711,6 +1711,7 @@ def ungroup_est_flat(est_g: Dict, cfg: EstimatorConfig) -> Dict:
 def estimator_step_pallas(sp: Dict, c: EstimatorConfig, x, mu, t, spks,
                           cond, kv_g: Dict, convs: Dict, nd_mask, rot,
                           offset, enable, align: int,
+                          shared: bool = True,
                           interpret: bool = False):
     """EstimatorStep's math (single-level causal U-Net,
     estimator.py:123-245) with each homogeneous transformer group
@@ -1740,7 +1741,7 @@ def estimator_step_pallas(sp: Dict, c: EstimatorConfig, x, mu, t, spks,
         h, rings, c1, c2 = fused_tf_group(
             p, rp_, mt, cc["block1"], cc["block2"], h, rings, nd_mask,
             rot, enable, offset, align=align, heads=heads, head_dim=hd,
-            act_fn=act, interpret=interpret)
+            act_fn=act, shared_offset=shared, interpret=interpret)
         return h, rings, {"block1": c1, "block2": c2}
 
     new_convs = {}
@@ -1846,3 +1847,88 @@ def wave_step_pallas(sp: Dict, cfm_cfg: CFMConfig,
     z = jnp.broadcast_to(z, (b, cf, d)).astype(x_wave.dtype)
     x_shift = jnp.concatenate([z[None], x_next[:-1]], axis=0)
     return exit_mel, x_shift, mu_wave, {"kv": new_kv, "convs": new_convs}
+
+
+def wave_lanes_step_pallas(gp: Dict, cfm_cfg: CFMConfig,
+                           est_cfg: EstimatorConfig,
+                           x_wave, mu_wave, mu_buf, spks,
+                           est_cache: Dict, w, avail_iters, k_total,
+                           base_frames, interpret: bool = False):
+    """CausalConditionalCFMWaveLanes.__call__ (fused write-then-attend,
+    per-lane arbitrary offsets) with the Pallas fused-block estimator —
+    identical math, one kernel launch per resnet+transformer group.  The
+    kernel's per-row write mode derives each row's chunk offset from its
+    nd scalar (shared_offset=False), so lanes at arbitrary stream
+    positions batch exactly as in the XLA lanes engine.  ``est_cache``
+    in the group_est_flat layout."""
+    c = cfm_cfg
+    s_steps, lanes, cf, d = x_wave.shape
+    cap = mu_buf.shape[1]
+    cd = (jnp.dtype(c.estimator_dtype) if c.estimator_dtype
+          else mu_wave.dtype)
+
+    advance = w < avail_iters                            # (lanes,)
+    mu_new = mu_buf[jnp.arange(lanes), jnp.clip(w, 0, None) % cap]
+    mu_wave = jnp.where(
+        advance[None, :, None, None],
+        jnp.concatenate([mu_new[None].astype(cd),
+                         mu_wave[:-1].astype(cd)], axis=0),
+        mu_wave.astype(cd))
+
+    if c.t_scheduler == "cosine":
+        t_span = t_span_cosine(c.n_timesteps)
+    else:
+        t_span = np.linspace(0, 1, c.n_timesteps + 1, dtype=np.float32)
+    t_cur = jnp.asarray(t_span[:-1], x_wave.dtype)
+    dts = jnp.asarray(np.diff(t_span), x_wave.dtype)
+
+    h_idx = w[None, :] - jnp.arange(s_steps)[:, None]    # (S, lanes)
+    valid = (h_idx >= 0) & (h_idx < k_total[None, :]) & advance[None, :]
+    n_dones = base_frames[None, :] + jnp.maximum(h_idx, 0) * cf
+
+    def flat(a):
+        a2 = jnp.stack([a, jnp.zeros_like(a)], axis=1)
+        return a2.reshape(s_steps * 2 * lanes, cf, d)
+
+    mu_in = flat(mu_wave)
+    cond_in = jnp.zeros_like(mu_in)
+    x_in = jnp.stack([x_wave, x_wave], axis=1).reshape(
+        s_steps * 2 * lanes, cf, d).astype(cd)
+    spks_in = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
+    spks_in = jnp.tile(spks_in, (s_steps, 1)).astype(cd)
+    t_in = jnp.repeat(t_cur, 2 * lanes).astype(cd)
+    nd_in = jnp.tile(n_dones[:, None, :], (1, 2, 1)).reshape(-1)
+    en = jnp.tile(valid[:, None, :], (1, 2, 1)).reshape(-1)
+    rows = s_steps * 2 * lanes
+    rot = jnp.zeros((rows,), jnp.int32)
+
+    dphi, new_kv, new_convs = estimator_step_pallas(
+        gp, est_cfg, x_in, mu_in, t_in, spks_in, cond_in,
+        est_cache["kv"], est_cache["convs"], nd_in + cf, rot,
+        jnp.zeros((), jnp.int32), en, 0, shared=False,
+        interpret=interpret)
+
+    rate = jnp.asarray(c.inference_cfg_rate, x_wave.dtype)
+    dphi = dphi.reshape(s_steps, 2, lanes, cf, d).astype(x_wave.dtype)
+    dphi = (1.0 + rate) * dphi[:, 0] - rate * dphi[:, 1]
+    x_next = x_wave + dts[:, None, None, None] * dphi
+
+    new_convs = jax.tree.map(
+        lambda old, new: jnp.where(en[:, None, None],
+                                   new.astype(old.dtype), old),
+        est_cache["convs"], new_convs)
+
+    exit_mel = x_next[-1].astype(jnp.float32)
+    exit_valid = valid[-1]
+
+    noise = jnp.asarray(_fixed_noise(c.max_noise_len, d))[0]
+    n_enter = base_frames + jnp.clip(w + 1, 0, None) * cf
+    n_enter = jnp.minimum(n_enter, noise.shape[0] - cf)
+    z = jax.vmap(lambda off: jax.lax.dynamic_slice(
+        noise, (off, 0), (cf, d)))(n_enter).astype(x_wave.dtype)
+    x_shift = jnp.where(
+        advance[None, :, None, None],
+        jnp.concatenate([z[None], x_next[:-1]], axis=0), x_wave)
+    return (exit_mel, exit_valid, x_shift, mu_wave,
+            {"kv": new_kv, "convs": new_convs},
+            w + advance.astype(w.dtype))

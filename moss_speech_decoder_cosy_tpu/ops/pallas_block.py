@@ -200,23 +200,41 @@ def _kernel(s_ref,                                     # scalar prefetch
 
     ld.wait()
 
-    # chunk write into the slab: write offsets live on the cf-grid
-    # (rp % cf == 0 and off ≡ align mod cf in the DUS geometry), so the
-    # write dispatches over the rp//cf STATIC offset candidates — Mosaic
-    # supports static stores at any sublane alignment — executed only
-    # for the matching offset and enabled rows.  No one-hot matmul, no
-    # full-slab select; disabled rows keep their loaded bytes untouched.
-    for r in range(rows_t):
-        en_r = s_ref[1 + 2 * rows + r0 + r] != 0
-        kv_r = kv_c[r].astype(slab.dtype)              # (C, d2)
-        for off_j in offsets:
-            p1 = min(cf, rp - off_j)                   # frames pre-wrap
+    # chunk write into the slab.  Shared-offset (lockstep) mode: write
+    # offsets live on the cf-grid (rp % cf == 0 and off ≡ align mod cf
+    # in the DUS geometry), so the write dispatches over the rp//cf
+    # STATIC offset candidates — Mosaic supports static stores at any
+    # sublane alignment — executed only for the matching offset and
+    # enabled rows.  Per-row mode (continuous-batching lanes: every row
+    # sits at its own arbitrary stream position): a {0,1} one-hot matmul
+    # + select per row — bit-exact (one contribution per slot), MXU-
+    # friendly, offset-agnostic.  Disabled rows keep their loaded bytes.
+    if offsets is not None:
+        for r in range(rows_t):
+            en_r = s_ref[1 + 2 * rows + r0 + r] != 0
+            kv_r = kv_c[r].astype(slab.dtype)          # (C, d2)
+            for off_j in offsets:
+                p1 = min(cf, rp - off_j)               # frames pre-wrap
 
-            @pl.when((off == off_j) & en_r)
-            def _(r=r, off_j=off_j, p1=p1, kv_r=kv_r):
-                slab[r, off_j:off_j + p1] = kv_r[:p1]
-                if p1 < cf:
-                    slab[r, 0:cf - p1] = kv_r[p1:]
+                @pl.when((off == off_j) & en_r)
+                def _(r=r, off_j=off_j, p1=p1, kv_r=kv_r):
+                    slab[r, off_j:off_j + p1] = kv_r[:p1]
+                    if p1 < cf:
+                        slab[r, 0:cf - p1] = kv_r[p1:]
+    else:
+        slot_c = jax.lax.broadcasted_iota(jnp.int32, (rp, cf), 0)
+        frame_c = jax.lax.broadcasted_iota(jnp.int32, (rp, cf), 1)
+        slot_d = jax.lax.broadcasted_iota(jnp.int32, (rp, d2), 0)
+        for r in range(rows_t):
+            en_r = s_ref[1 + 2 * rows + r0 + r] != 0
+            off_r = (s_ref[1 + r0 + r] - cf) % rp      # nd_mask - cf
+            kv_r = kv_c[r].astype(slab.dtype)          # (C, d2)
+            oh = (((slot_c - off_r) % rp) == frame_c).astype(slab.dtype)
+            contrib = jnp.dot(oh, kv_r,
+                              preferred_element_type=jnp.float32
+                              ).astype(slab.dtype)     # (rp, d2)
+            in_chunk = ((slot_d - off_r) % rp) < cf
+            slab[r] = jnp.where(in_chunk & en_r, contrib, slab[r])
     # Mosaic constrains DMA slice extents to the (8, 128) tiling, and
     # chunk extents sit on the C-frame grid — so the write-back covers
     # the whole (aligned) slab.  Unwritten slots carry their just-loaded
@@ -324,6 +342,7 @@ def fused_tf_group(p: Dict, rp_: Dict, mt: jnp.ndarray, cc1: jnp.ndarray,
                    nd_mask: jnp.ndarray, rot: jnp.ndarray,
                    enable: jnp.ndarray, offset: jnp.ndarray, *,
                    align: int, heads: int, head_dim: int, act_fn: str,
+                   shared_offset: bool = True,
                    interpret: bool = False):
     """Run one resnet + a stacked group of transformer blocks through the
     fused kernel.
@@ -336,7 +355,9 @@ def fused_tf_group(p: Dict, rp_: Dict, mt: jnp.ndarray, cc1: jnp.ndarray,
     (rows, 2, cin)/(rows, 2, ch);
     x (rows, C, cin); rings (L, rows, rp, 2*inner) — returned UPDATED
     (aliased in place); nd_mask/rot (rows,) i32; enable (rows,) bool;
-    offset () i32 shared DUS write offset; align = prompt_frames % C.
+    offset () i32 shared DUS write offset (ignored when
+    ``shared_offset=False`` — lanes mode derives each row's write
+    offset from its nd scalar); align = prompt_frames % C.
 
     Returns (x_out (rows, C, ch), rings_out, cc1_new, cc2_new) — cc
     outputs are UNMASKED; the caller applies the enable mask.  Requires
@@ -408,8 +429,13 @@ def fused_tf_group(p: Dict, rp_: Dict, mt: jnp.ndarray, cc1: jnp.ndarray,
             pltpu.SemaphoreType.DMA,
         ],
     )
-    assert rp % cf == 0, (rp, cf)
-    offsets = tuple((align + j * cf) % rp for j in range(rp // cf))
+    if shared_offset:
+        # lockstep DUS geometry: static-offset-candidate chunk stores
+        assert rp % cf == 0, (rp, cf)
+        offsets = tuple((align + j * cf) % rp for j in range(rp // cf))
+    else:
+        # continuous-batching lanes: per-row offsets from the nd scalars
+        offsets = None
     kern = functools.partial(
         _kernel, rows=rows, rows_t=rows_t, align=align, heads=heads,
         head_dim=head_dim, act_fn=act_fn, n_layers=L, offsets=offsets)

@@ -269,7 +269,7 @@ class AudioDecoder:
                    block_size: Optional[int] = None,
                    ring_tokens: Optional[int] = None,
                    token_cap: int = 1024, fused: bool = True,
-                   ring_quant: bool = False):
+                   ring_quant: bool = False, kernel="auto"):
         """Continuous-batching KV decoder (pipeline/kv_batcher.py): a fixed
         pool of lanes shares one batched estimator wavefront; streams are
         admitted/finished at arbitrary times (the serving counterpart of
@@ -278,12 +278,13 @@ class AudioDecoder:
         measured-best engine; ring_quant implies fused off)."""
         if ring_quant:
             fused = False
+            kernel = False
         from .kv_batcher import KVContinuousBatcher
         return KVContinuousBatcher(self, n_lanes=n_lanes,
                                    block_size=block_size,
                                    ring_tokens=ring_tokens,
                                    token_cap=token_cap, fused=fused,
-                                   ring_quant=ring_quant)
+                                   ring_quant=ring_quant, kernel=kernel)
 
 
 class StreamSession:

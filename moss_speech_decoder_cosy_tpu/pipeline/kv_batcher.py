@@ -43,7 +43,10 @@ from ..models.flow.kv_stream import (KVFlowStep, KVFlowEncodeStep,
                                      est_cache_from_flat,
                                      extend_rings_for_fused,
                                      shrink_rings_from_fused,
-                                     fuse_qkv_params)
+                                     fuse_qkv_params,
+                                     group_estimator_params,
+                                     group_est_flat, ungroup_est_flat,
+                                     wave_lanes_step_pallas)
 from .kv_session import KVVocState
 
 
@@ -77,7 +80,7 @@ class KVContinuousBatcher:
                  block_size: Optional[int] = None,
                  ring_tokens: Optional[int] = None,
                  token_cap: int = 1024, fused: bool = True,
-                 ring_quant: bool = False):
+                 ring_quant: bool = False, kernel="auto"):
         """``fused`` selects the write-then-attend estimator dataflow
         (rings extended to ring+chunk capacity, chunk K/V one-hot-written
         into the rings inside the estimator before attention) — the
@@ -128,6 +131,33 @@ class KVContinuousBatcher:
         self._kv = KVFlowStep(cfg)                 # per-lane prefill (b=1)
         self._enc_model = KVFlowEncodeStep(cfg)
         self._wave_model = KVLaneWaveStep(cfg, fused=self._fused)
+        # Pallas fused-block lanes wavefront (per-row write offsets,
+        # ops/pallas_block.py shared_offset=False): kernel="auto" runs it
+        # on TPU when the geometry supports it — the same default-engine
+        # policy as KVStreamDecoder; True/False force.  The burst scan
+        # converts the flat ring pool to the grouped kernel layout at
+        # entry/exit (inside the jit; ~2 pool copies per burst, amortized
+        # over max_iters ticks).
+        import jax as _jax
+        self._interpret = _jax.devices()[0].platform != "tpu"
+        est_cfg = cfg.estimator
+        kernel_ok = (self._fused and not self._quant
+                     and (2 * est_cfg.num_heads
+                          * est_cfg.attention_head_dim) % 128 == 0)
+        if kernel == "auto":
+            kernel = kernel_ok and not self._interpret
+        self._kernel = bool(kernel)
+        if self._kernel:
+            assert kernel_ok or self._interpret, \
+                "lanes kernel requires the fused dataflow and a " \
+                "128-lane-aligned head layout"
+            assert self._fused and not self._quant
+            self._gp = getattr(dec, "_grouped_est_params", None)
+            if self._gp is None:
+                self._gp = group_estimator_params(self._fp, cfg.estimator)
+                dec._grouped_est_params = self._gp
+        else:
+            self._gp = None
 
         # every jitted program goes through the dispatch meter (a no-op
         # passthrough until bench.py enables it) so aggregate MFU can be
@@ -286,15 +316,26 @@ class KVContinuousBatcher:
         ``base`` is already in mel FRAMES (prompt_len * ratio, set at
         admit time)."""
 
+        if self._kernel:
+            est = group_est_flat(est, self.cfg.estimator)
+
         def body(carry, _):
             x, mu_w, est_c, w = carry
-            mel, ok, x, mu_w, est_c, w = self._wave_model.apply(
-                flow_params, x, mu_w, mu_buf, spks, est_c, w,
-                avail_iters, k_total, base)
+            if self._kernel:
+                mel, ok, x, mu_w, est_c, w = wave_lanes_step_pallas(
+                    self._gp, self.cfg.cfm, self.cfg.estimator, x, mu_w,
+                    mu_buf, spks, est_c, w, avail_iters, k_total, base,
+                    interpret=self._interpret)
+            else:
+                mel, ok, x, mu_w, est_c, w = self._wave_model.apply(
+                    flow_params, x, mu_w, mu_buf, spks, est_c, w,
+                    avail_iters, k_total, base)
             return (x, mu_w, est_c, w), (mel, ok)
 
         (x, mu_w, est, w), (mels, oks) = jax.lax.scan(
             body, (x, mu_w, est, w), None, length=n_iters)
+        if self._kernel:
+            est = ungroup_est_flat(est, self.cfg.estimator)
         return x, mu_w, est, w, mels, oks
 
     def _lane_slice_impl(self, est, lane, n_frames):
