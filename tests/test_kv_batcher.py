@@ -155,6 +155,29 @@ def test_dispatch_meter_aggregate_flops(dec):
     assert b.measured_flops() == pytest.approx(2 * f1)
 
 
+def test_lanes_kernel_matches_xla_engine(dec):
+    """The Pallas lanes wavefront (per-row write offsets,
+    wave_lanes_step_pallas via kernel=True; interpret mode off-TPU) ==
+    the XLA lanes engine, same staggered protocol."""
+    rng = np.random.RandomState(21)
+    hop, ring = 2, 6
+    ptok, pfeat, emb, toks = _mk_stream(dec, rng, 3, 17)
+
+    def run(kernel):
+        b = dec.kv_batcher(n_lanes=2, block_size=hop, ring_tokens=ring,
+                           token_cap=64, kernel=kernel)
+        lane = b.admit(ptok, pfeat, emb)
+        b.push(lane, toks)
+        b.finish(lane)
+        chunks = {}
+        _drain(b, lane, chunks)
+        return np.concatenate(chunks[lane], axis=1)
+
+    ref = run(False)
+    got = run(True)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
 def test_int8_ring_quant_session_and_batcher(dec):
     """int8-quantized estimator rings (the quality-ring HBM mitigation,
     kv_stream.py::quantize_ring_chunk): bounded deviation vs the float
