@@ -11,13 +11,12 @@ layers (the hot loop of the reference's causal U-Net estimator,
 /root/reference/GLM_modules/cosyvoice/flow/decoder.py:294-494; block math
 ``TransformerBlockStep`` in models/flow/kv_stream.py) as ONE program:
 
-    per layer:  LayerNorm -> fused qkv matmul -> chunk K/V written IN
-    PLACE into the layer's HBM-resident ring at the shared DUS offset
-    (chunk-sized DMAs only, the LLM KV-decode write pattern — no O(ring)
-    RMW, no full-ring write-back) -> banded-mask attention read from the
-    VMEM-resident ring slab -> out-proj -> LayerNorm -> feed-forward
+    l == 0 prologue: the group's preceding CausalResnetBlock1DStep
+    per layer:  LayerNorm -> fused qkv matmul -> chunk K/V written into
+    the layer's ring slab -> banded-mask attention read from the
+    VMEM-resident slab -> out-proj -> LayerNorm -> feed-forward
 
-replacing ~35 op launches per layer with one kernel launch per group.
+replacing ~50 op launches per resnet+group with one kernel launch.
 
 Dataflow facts:
 - grid = (L, row_tiles), row-major: layer l outer, row tile rt inner.
@@ -30,18 +29,27 @@ Dataflow facts:
 - rings stay in HBM (``pltpu.HBM``) and are ALIASED input->output: per
   (l, rt) step the row tile's (rows_t, rp, 2d) slab is DMA'd to VMEM
   (the load is issued before the qkv matmul and waited after it, hiding
-  most of its latency), the chunk K/V is written into the slab, and ONLY
-  the chunk region is DMA'd back.
-- the chunk write composes a {0,1} one-hot matmul + select instead of a
-  dynamic-offset vector store (Mosaic requires provably 8-aligned
-  sublane offsets; chunk offsets sit on the C-frame grid) — bit-exact,
-  since every slot receives at most one contribution.
+  most of its latency), the chunk K/V is written into the slab, and the
+  slab is DMA'd back whole (Mosaic constrains DMA slice extents to the
+  (8, 128) tiling; unwritten slots carry their just-loaded values, so
+  the full write is value-identical to a chunk-only DUS).
+- the chunk write: shared-offset (lockstep) mode dispatches over the
+  rp//cf STATIC offset candidates (Mosaic accepts static stores at any
+  sublane alignment; DYNAMIC sublane offsets must be provably 8-aligned
+  and chunk offsets sit on the C-frame grid); per-row mode (the
+  continuous-batching lanes, ``shared_offset=False``) uses a bit-exact
+  {0,1} one-hot matmul + select per row.
 - the banded mask is rebuilt in-kernel from the per-row (n_done, rot)
   scalars: ring slot ``s`` of row ``r`` is valid iff
   ``(s - rot[r]) % rp < nd[r]`` — exactly ``_ring_mask(..., fused=True)``.
-- attention runs as per-(row, head) 2D matmuls (the safest Mosaic
-  subset; rows_t x heads static unroll) with the same contraction
-  order and accumulate-then-round dtype semantics as ``attend_stored``.
+- attention runs as head-PAIRED row-batched matmuls: adjacent heads'
+  K/V lanes are contiguous, so a (.., 2dk = 128) contraction against a
+  block-diagonal Q computes both heads' scores in one full-k MXU pass
+  (the zero off-blocks add exact f32 zeros — sums bit-identical to the
+  per-head form), and one A|V contraction yields both heads' outputs in
+  its diagonal blocks — halving the MXU pass count of the padding-bound
+  per-head form; contraction order and accumulate-then-round dtype
+  semantics match ``attend_stored``.
 
 Numerics: the math mirrors ``TransformerBlockStep`` op for op (flax
 LayerNorm's f32 stats + fast variance, same masked-softmax fill, same
