@@ -83,15 +83,17 @@ def main():
         # "stacked" = fused + the homogeneous estimator layer groups
         # collapsed into lax.scans over stacked parameter leaves
         # "kernel" = fused + each transformer group as ONE Pallas kernel
-        # launch (ops/pallas_block.py)
+        # launch (ops/pallas_block.py); "kernel2" = kernel + the fused-
+        # conformer encoder hop (ops/pallas_conformer.py)
         kv = dec.kv_stream_decoder(token_cap=n_tokens + 16,
                                    block_size=block, ring_tokens=ring,
                                    write_mode=("onehot" if write == "onehot"
                                                else "auto"),
                                    fused=(write in ("fused", "stacked",
-                                                    "kernel")),
+                                                    "kernel", "kernel2")),
                                    stacked=(write == "stacked"),
-                                   kernel=(write == "kernel"))
+                                   kernel=(write in ("kernel", "kernel2")),
+                                   enc_kernel=(write == "kernel2"))
         if write == "dus":
             assert kv._dus_ok, f"geometry {spec} cannot use DUS"
 

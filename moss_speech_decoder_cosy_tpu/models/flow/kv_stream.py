@@ -1932,3 +1932,84 @@ def wave_lanes_step_pallas(gp: Dict, cfm_cfg: CFMConfig,
     return (exit_mel, exit_valid, x_shift, mu_wave,
             {"kv": new_kv, "convs": new_convs},
             w + advance.astype(w.dtype))
+
+
+# --------------------------------------------------------------------------
+# Pallas fused-conformer encoder hop (ops/pallas_conformer.py): the two
+# homogeneous conformer stacks of the wavefront's encoder each run as ONE
+# kernel launch; embeds / pre-lookahead / upsample glue stays in XLA
+# --------------------------------------------------------------------------
+
+
+def group_encoder_params(fp: Dict, cfg: EncoderConfig) -> Dict:
+    """Stacked-leaf conformer groups for fused_conformer_group (leading
+    L axis per leaf; mirrors group_estimator_params).  ``fp``: the
+    (qkv-fused) full flow param dict."""
+    enc = fp["params"]["encoder"]
+
+    def stk(trees):
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+    return {"blocks": stk([enc[f"encoders_{i}"]
+                           for i in range(cfg.num_blocks)]),
+            "up_blocks": stk([enc[f"up_encoders_{i}"]
+                              for i in range(cfg.num_up_blocks)])}
+
+
+def encoder_hop_pallas(egp: Dict, flow_params, cfg: FlowConfig,
+                       token_chunk, context, cache: Dict, n_tok,
+                       pe_tok, pe_mel, interpret: bool = False):
+    """KVFlowEncodeStep.__call__ (embed -> UpsampleConformerEncoderStep
+    -> encoder_proj) with the two conformer stacks executed by the fused
+    Pallas kernel.  Single-stream (B = 1) wavefront encoder only; math
+    mirrors the flax modules op for op (exactness tolerance-pinned)."""
+    from ...ops.pallas_conformer import fused_conformer_group
+    c = cfg.encoder
+    assert not c.macaron_style and not c.use_cnn_module
+    assert c.pos_enc_layer_type == "rel_pos"
+    p = flow_params["params"]
+    heads = c.attention_heads
+    hd = c.output_size // heads
+    s = c.upsample_stride
+    la = c.pre_lookahead_len
+    ct = token_chunk.shape[1]
+
+    emb_tbl = p["input_embedding"]["embedding"]
+    x = jnp.take(emb_tbl, jnp.maximum(token_chunk, 0), axis=0)
+    ctx = jnp.take(emb_tbl, jnp.maximum(context, 0), axis=0)
+    enc = p["encoder"]
+    embed = LinearEmbed(c.output_size, c.dropout_rate)
+    x = embed.apply({"params": enc["embed"]}, x)
+    ctx = embed.apply({"params": enc["embed"]}, ctx)
+    pos = jax.lax.dynamic_slice(
+        pe_tok, (n_tok, 0), (ct, pe_tok.shape[1]))[None].astype(x.dtype)
+    x, new_pre = PreLookaheadStep(
+        c.output_size, la).apply({"params": enc["pre_lookahead_layer"]},
+                                 x, ctx, cache["pre"])
+    x, new_kv, new_pk = fused_conformer_group(
+        egp["blocks"], x, pos, cache["kv"], cache["pk"], n_tok,
+        heads=heads, head_dim=hd, act_fn=c.activation,
+        interpret=interpret)
+
+    x, new_up_conv = Upsample1DStep(
+        c.output_size, s).apply({"params": enc["up_layer"]},
+                                x, cache["up_conv"])
+    cm = ct * s
+    n_mel = n_tok * s
+    x = LinearEmbed(c.output_size, c.dropout_rate).apply(
+        {"params": enc["up_embed"]}, x)
+    pos_up = jax.lax.dynamic_slice(
+        pe_mel, (n_mel, 0), (cm, pe_mel.shape[1]))[None].astype(x.dtype)
+    x, new_ukv, new_upk = fused_conformer_group(
+        egp["up_blocks"], x, pos_up, cache["ukv"], cache["upk"], n_mel,
+        heads=heads, head_dim=hd, act_fn=c.activation,
+        interpret=interpret)
+    x = nn.LayerNorm(epsilon=1e-5).apply(
+        {"params": enc["after_norm"]}, x)
+    mu = nn.Dense(cfg.output_size).apply(
+        {"params": p["encoder_proj"]}, x)
+    new_cache = {"pre": new_pre.astype(cache["pre"].dtype),
+                 "kv": new_kv, "pk": new_pk,
+                 "up_conv": new_up_conv.astype(cache["up_conv"].dtype),
+                 "ukv": new_ukv, "upk": new_upk}
+    return mu, new_cache

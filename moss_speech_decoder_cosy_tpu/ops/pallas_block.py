@@ -111,6 +111,13 @@ def _activation(name: str):
             y = 0.5 * xf * (1.0 + _erf(xf * (2.0 ** -0.5)))
             return y.astype(x.dtype)
         return gelu
+    if name in ("swish", "silu"):
+        # Mosaic's bf16 logistic trips a vector.broadcast verifier; the
+        # f32 island is within a ULP of the XLA bf16 path
+        def silu(x):
+            xf = x.astype(jnp.float32)
+            return (xf * jax.nn.sigmoid(xf)).astype(x.dtype)
+        return silu
     return get_activation(name)
 
 

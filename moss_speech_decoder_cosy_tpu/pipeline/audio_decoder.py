@@ -212,7 +212,8 @@ class AudioDecoder:
                           token_cap: int = 2048, batch: int = 1,
                           write_mode: str = "auto", fused: bool = True,
                           stacked: bool = False, kernel="auto",
-                          ring_quant: bool = False):
+                          ring_quant: bool = False,
+                          enc_kernel: bool = False):
         """Incremental KV-cached streaming decoder (pipeline/kv_session.py):
         every token runs through the flow ONCE (vs the reference's 8x
         windowed re-decode); ``ring_tokens`` sets the banded attention left
@@ -248,7 +249,8 @@ class AudioDecoder:
                                token_cap=token_cap, batch=batch,
                                write_mode=write_mode, fused=fused,
                                stacked=stacked, kernel=kernel,
-                               ring_quant=ring_quant)
+                               ring_quant=ring_quant,
+                               enc_kernel=enc_kernel)
 
     def spmd_decoder(self, mesh, prompt_token=None, prompt_feat=None,
                      embedding=None, block_size: Optional[int] = None,

@@ -41,7 +41,9 @@ from ..models.flow.kv_stream import (KVFlowStep, KVFlowEncodeStep,
                                      wave_step_stacked,
                                      group_estimator_params,
                                      group_est_flat, ungroup_est_flat,
-                                     wave_step_pallas)
+                                     wave_step_pallas,
+                                     group_encoder_params,
+                                     encoder_hop_pallas)
 from .device_session import _parallel_fetch, _pcm16_device
 
 
@@ -61,7 +63,7 @@ class KVStreamDecoder:
                  token_cap: int = 2048, batch: int = 1,
                  write_mode: str = "auto", fused: bool = False,
                  stacked: bool = False, kernel="auto",
-                 ring_quant: bool = False):
+                 ring_quant: bool = False, enc_kernel: bool = False):
         self.dec = dec
         self.hop = block_size
         self.ring_tokens = ring_tokens
@@ -196,6 +198,18 @@ class KVStreamDecoder:
                 dec._grouped_est_params = self._gp
         else:
             self._gp = None
+        # fused-conformer encoder hop (ops/pallas_conformer.py): the two
+        # conformer stacks of the wavefront encoder as one kernel launch
+        # each — opt-in while its win is being measured (single-stream
+        # wavefront only)
+        self._enc_kernel = bool(enc_kernel) and self.b == 1
+        if self._enc_kernel:
+            self._egp = getattr(dec, "_grouped_enc_params", None)
+            if self._egp is None:
+                self._egp = group_encoder_params(self._fp, cfg.encoder)
+                dec._grouped_enc_params = self._egp
+        else:
+            self._egp = None
         self._enc_hop = jax.jit(self._enc_hop_impl,
                                 static_argnames=("emit_tokens",))
         self._wave_scan = jax.jit(self._wave_scan_impl,
@@ -472,10 +486,17 @@ class KVStreamDecoder:
 
             def run_enc(args):
                 enc_c, n_tok = args
-                mu, enc2 = self._enc_model.apply(
-                    flow_params, *self._slices(token_buf, n_tok, hop),
-                    enc_c, n_tok, self._pe_tok, self._pe_mel,
-                    finalize=False)
+                if self._enc_kernel:
+                    mu, enc2 = encoder_hop_pallas(
+                        self._egp, flow_params, self.dec.flow_cfg,
+                        *self._slices(token_buf, n_tok, hop), enc_c,
+                        n_tok, self._pe_tok, self._pe_mel,
+                        interpret=self._interpret)
+                else:
+                    mu, enc2 = self._enc_model.apply(
+                        flow_params, *self._slices(token_buf, n_tok, hop),
+                        enc_c, n_tok, self._pe_tok, self._pe_mel,
+                        finalize=False)
                 return mu, enc2, n_tok + hop
 
             def skip_enc(args):

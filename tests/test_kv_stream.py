@@ -302,6 +302,17 @@ def test_wavefront_matches_sequential_kv():
                              wavefront=True, wave_stepped=False)
     np.testing.assert_allclose(np.asarray(kern), np.asarray(fused),
                                atol=2e-5)
+    # fused-conformer encoder hop (ops/pallas_conformer.py, opt-in —
+    # measured neutral on hardware, kept for the op-collapse record)
+    kve = dec.kv_stream_decoder(tokens[:, :p], prompt_feat, emb,
+                                block_size=hop, ring_tokens=ring_t,
+                                token_cap=64, fused=True, kernel=True,
+                                enc_kernel=True)
+    assert kve._enc_kernel
+    enck = kve.stream_decode(tokens[:, p:], bulk_voc=True,
+                             wavefront=True, wave_stepped=False)
+    np.testing.assert_allclose(np.asarray(enck), np.asarray(fused),
+                               atol=2e-5)
     # and at lockstep batch 2 (rows = S*2*B exercises the row tiling)
     toks2 = np.concatenate([tokens[:, p:], tokens[:, p:][:, ::-1]], axis=0)
     kvf2 = dec.kv_stream_decoder(tokens[:, :p], prompt_feat, emb,
