@@ -228,11 +228,23 @@ class KVStreamDecoder:
                                  donate_argnums=(2, 3, 4, 5, 6))
         self._prep_est = jax.jit(self._prep_est_impl)
         self._fin_est = jax.jit(self._fin_est_impl)
+        # kernel-stepped variants: extended + GROUPED layout in/out
+        self._prep_est_k = jax.jit(
+            lambda est: group_est_flat(self._prep_est_impl(est),
+                                       self.dec.flow_cfg.estimator))
+        self._fin_est_k = jax.jit(
+            lambda est, n: self._fin_est_impl(
+                ungroup_est_flat(est, self.dec.flow_cfg.estimator), n))
         # stepped wavefront: one jitted iteration with DONATED ring/state
         # buffers (x, mu_w, est, enc, n_tok, w) — lets XLA alias the big
         # KV rings in place instead of double-buffering a scan carry
+        # (memory_analysis shows the scan ping-pongs ~345 MiB of rings
+        # per iteration on BOTH engines; donation removes the copy at
+        # the price of per-iteration dispatch)
         self._wave_step = jax.jit(self._wave_step_impl,
                                   donate_argnums=(2, 3, 4, 5, 6, 7))
+        self._wave_step_k = jax.jit(self._wave_step_kernel_impl,
+                                    donate_argnums=(2, 3, 4, 5, 6, 7))
         self._est_flatten = jax.jit(est_cache_to_flat)
         self._est_unflatten = jax.jit(est_cache_from_flat,
                                       static_argnames=("s_steps",))
@@ -634,6 +646,38 @@ class KVStreamDecoder:
             body, carry0, ws)
         return mels, x, mu_w, est, enc_c, n_tok
 
+    def _wave_step_kernel_impl(self, flow_params, token_buf, x, mu_w,
+                               est_g, enc_c, n_tok, w, spks, k_total,
+                               base_frames):
+        """ONE kernel-engine wavefront iteration with donated state: the
+        grouped est rings are aliased in place BOTH by the Pallas kernel
+        and across iterations (no scan-carry ping-pong copy)."""
+        hop = self.hop
+        cf = hop * self.ratio
+        n_mel = self.n_mel
+
+        def run_enc(args):
+            enc_c, n_tok = args
+            mu, enc2 = self._enc_model.apply(
+                flow_params, *self._slices(token_buf, n_tok, hop),
+                enc_c, n_tok, self._pe_tok, self._pe_mel,
+                finalize=False)
+            return mu, enc2, n_tok + hop
+
+        def skip_enc(args):
+            enc_c, n_tok = args
+            return (jnp.zeros((self.b, cf, n_mel), self.dt),
+                    enc_c, n_tok)
+
+        mu_new, enc_c, n_tok = jax.lax.cond(
+            w < k_total, run_enc, skip_enc, (enc_c, n_tok))
+        scfg = self.dec.flow_cfg
+        exit_mel, x, mu_w, est_g = wave_step_pallas(
+            self._gp, scfg.cfm, scfg.estimator, self._align, x, mu_w,
+            mu_new, spks, est_g, w, k_total, base_frames,
+            interpret=self._interpret)
+        return exit_mel, x, mu_w, est_g, enc_c, n_tok, w + 1
+
     def _wave_step_impl(self, flow_params, token_buf, x, mu_w, est_c,
                         enc_c, n_tok, w, spks, k_total, base_frames):
         """ONE wavefront iteration (the scan body of _wave_scan_impl) as a
@@ -692,9 +736,8 @@ class KVStreamDecoder:
         base_frames = self.p * self.ratio
         # the stepped loop runs the unstacked engine only; fall through
         # silently and it would benchmark/label the wrong engine
-        assert not (stepped and (self._stacked
-                                 or self._kernel_explicit)), \
-            "wave_stepped does not support the stacked/kernel wavefront"
+        assert not (stepped and self._stacked), \
+            "wave_stepped does not support the stacked wavefront"
 
         if self._spks_cached is None:
             self._spks_cached = self._spk(self._fp, self._emb)
@@ -708,21 +751,35 @@ class KVStreamDecoder:
         if stepped:
             k_dev = jnp.asarray(k, jnp.int32)
             base_dev = jnp.asarray(base_frames, jnp.int32)
-            est = self._est_flatten(cache["est"])      # once per stream
             enc_cache = cache["enc"]
             n_tok = jnp.asarray(self.p, jnp.int32)
             w = jnp.zeros((), jnp.int32)
             x, mu_w = x_wave, mu_wave
             chunks = []
-            for i in range(need):
-                exit_mel, x, mu_w, est, enc_cache, n_tok, w = \
-                    self._wave_step(self._fp, token_buf, x, mu_w,
-                                    est, enc_cache, n_tok, w, spks,
-                                    k_dev, base_dev)
-                if i >= s_steps - 1:
-                    chunks.append(exit_mel)
-            mels = [jnp.concatenate(chunks, axis=1)]
-            est = self._est_unflatten(est, s_steps=s_steps)
+            if self._kernel:
+                est = self._prep_est_k(cache["est"])   # extend + group
+                for i in range(need):
+                    exit_mel, x, mu_w, est, enc_cache, n_tok, w = \
+                        self._wave_step_k(self._fp, token_buf, x, mu_w,
+                                          est, enc_cache, n_tok, w,
+                                          spks, k_dev, base_dev)
+                    if i >= s_steps - 1:
+                        chunks.append(exit_mel)
+                mels = [jnp.concatenate(chunks, axis=1)]
+                est = self._fin_est_k(
+                    est, jnp.asarray((self.p + k * self.hop)
+                                     * self.ratio, jnp.int32))
+            else:
+                est = self._est_flatten(cache["est"])  # once per stream
+                for i in range(need):
+                    exit_mel, x, mu_w, est, enc_cache, n_tok, w = \
+                        self._wave_step(self._fp, token_buf, x, mu_w,
+                                        est, enc_cache, n_tok, w, spks,
+                                        k_dev, base_dev)
+                    if i >= s_steps - 1:
+                        chunks.append(exit_mel)
+                mels = [jnp.concatenate(chunks, axis=1)]
+                est = self._est_unflatten(est, s_steps=s_steps)
         else:
             n_iters = max(16, ((need + 15) // 16) * 16)  # bucketed programs
             mels_all, est, enc_cache, n_tok = self._wave_scan(
