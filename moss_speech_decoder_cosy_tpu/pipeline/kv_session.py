@@ -210,6 +210,10 @@ class KVStreamDecoder:
                 dec._grouped_enc_params = self._egp
         else:
             self._egp = None
+        # scan unroll: partially cancels the while-loop's ring-carry
+        # ping-pong copies (round-5 addendum 3): kernel engine measured
+        # 3.556 -> 3.43 ms/iter at unroll 4 (plateau; u8 equal)
+        self._unroll = 4 if self._kernel else 1
         self._enc_hop = jax.jit(self._enc_hop_impl,
                                 static_argnames=("emit_tokens",))
         self._wave_scan = jax.jit(self._wave_scan_impl,
@@ -789,7 +793,7 @@ class KVStreamDecoder:
                 base_frames=jnp.asarray(base_frames, jnp.int32),
                 dus=self._dus_ok, fused=self._fused,
                 stacked=self._stacked, sp=self._sp,
-                kernel=self._kernel, gp=self._gp)
+                kernel=self._kernel, gp=self._gp, unroll=self._unroll)
             mels = [mels_all[s_steps - 1: s_steps - 1 + k]
                     .transpose(1, 0, 2, 3).reshape(self.b, -1, n_mel)]
 
@@ -1069,7 +1073,8 @@ class KVStreamDecoder:
             n_iters=n_iters, k_total=jnp.asarray(n_steady, jnp.int32),
             base_frames=jnp.asarray(self.p * self.ratio, jnp.int32),
             dus=self._dus_ok, fused=self._fused, stacked=self._stacked,
-            sp=self._sp, kernel=self._kernel, gp=self._gp)
+            sp=self._sp, kernel=self._kernel, gp=self._gp,
+            unroll=self._unroll)
         if plan and plan[-1][1]:
             total += compiled_flops(self._hop, self._fp, token_buf, cache,
                                     emit_tokens=plan[-1][0], finalize=True)

@@ -136,7 +136,7 @@ class SPMDKVDecoder:
                 k_total=jnp.asarray(k, jnp.int32),
                 base_frames=jnp.asarray(loc.p * loc.ratio, jnp.int32),
                 dus=loc._dus_ok, fused=loc._fused,
-                kernel=loc._kernel, gp=loc._gp)
+                kernel=loc._kernel, gp=loc._gp, unroll=loc._unroll)
             mel = (mels_all[s_steps - 1: s_steps - 1 + k]
                    .transpose(1, 0, 2, 3).reshape(self.b_local, -1, n_mel))
             if tail:
