@@ -179,8 +179,13 @@ class KVStreamDecoder:
         # explicitly, auto stays off to keep the suite fast).
         self._interpret = jax.devices()[0].platform != "tpu"
         est_cfg = cfg.estimator
+        # ring-capacity tile alignment: Mosaic DMAs the (rows_t, rp, 2d)
+        # slab per layer, which requires the rp extent tile-aligned —
+        # ring 35 (rp 160) and 75 (rp 320) qualify, ring 70 (rp 300)
+        # does not (quality serving on the kernel engine uses ring 75)
+        rp_cap = (ring_tokens + block_size) * self.ratio
         kernel_ok = (self._fused and self._dus_ok and not self._stacked
-                     and not self._quant
+                     and not self._quant and rp_cap % 16 == 0
                      and (2 * est_cfg.num_heads * est_cfg.attention_head_dim)
                      % 128 == 0)
         self._kernel_explicit = kernel is True
@@ -192,6 +197,9 @@ class KVStreamDecoder:
             assert self._fused and self._dus_ok, \
                 "pallas-kernel wavefront requires fused=True and the " \
                 "DUS geometry (ring_tokens % block_size == 0)"
+            assert self._interpret or rp_cap % 16 == 0, \
+                f"kernel ring capacity {rp_cap} must be 16-aligned on " \
+                "TPU (use e.g. ring 35 or 75 at block 5)"
             self._gp = getattr(dec, "_grouped_est_params", None)
             if self._gp is None:
                 self._gp = group_estimator_params(self._fp, cfg.estimator)
