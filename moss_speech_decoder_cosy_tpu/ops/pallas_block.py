@@ -250,13 +250,37 @@ def _kernel(s_ref,                                     # scalar prefetch
                               ).astype(slab.dtype)     # (rp, d2)
             in_chunk = ((slot_d - off_r) % rp) < cf
             slab[r] = jnp.where(in_chunk & en_r, contrib, slab[r])
-    # Mosaic constrains DMA slice extents to the (8, 128) tiling, and
-    # chunk extents sit on the C-frame grid — so the write-back covers
-    # the whole (aligned) slab.  Unwritten slots carry their just-loaded
-    # values, so the full write is value-identical to a chunk-only DUS.
-    wb1 = pltpu.make_async_copy(
-        slab, ring_out.at[l, pl.ds(r0, rows_t)], sem_wb)
-    wb1.start()
+    # write-back.  Shared-offset mode: 16-ALIGNED windows covering the
+    # chunk parts (Mosaic accepts tile-aligned dynamic DMA offsets and
+    # extents; unwritten window slots carry their just-loaded values, so
+    # the window write is value-identical to a chunk-only DUS) — at the
+    # production geometry this writes 48 of 160 slots per layer instead
+    # of the whole slab.  Per-row (lanes) mode: full slab.
+    def win(n):
+        return ((n + 15) // 16 + 1) * 16
+
+    use_windows = (offsets is not None and win(m1) < rp
+                   and (align == 0 or win(align) < rp))
+    wbs = []
+    if use_windows:
+        parts = [(m1, off)]
+        if align:
+            parts.append((align, (off + m1) % rp))
+        for i, (plen, poff) in enumerate(parts):
+            w = win(plen)
+            off0 = jnp.minimum((poff // 16) * 16, rp - w)
+            off0 = pl.multiple_of(off0, 16)
+            cp = pltpu.make_async_copy(
+                slab.at[:, pl.ds(off0, w)],
+                ring_out.at[l, pl.ds(r0, rows_t), pl.ds(off0, w)],
+                sem_wb.at[i])
+            cp.start()
+            wbs.append(cp)
+    else:
+        cp = pltpu.make_async_copy(
+            slab, ring_out.at[l, pl.ds(r0, rows_t)], sem_wb.at[0])
+        cp.start()
+        wbs.append(cp)
 
     # banded-mask attention in attend_stored's contraction order, one
     # row-batched matmul pair per head (Mosaic supports a single batch
@@ -340,7 +364,8 @@ def _kernel(s_ref,                                     # scalar prefetch
     def _():
         x_out[pl.ds(r0, rows_t)] = x2
 
-    wb1.wait()
+    for cp in wbs:
+        cp.wait()
 
 
 def _pick_rows_t(rows: int, rp: int, d2: int, itemsize: int,
@@ -441,7 +466,7 @@ def fused_tf_group(p: Dict, rp_: Dict, mt: jnp.ndarray, cc1: jnp.ndarray,
             pltpu.VMEM((rows_t, rp, d2), rings.dtype),
             pltpu.VMEM((rows_t, cf, inner), x.dtype),
             pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     if shared_offset:
